@@ -1,0 +1,617 @@
+"""Query catalog: every implemented operator as a (Spark query, DuckDB oracle)
+pair over the driver's synthetic tables.
+
+Each entry demonstrates one or more operators from SURVEY.md §2 (citations in
+the docstrings refer to the reference, /root/reference/advanced_elb_logs_etl.py).
+The Spark side and the SQL side compute byte-identical values: integer math is
+used where possible (epoch-microsecond arithmetic for time deltas, exact
+median), and floating aggregates are rounded to a fixed scale on BOTH sides
+so accumulation-order ulp noise can't break the driver's value hash.
+
+Scale notes are inline per query — partitioning, shuffle counts, and
+broadcast decisions are part of the contract, not an afterthought.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name -> (spark_fn, oracle_sql | None). Populated by @register below.
+CATALOG: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        CATALOG[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in CATALOG.items() if sql is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# epoch microseconds of a timestamp instant — exact integer domain shared
+# with DuckDB's epoch_us(); all time-delta math happens here so Spark and the
+# oracle produce bit-identical doubles.
+def _us(col):
+    return F.unix_micros(F.col(col) if isinstance(col, str) else col)
+
+
+def dround(col, scale: int):
+    """Cross-engine-stable rounding for float aggregates.
+
+    avg()/windowed-avg results differ between engines by accumulation-order
+    ulps; when the true value sits exactly on a decimal rounding boundary
+    (e.g. 457.79/8 = 57.22375) a plain round(x, 4) flips direction per
+    engine. Casting through DECIMAL(28,8) first snaps the value to the exact
+    decimal (the ulp noise is << 0.5e-8), after which both engines round the
+    same number with the same half-up rule. The oracle twin is
+    CAST(round(CAST(x AS DECIMAL(28,8)), d) AS DOUBLE).
+    """
+    return F.round(col.cast("decimal(28,8)"), scale).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Flagship + aggregate battery (A1-A6: count / countDistinct / avg / median /
+# sum / conditional count — reference write_hourly_aggregation, :345-363)
+# ---------------------------------------------------------------------------
+
+_PRICING_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  round(sum(l_quantity), 2)                            AS sum_qty,
+  round(sum(l_extendedprice), 2)                       AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+  CAST(round(CAST(avg(l_quantity) AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_qty,
+  CAST(round(CAST(avg(l_extendedprice) AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_price,
+  count(*)::BIGINT                                     AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", _PRICING_ORACLE)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary (A1/A3/A5 battery).
+
+    Scale: one hash aggregation with map-side partial agg; grouping
+    cardinality is tiny (|returnflag| x |linestatus|), so the shuffle moves
+    only partial aggregate rows, not data rows. Survives 100 TB trivially.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        dround(F.avg("l_quantity"), 4).alias("avg_qty"),
+        dround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_HOURLY_ORACLE = """
+SELECT
+  year(ts)::BIGINT    AS request_year,
+  month(ts)::BIGINT   AS request_month,
+  day(ts)::BIGINT     AS request_day,
+  hour(ts)::BIGINT    AS request_hour,
+  event_type,
+  count(user_id)::BIGINT          AS request_count,
+  count(DISTINCT user_id)::BIGINT AS unique_client_ips_count,
+  CAST(round(CAST(avg(value) AS DECIMAL(28,8)), 4) AS DOUBLE) AS average_value,
+  median(value)                   AS median_value,
+  round(sum(value), 2)            AS sum_value,
+  count_if(value > 100.0)::BIGINT AS count_high,
+  count_if(value <= 10.0)::BIGINT AS count_low
+FROM events
+WHERE event_type IS NOT NULL
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@register("hourly_agg", _HOURLY_ORACLE)
+def q_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly aggregation battery — the Spark twin of the reference's
+    write_hourly_aggregation (advanced_elb_logs_etl.py:345-363): count,
+    countDistinct (A2), avg (A3), exact interpolated median (A4), sum (A5),
+    conditional counts via count_if (A6).
+
+    Parity: pandas groupby drops null group keys (dropna=True); Spark keeps
+    them, so the explicit IS NOT NULL filter replicates the reference
+    (SURVEY.md §2.5). Scale: single shuffle on the 5 group keys; median is
+    the only non-partial aggregate — at 100 TB swap in approx_percentile
+    via the `exact=False` variant in operators/reports.py.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    return ev.groupBy(
+        F.year("ts").cast("long").alias("request_year"),
+        F.month("ts").cast("long").alias("request_month"),
+        F.dayofmonth("ts").cast("long").alias("request_day"),
+        F.hour("ts").cast("long").alias("request_hour"),
+        "event_type",
+    ).agg(
+        F.count("user_id").alias("request_count"),
+        F.countDistinct("user_id").alias("unique_client_ips_count"),
+        dround(F.avg("value"), 4).alias("average_value"),
+        F.median("value").alias("median_value"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count_if(F.col("value") > 100.0).alias("count_high"),
+        F.count_if(F.col("value") <= 10.0).alias("count_low"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar/projection operators (P3/P4 null-coding casts, P12 bucketing,
+# P13 date parts, P14/P15 path features, P8/P9 request/URL decomposition)
+# ---------------------------------------------------------------------------
+
+_STATUS_ORACLE = """
+SELECT
+  CASE
+    WHEN code BETWEEN 100 AND 199 THEN '1xx_Informational'
+    WHEN code BETWEEN 200 AND 299 THEN '2xx_Success'
+    WHEN code BETWEEN 300 AND 399 THEN '3xx_Redirection'
+    WHEN code BETWEEN 400 AND 499 THEN '4xx_ClientError'
+    WHEN code BETWEEN 500 AND 599 THEN '5xx_ServerError'
+    ELSE 'Unknown'
+  END AS status_code_type,
+  count(*)::BIGINT AS n
+FROM (SELECT 100 + (event_id % 550) AS code FROM events) t
+GROUP BY 1
+"""
+
+
+@register("status_bucket", _STATUS_ORACLE)
+def q_status_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status-code bucketing (P12, reference status_code_type :268-277),
+    applied to a synthesized code column then aggregated. Pure Column CASE
+    expression — whole-stage codegen, no UDF."""
+    from ..functions.scalars import status_code_type
+
+    ev = _t(spark, sf_dir, "events")
+    code = (F.lit(100) + F.col("event_id") % 550).alias("code")
+    return (
+        ev.select(status_code_type(code).alias("status_code_type"))
+        .groupBy("status_code_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_DATEPARTS_ORACLE = """
+SELECT
+  event_id,
+  year(ts)::BIGINT       AS request_year,
+  month(ts)::BIGINT      AS request_month,
+  day(ts)::BIGINT        AS request_day,
+  hour(ts)::BIGINT       AS request_hour,
+  dayname(ts)            AS request_day_of_week,
+  weekofyear(ts)::BIGINT AS request_week_of_year
+FROM events
+"""
+
+
+@register("date_parts", _DATEPARTS_ORACLE)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part feature battery (P13, reference :292-298): year/month/day/
+    hour, English day name, ISO week — all builtin Column functions."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("long").alias("request_year"),
+        F.month("ts").cast("long").alias("request_month"),
+        F.dayofmonth("ts").cast("long").alias("request_day"),
+        F.hour("ts").cast("long").alias("request_hour"),
+        F.date_format("ts", "EEEE").alias("request_day_of_week"),
+        F.weekofyear("ts").cast("long").alias("request_week_of_year"),
+    )
+
+
+_PATH_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN NULL
+              ELSE '/' || source || '/doc/' || (doc_id % 7)::VARCHAR END AS path
+  FROM documents
+), q AS (
+  SELECT doc_id, path, coalesce(path, 'None') AS path_str FROM p
+)
+SELECT doc_id,
+       path,
+       (length(path_str) - length(replace(path_str, '/', '')))::BIGINT AS path_depth,
+       CASE WHEN length(path_str) - length(replace(path_str, '/', '')) >= 1
+            THEN split_part(path_str, '/', 2) END AS path_main_segment
+FROM q
+"""
+
+
+@register("path_features", _PATH_ORACLE)
+def q_path_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path features (P14/P15, reference :300-301) including the 'None'-string
+    quirk: pandas `astype(str)` turns null paths into the literal 'None'
+    (depth 0, main segment null) — replicated explicitly on both sides."""
+    from ..functions.scalars import path_depth, path_main_segment
+
+    docs = _t(spark, sf_dir, "documents")
+    path = F.when(
+        F.col("doc_id") % 13 != 0,
+        F.concat(
+            F.lit("/"), F.col("source"), F.lit("/doc/"), (F.col("doc_id") % 7).cast("string")
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        path.alias("path"),
+        path_depth(path).alias("path_depth"),
+        path_main_segment(path).alias("path_main_segment"),
+    )
+
+
+_URL_ORACLE = """
+WITH r AS (
+  SELECT doc_id,
+         'GET https://ex' || (doc_id % 3)::VARCHAR || '.com:' ||
+         (8080 + doc_id % 2)::VARCHAR || '/api/v' || (doc_id % 4)::VARCHAR ||
+         '/items?q=' || lang || ' HTTP/1.1' AS request
+  FROM documents
+), s AS (
+  SELECT doc_id, request,
+         split_part(request, ' ', 1) AS http_method,
+         split_part(request, ' ', 2) AS full_url,
+         split_part(request, ' ', 3) AS http_version
+  FROM r
+)
+SELECT doc_id, http_method, full_url, http_version,
+       regexp_extract(full_url, '^([a-z]+)://', 1)       AS protocol,
+       regexp_extract(full_url, '://([^/:]+)', 1)        AS hostname,
+       TRY_CAST(regexp_extract(full_url, ':([0-9]+)/', 1) AS BIGINT) AS port,
+       regexp_extract(full_url, '://[^/]+(/[^?]*)', 1)   AS path,
+       regexp_extract(full_url, '\\?(.*)$', 1)           AS query_params
+FROM s
+"""
+
+
+@register("url_parse", _URL_ORACLE)
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP request + URL decomposition (P8/P9, reference :111-121): method/
+    url/version split and scheme/host/port/path/query extraction as pure
+    Column expressions (regexp — parse_url is avoided so the oracle can use
+    the identical regex)."""
+    docs = _t(spark, sf_dir, "documents")
+    request = F.concat(
+        F.lit("GET https://ex"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".com:"),
+        (F.lit(8080) + F.col("doc_id") % 2).cast("string"),
+        F.lit("/api/v"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit("/items?q="),
+        F.col("lang"),
+        F.lit(" HTTP/1.1"),
+    )
+    df = docs.select("doc_id", request.alias("request"))
+    parts = F.split(F.col("request"), " ")
+    url = parts.getItem(1)
+    return df.select(
+        "doc_id",
+        parts.getItem(0).alias("http_method"),
+        url.alias("full_url"),
+        parts.getItem(2).alias("http_version"),
+        F.regexp_extract(url, r"^([a-z]+)://", 1).alias("protocol"),
+        F.regexp_extract(url, r"://([^/:]+)", 1).alias("hostname"),
+        F.regexp_extract(url, r":([0-9]+)/", 1).try_cast("long").alias("port"),
+        F.regexp_extract(url, r"://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract(url, r"\?(.*)$", 1).alias("query_params"),
+    )
+
+
+_NULLCAST_ORACLE = """
+WITH k AS (
+  SELECT event_id, TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS kv
+  FROM events
+), r AS (
+  SELECT event_id,
+         CASE WHEN kv % 7 = 0 THEN '-'
+              WHEN kv % 11 = 0 THEN ''
+              ELSE kv::VARCHAR END AS raw
+  FROM k
+)
+SELECT event_id, raw,
+       TRY_CAST(nullif(nullif(raw, '-'), '') AS BIGINT) AS parsed_int,
+       TRY_CAST(nullif(nullif(raw, '-'), '') AS DOUBLE) AS parsed_float
+FROM r
+"""
+
+
+@register("null_coding_cast", _NULLCAST_ORACLE)
+def q_null_coding_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-coding casts (P3/P4, reference to_int/to_float :52-62): '-', ''
+    and unparseable values become null, valid numerics parse. Implemented
+    with try_cast — no UDF, ANSI-safe."""
+    from ..functions.scalars import to_float_col, to_int_col
+
+    ev = _t(spark, sf_dir, "events")
+    kv = F.regexp_extract("props", "[0-9]+", 0).try_cast("long")
+    raw = (
+        F.when(kv % 7 == 0, F.lit("-"))
+        .when(kv % 11 == 0, F.lit(""))
+        .otherwise(kv.cast("string"))
+    )
+    return ev.select(
+        "event_id",
+        raw.alias("raw"),
+        to_int_col(raw).alias("parsed_int"),
+        to_float_col(raw).alias("parsed_float"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (W1-W7: lag, delta, session boundary, grouped cumsum, session id,
+# trailing range-frame count/avg — reference add_advanced_features :303-319)
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH l AS (
+  SELECT event_id, user_id, ts,
+         lag(epoch_us(ts)) OVER w AS prev_us,
+         epoch_us(ts) AS us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), d AS (
+  SELECT event_id, user_id, ts, prev_us, us,
+         (us - prev_us) / 60000000.0 AS time_diff_min,
+         (prev_us IS NULL OR (us - prev_us) / 60000000.0 > 30.0) AS new_session
+  FROM l
+)
+SELECT event_id, user_id, time_diff_min, new_session,
+       sum(CASE WHEN new_session THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::VARCHAR
+         || '-' || user_id::VARCHAR AS session_id
+FROM d
+"""
+
+
+@register("sessionize", _SESSION_ORACLE)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (W1-W5, reference :303-308): lag, event-time
+    delta in minutes, 30-minute-gap session boundary, per-key running session
+    ordinal, session id synthesis.
+
+    Scale: ONE hash partitioning by user_id serves both window specs (Spark
+    plans a single Exchange; the two Window operators share it). Time deltas
+    are integer microsecond arithmetic, so results are deterministic. Skewed
+    keys (one hot IP) are the known hazard at 100 TB — AQE skew handling does
+    not apply inside windows, so operators/sessions.py documents the salting
+    escape hatch."""
+    from ..operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev, key="user_id", ts="ts", order_tiebreak="event_id", gap_min=30.0)
+    return out.select("event_id", "user_id", "time_diff_min", "new_session", "session_id")
+
+
+_ROLL5_ORACLE = """
+SELECT event_id, user_id,
+       count(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 299999999 PRECEDING AND CURRENT ROW)::BIGINT
+         AS rolling_5min_req_count
+FROM events
+"""
+
+
+@register("rolling_5min_count", _ROLL5_ORACLE)
+def q_rolling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-minute request count (W6, reference :310-314). pandas
+    rolling('5T') frames are left-OPEN `(t-5min, t]`; Spark/SQL RANGE frames
+    are closed — parity via a 299_999_999-microsecond bound (SURVEY.md §2.6)."""
+    from ..operators.sessions import rolling_count
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_count(
+        ev, key="user_id", ts="ts", value_col="event_type", window_sec=300,
+        out_col="rolling_5min_req_count",
+    )
+    return out.select("event_id", "user_id", "rolling_5min_req_count")
+
+
+_ROLL1H_ORACLE = """
+SELECT event_id, user_id,
+       CAST(round(CAST(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS DECIMAL(28,8)), 4) AS DOUBLE)
+         AS rolling_1h_avg_value
+FROM events
+"""
+
+
+@register("rolling_1h_avg", _ROLL1H_ORACLE)
+def q_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 60-minute mean (W7, reference :315-319), same open-left
+    frame; avg skips nulls in both engines. Rounded to 4dp on both sides
+    (windowed float accumulation order differs between engines)."""
+    from ..operators.sessions import rolling_avg
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_avg(
+        ev, key="user_id", ts="ts", value_col="value", window_sec=3600,
+        out_col="rolling_1h_avg_value", round_dp=4,
+    )
+    return out.select("event_id", "user_id", "rolling_1h_avg_value")
+
+
+# ---------------------------------------------------------------------------
+# Joins & set ops (J1 broadcast left join + rename P16, J2 anti probe,
+# J3 union, J4 keep-last dedup — reference enrich_with_geolocation :231-265)
+# ---------------------------------------------------------------------------
+
+_GEOJOIN_ORACLE = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       n.n_name AS nation_name, r.r_name AS region_name
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+@register("dim_enrich_join", _GEOJOIN_ORACLE)
+def q_dim_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension enrichment left join + rename (J1/P16, reference :250-261).
+    Both dims are broadcast — zero shuffle of the fact side; exactly how the
+    geo cache join must run at 100 TB (the cache is ~|distinct IPs| rows)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("anti_join_uncached", _ANTI_ORACLE)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-membership probe (J2, reference :235-236 — 'which keys are NOT in
+    the cache'). left_anti join; at scale the probe side aggregates to
+    distinct keys first so the shuffle carries keys, not rows."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+_UNION_ORACLE = """
+SELECT c_name AS name FROM customer
+UNION
+SELECT s_name FROM supplier
+"""
+
+
+@register("union_distinct_names", _UNION_ORACLE)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union/append + distinct (J3, reference pd.concat :245,:413)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("name"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_name").alias("name"))
+    return c.unionByName(s).distinct()
+
+
+_KEEPLAST_ORACLE = """
+SELECT event_id, user_id, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+@register("dedup_keep_last", _KEEPLAST_ORACLE)
+def q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-last dedup (J4, reference cache upsert :246): newest row per key
+    wins, deterministic tie-break. row_number + filter — the scalable idiom
+    (single shuffle on the key, no global sort)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / reports (F3 IN-list, F4 boolean, P17 stringify, P18 projection,
+# A7 group size — reference write_error_report / write_bot_traffic_reports)
+# ---------------------------------------------------------------------------
+
+_ERROR_ORACLE = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS time_str,
+       event_type, round(value, 2) AS value_r
+FROM events
+WHERE event_type IN ('error', 'signup')
+"""
+
+
+@register("error_report", _ERROR_ORACLE)
+def q_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-report slice (F3 IN-list filter + P17 timestamp stringify + P18
+    projection, reference :365-378). The IN filter is pushed into the
+    parquet scan (PushedFilters: In(event_type, ...))."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type").isin("error", "signup")).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("time_str"),
+        "event_type",
+        F.round("value", 2).alias("value_r"),
+    )
+
+
+_BOTAGG_ORACLE = """
+SELECT event_type, user_id, count(*)::BIGINT AS bot_request_count
+FROM events
+WHERE value > 150.0
+GROUP BY event_type, user_id
+"""
+
+
+@register("bot_origin_summary", _BOTAGG_ORACLE)
+def q_bot_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-filter + group-size report (F4/A7, reference :380-391):
+    filter then `.size()`-style count(*) per group."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value") > 150.0)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("bot_request_count"))
+    )
+
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("topk_orders", _TOPK_ORACLE)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by value with deterministic tie-break (§2.7 extension; the
+    reference only has limit-5 sampling O2). Spark plans TakeOrderedAndProject
+    — per-partition heaps + driver merge, no global sort at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    ).limit(100)

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Timing method: each query is built lazily and timed around a count()-free
+materialization (collect of the already-aggregated/limited result, or a
+noop-write for wide row-level outputs) so we measure scan+compute+shuffle,
+not driver-side row marshalling of huge results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from advanced_elb_logs_etl_spark.plans.catalog import CATALOG  # noqa: E402
+from advanced_elb_logs_etl_spark.session import get_spark  # noqa: E402
+
+# Queries that return O(input) rows are materialized with a noop-style action
+# (count over the full plan) instead of collect() — collect would measure
+# Python deserialization, not the engine.
+_WIDE_OUTPUT = {
+    "date_parts",
+    "path_features",
+    "url_parse",
+    "null_coding_cast",
+    "sessionize",
+    "rolling_5min_count",
+    "rolling_1h_avg",
+    "dim_enrich_join",
+    "error_report",
+    "text_stats",
+    "doc_fingerprint",
+    "lang_id",
+    "token_count",
+    "quality_score",
+    "multimodal_meta",
+    "simhash",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0  # unknown scale factor; dir name is not sf<N>
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # engine, not first-touch costs.
+    next(iter(CATALOG.values()))[0](spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name, (fn, _) in CATALOG.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if name in _WIDE_OUTPUT:
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
