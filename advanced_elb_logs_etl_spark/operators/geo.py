@@ -1,0 +1,204 @@
+"""Geolocation enrichment with a persistent cache (reference
+enrich_with_geolocation + fetch_geolocation + load_geo_cache,
+/root/reference/advanced_elb_logs_etl.py:173-265).
+
+Spark decomposition:
+- cache load (S5)          -> small dimension DataFrame from parquet
+- miss detection (J2)      -> distinct client_ips LEFT ANTI JOIN cache
+- fetch (S6)               -> injectable transport, driver-side sequential
+                              loop with the reference's etiquette (0.7 s
+                              spacing, capped 429 retry, 5 s timeout)
+- cache upsert (J4)        -> unionByName + keep-last row_number dedup
+- enrichment join (J1/P16) -> BROADCAST left join + country->countryName
+
+Why the fetch is driver-side: the public API allows ~1.4 req/s
+(reference :242), so the fetch loop is latency-bound no matter where it
+runs; distributing it would only complicate rate-limit bookkeeping. At
+100 TB the fetch path is the wrong tool anyway — swap the cache for a
+licensed offline geo dataset and `enrich` is already just a broadcast
+dim join. Tests never touch the network (transport is injected).
+"""
+
+from __future__ import annotations
+
+import time as _time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: F4 cache schema (reference :203-206); `query` is the IP key.
+GEO_CACHE_SCHEMA = T.StructType(
+    [
+        T.StructField("query", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("message", T.StringType()),
+        T.StructField("country", T.StringType()),
+        T.StructField("countryCode", T.StringType()),
+        T.StructField("region", T.StringType()),
+        T.StructField("regionName", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("isp", T.StringType()),
+        T.StructField("api_fetch_timestamp", T.TimestampType()),
+    ]
+)
+
+#: ip-api.com response fields requested by the reference (:176).
+_API_FIELDS = "status,message,country,countryCode,region,regionName,city,lat,lon,isp,query"
+
+Transport = Callable[[str], dict]
+
+
+def load_geo_cache(spark: SparkSession, path: str) -> DataFrame:
+    """Read the cache parquet; absent/unreadable -> empty frame with the
+    declared schema (reference load_geo_cache :201-229, minus its
+    index-shuffling — Spark has no index)."""
+    try:
+        df = spark.read.parquet(path)
+        for field in GEO_CACHE_SCHEMA.fields:
+            if field.name not in df.columns:
+                df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+        return df.select(*[f.name for f in GEO_CACHE_SCHEMA.fields])
+    except Exception:
+        return spark.createDataFrame([], GEO_CACHE_SCHEMA)
+
+
+def find_uncached_ips(logs: DataFrame, cache: DataFrame, ip_col: str = "client_ip") -> list[str]:
+    """Distinct non-null IPs absent from the cache (A8 + J2, reference
+    :235-236). The distinct shuffles keys only; the anti-join probes the
+    (small, broadcast) cache."""
+    distinct_ips = logs.select(F.col(ip_col).alias("ip")).filter(F.col("ip").isNotNull()).distinct()
+    missing = distinct_ips.join(
+        F.broadcast(cache.select("query")), distinct_ips.ip == F.col("query"), "left_anti"
+    )
+    return [r.ip for r in missing.collect()]
+
+
+def default_http_transport(timeout_s: float = 5.0) -> Transport:
+    """Live ip-api.com transport (reference fetch_geolocation :174-199).
+    Only constructed on demand — tests and offline mode never import
+    requests."""
+    import requests  # deferred: not needed in hermetic mode
+
+    def fetch(ip: str) -> dict:
+        url = f"http://ip-api.com/json/{ip}?fields={_API_FIELDS}"
+        resp = requests.get(url, timeout=timeout_s)
+        if resp.status_code == 429:
+            return {"__retry__": True}
+        return resp.json()
+
+    return fetch
+
+
+def _fail_row(ip: str, message: str) -> dict:
+    return {
+        "status": "fail",
+        "message": message,
+        "query": ip,
+        "country": None,
+        "countryCode": None,
+        "region": None,
+        "regionName": None,
+        "city": None,
+        "lat": None,
+        "lon": None,
+        "isp": None,
+    }
+
+
+def fetch_geolocations(
+    ips: list[str],
+    transport: Transport,
+    inter_request_delay_s: float = 0.7,
+    retry_backoff_s: float = 1.0,
+    max_retries: int = 5,
+    sleep: Callable[[float], None] = _time.sleep,
+) -> list[dict]:
+    """Sequential rate-limited fetch (reference :239-242). Divergence from
+    the reference, on purpose: its HTTP-429 retry recurses unbounded
+    (:178-180); we cap at ``max_retries`` (SURVEY.md §7.3 item 6)."""
+    rows: list[dict] = []
+    for i, ip in enumerate(ips):
+        data: dict | None = None
+        for attempt in range(max_retries + 1):
+            try:
+                data = transport(ip)
+            except Exception as exc:  # transport failure -> stub row (:194-199)
+                data = _fail_row(ip, str(exc))
+                break
+            if not data.get("__retry__"):
+                break
+            if attempt < max_retries:  # no point backing off after the last try
+                sleep(retry_backoff_s)
+            data = None
+        if data is None or data.get("__retry__"):
+            data = _fail_row(ip, "rate limited: retries exhausted")
+        elif data.get("status") != "success":  # API error -> stub row (:186-193)
+            data = _fail_row(ip, data.get("message", "API Error"))
+        data.pop("__retry__", None)
+        rows.append(data)
+        if i + 1 < len(ips):
+            sleep(inter_request_delay_s)
+    return rows
+
+
+def upsert_cache(spark: SparkSession, cache: DataFrame, new_rows: list[dict]) -> DataFrame:
+    """Append fetched rows and keep the newest row per IP (J4, reference
+    :243-247: concat + drop-duplicated-index-keep-last). New rows get the
+    fetch timestamp here (reference stamps at :183)."""
+    if not new_rows:
+        return cache
+    now = F.current_timestamp()
+    fresh = spark.createDataFrame(
+        [
+            tuple(r.get(f.name) for f in GEO_CACHE_SCHEMA.fields[:-1])
+            for r in new_rows
+        ],
+        T.StructType(GEO_CACHE_SCHEMA.fields[:-1]),
+    ).withColumn("api_fetch_timestamp", now)
+    merged = cache.unionByName(fresh)
+    w = Window.partitionBy("query").orderBy(
+        F.col("api_fetch_timestamp").desc_nulls_last(), F.lit(1)
+    )
+    return merged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def write_cache(cache: DataFrame, path: str) -> None:
+    """Persist the cache (S8). The cache is dimension-sized; one file."""
+    cache.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def enrich(logs: DataFrame, cache: DataFrame, ip_col: str = "client_ip") -> DataFrame:
+    """Broadcast left join + rename (J1/P16, reference :250-261): every log
+    row keeps flowing (left), cache hits attach geo columns, `country`
+    becomes `countryName`. No shuffle of the fact side — the cache is
+    broadcast, which is the only sane plan at 100 TB."""
+    geo = cache.withColumnRenamed("country", "countryName")
+    return logs.join(F.broadcast(geo), logs[ip_col] == geo["query"], "left")
+
+
+def enrich_with_geolocation(
+    spark: SparkSession,
+    logs: DataFrame,
+    cache_path: str,
+    transport: Transport | None = None,
+    inter_request_delay_s: float = 0.7,
+) -> DataFrame:
+    """The full reference flow (:231-265): load cache -> find misses ->
+    (optional) fetch + upsert + persist -> broadcast join. With no
+    transport, run cache-only (hermetic/offline mode — misses simply stay
+    un-enriched, matching the reference's degrade-and-continue stance)."""
+    cache = load_geo_cache(spark, cache_path)
+    if transport is not None:
+        missing = find_uncached_ips(logs, cache, ip_col="client_ip")
+        if missing:
+            rows = fetch_geolocations(
+                missing, transport, inter_request_delay_s=inter_request_delay_s
+            )
+            cache = upsert_cache(spark, cache, rows)
+            write_cache(cache, cache_path)
+            cache = load_geo_cache(spark, cache_path)
+    return enrich(logs, cache)

@@ -1,0 +1,163 @@
+"""ALB access-log line parser (P1-P9, P11; F1).
+
+Reference: parse_log_entry (/root/reference/advanced_elb_logs_etl.py:77-153)
+— row-at-a-time Python: shlex.split + datetime.strptime + urlparse per line.
+Here the whole function compiles to ONE Column-expression projection over the
+raw text scan: the CSV tokenizer (JVM), try_to_timestamp, and regex/string
+builtins all run inside whole-stage codegen. No Python executes per row.
+
+Tokenizer (P1): Spark's CSV parser with space separator and double-quote
+quoting is shlex-equivalent for well-formed ALB lines (space-delimited,
+quoted multi-token fields, quotes stripped). Known divergences on
+non-ALB-shaped adversarial input, each pinned by tests/test_parse.py:
+- backslash escapes: shlex(posix) processes them, CSV does not (ALB never
+  emits backslashes outside quoted payloads);
+- adjacent quoted segments ('a"b"c'): shlex concatenates, CSV does not.
+
+Arity (P2): token count is computed by blanking quoted spans and counting
+separators — lines with fewer than 29 tokens are dropped, extras beyond the
+29 bound columns are ignored (dict(zip(...)) truncation, reference :82 —
+which also drops the modern 30th TID_ field; replicated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import is_bot, to_float_col
+from ..functions.useragent import ua_browser_family, ua_os_family
+
+#: The 29 positionally-bound raw columns (reference ELB_LOG_COLUMNS :43-49).
+ELB_LOG_COLUMNS = [
+    "type", "time", "elb", "client_ip_port", "target_ip_port",
+    "request_processing_time", "target_processing_time",
+    "response_processing_time", "elb_status_code", "target_status_code",
+    "received_bytes", "sent_bytes", "request", "user_agent", "ssl_cipher",
+    "ssl_protocol", "target_group_arn", "trace_id", "domain_name",
+    "chosen_cert_arn", "matched_rule_priority", "request_creation_time",
+    "actions_executed", "redirect_url", "error_reason", "target_port_list",
+    "target_status_code_list", "classification", "classification_reason",
+]
+
+# Tokenizer headroom beyond the 29 bound fields (modern ALB emits 30+).
+_MAX_TOKENS = 40
+_CSV_SCHEMA = ", ".join(f"c{i} string" for i in range(_MAX_TOKENS))
+# Sentinel that can never appear in a log line: keeps quoted-empty fields as
+# '' (shlex parity) instead of the CSV default of null.
+_CSV_OPTIONS = {"sep": " ", "quote": '"', "nullValue": "\u0001", "mode": "PERMISSIVE"}
+
+_TS_FMT_FRAC = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+_TS_FMT_SEC = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def token_count(value: Column) -> Column:
+    """Number of shlex-style tokens: blank out quoted spans, count separators."""
+    return F.size(F.split(F.regexp_replace(F.trim(value), '"[^"]*"', "Q"), " "))
+
+
+def parse_timestamp_utc(raw: Column) -> Column:
+    """ALB timestamp parse (P5, reference :86-98): try fractional-seconds
+    format then whole-seconds; unparseable -> null (row dropped by caller).
+    Produces a UTC instant; Eastern wall-clock presentation is applied at
+    the feature/sink layer (functions.scalars.time_to_eastern), never via
+    session timezone. Assumes a UTC session (session.apply_runtime_confs)."""
+    return F.coalesce(
+        F.try_to_timestamp(raw, F.lit(_TS_FMT_FRAC)),
+        F.try_to_timestamp(raw, F.lit(_TS_FMT_SEC)),
+    )
+
+
+def _parse_request(request: Column) -> dict[str, Column]:
+    """HTTP request decomposition (P8/P9, reference :111-121).
+
+    'METHOD URL VERSION' -> parts; anything else -> ('Unknown', '', '') with
+    null URL components. URL decomposition mirrors urlparse: scheme, LOWERCASED
+    hostname, numeric port, path, query. A URL with no '<scheme>://' is all
+    path (urlparse('-')-> path='-'), matching the reference's fallback data.
+    """
+    parts = F.split(request, " ", 3)
+    ok = F.size(parts) == 3
+    method = F.when(ok, parts.getItem(0)).otherwise(F.lit("Unknown"))
+    url = F.when(ok, parts.getItem(1)).otherwise(F.lit(""))
+    version = F.when(ok, parts.getItem(2)).otherwise(F.lit(""))
+
+    has_scheme = url.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+    protocol = F.when(ok & has_scheme, F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))).when(
+        ok, F.lit("")
+    )
+    hostname = F.when(
+        ok & has_scheme,
+        F.lower(F.nullif(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1), F.lit(""))),
+    )
+    port = F.when(
+        ok & has_scheme,
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]*:(\d+)", 1),
+    ).try_cast("int")
+    path = (
+        F.when(ok & has_scheme, F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+        .when(ok, F.regexp_replace(url, r"[?#].*$", ""))
+    )
+    query = F.when(ok, F.regexp_extract(url, r"\?([^#]*)", 1))
+    return {
+        "http_method": method,
+        "full_url": url,
+        "http_version": version,
+        "protocol": protocol,
+        "hostname": hostname,
+        "port": port,
+        "path": path,
+        "query_params": query,
+    }
+
+
+def parse_alb_lines(
+    df: DataFrame,
+    value_col: str = "value",
+    source_col: str = "log_source_file",
+) -> DataFrame:
+    """Raw lines -> typed parsed table (the Spark form of parse_log_entry).
+
+    Drop semantics (F1, reference :80-81,:95-97): lines with < 29 tokens and
+    lines whose timestamp fails both formats are removed. Output: the 29 raw
+    string columns + time (UTC instant) + derived columns, matching
+    FIXTURES.md §F2.
+    """
+    value = F.trim(F.col(value_col))
+    has_source = source_col in df.columns
+
+    tokenized = df.select(
+        *( [F.col(source_col)] if has_source else [] ),
+        value.alias("_raw"),
+        token_count(value).alias("_ntok"),
+        F.from_csv(value, _CSV_SCHEMA, _CSV_OPTIONS).alias("_t"),
+    ).filter(F.col("_ntok") >= len(ELB_LOG_COLUMNS))
+
+    raw_cols = [
+        F.col(f"_t.c{i}").alias(name) for i, name in enumerate(ELB_LOG_COLUMNS) if name != "time"
+    ]
+    time_col = parse_timestamp_utc(F.col("_t.c1")).alias("time")
+
+    parsed = tokenized.select(
+        time_col,
+        *raw_cols,
+        *( [F.col(source_col)] if has_source else [F.lit(None).cast("string").alias(source_col)] ),
+    ).filter(F.col("time").isNotNull())
+
+    req = _parse_request(F.col("request"))
+    rpt = to_float_col("request_processing_time")
+    tpt = to_float_col("target_processing_time")
+    resppt = to_float_col("response_processing_time")
+
+    return parsed.select(
+        "*",
+        # P6 — replicates the reference's IPv4-only split(':')[0] (:101);
+        # IPv6 addresses are truncated at the first colon there too.
+        F.substring_index("client_ip_port", ":", 1).alias("client_ip"),
+        *[expr.alias(name) for name, expr in req.items()],
+        # P7 — null if ANY component is null ('+' null-propagates).
+        F.round((rpt + tpt + resppt) * 1000, 3).alias("total_processing_time_ms"),
+        ua_browser_family(F.col("user_agent")).alias("ua_browser_family"),
+        ua_os_family(F.col("user_agent")).alias("ua_os_family"),
+        is_bot(F.col("user_agent")).alias("is_bot"),
+    )

