@@ -1,0 +1,98 @@
+"""Cross-engine-deterministic text/hash primitives for the dedup and
+similarity operators.
+
+Everything here has an exact SQL twin (documented per function) so the
+DuckDB oracle can verify dedup/similarity results VALUE-for-value, not just
+shape. The shared 60-bit hash is the first 15 hex digits of md5 — identical
+in any engine with md5 + hex->int, and comfortably inside a signed 64-bit.
+
+These are Column expressions (whole-stage codegen), not UDFs: at 100 TB the
+shingling+hashing pass dominates dedup cost, so it must stay JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def h60(col: Column, seed: int | None = None) -> Column:
+    """60-bit md5-derived hash. SQL twin:
+    ('0x' || substr(md5(<seed>:s), 1, 15))::BIGINT"""
+    s = col if seed is None else F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text. SQL twin:
+    regexp_split_to_array(trim(s), '\\s+')"""
+    return F.split(F.trim(col), r"\s+")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Guarded: fewer than n tokens -> empty
+    array (Spark sequence(1,0) yields [1,0], unlike SQL generate_series).
+
+    SQL twin:
+    CASE WHEN len(toks) >= n THEN list_distinct(list_transform(
+      generate_series(1, len(toks)-(n-1)), i -> toks[i] || ' ' || ... ))
+    ELSE [] END
+    """
+    toks = tokens(col)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + F.lit(k)) for k in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+#: Mersenne prime for the universal-hash minhash permutations.
+MINHASH_P = 2_147_483_647
+
+
+def _minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h'(x) = (a*x + b) mod P. Fixed LCG so
+    the SQL oracle embeds the identical constants."""
+    state = 42
+    out = []
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (MINHASH_P - 2)) + 1  # in [1, P-1]
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def shingle_hashes(sh: Column) -> Column:
+    """Hash each shingle once with h60 — md5 is the expensive step, so it
+    runs ONCE per shingle; the per-seed minhash permutations are cheap
+    arithmetic over these. SQL twin: list_transform(shingles, s -> h60(s))."""
+    return F.transform(sh, lambda s: h60(s))
+
+
+def minhash_signature(hashes: Column, num_hashes: int = 16) -> list[Column]:
+    """MinHash signature over pre-hashed shingles via universal hashing:
+    mh_j = min over h of (a_j * (h mod P) + b_j) mod P.
+
+    All intermediates stay < 2^62, so the arithmetic is overflow-free and
+    identical in any 64-bit-integer engine. Empty shingle set -> null
+    minhash (min of an empty list is null in both engines).
+
+    SQL twin per j:
+      list_min(list_transform(hashes, h -> (a_j * (h % P) + b_j) % P))
+    """
+    coefs = _minhash_coefficients(num_hashes)
+
+    def perm(j: int):
+        a, b = coefs[j]
+        # single-arg lambda: a two-arg lambda would make F.transform pass the
+        # ELEMENT INDEX as the second argument, silently shadowing the seed.
+        return lambda h: (F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P
+
+    return [
+        F.array_min(F.transform(hashes, perm(j))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]

@@ -17,6 +17,20 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def dround(col: Column, scale: int) -> Column:
+    """Cross-engine-stable rounding for float outputs that an external SQL
+    oracle re-computes.
+
+    Floating results can differ between engines by accumulation-order ulps,
+    and engines disagree on how to round a double that sits exactly on a
+    decimal boundary (shortest-repr HALF_UP vs scaled-multiply). Casting
+    through DECIMAL(28,8) first snaps the value to an exact decimal (ulp
+    noise << 0.5e-8), after which both engines round the same number with
+    the same half-up rule. SQL twin:
+    CAST(round(CAST(x AS DECIMAL(28,8)), d) AS DOUBLE)."""
+    return F.round(col.cast("decimal(28,8)"), scale).cast("double")
+
+
 def to_int_col(col: Column | str) -> Column:
     """Null-coding int cast (reference to_int :52-56): '-'/''/null -> null,
     unparseable -> null, else integer. try_cast keeps these semantics even

@@ -1,0 +1,125 @@
+"""Text-analysis operators for LLM training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All pure Column expressions with exact DuckDB oracle twins — at corpus scale
+these run as a single narrow projection over the document scan (no shuffle,
+no Python)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import tokens
+from ..functions.scalars import dround
+
+#: BPE-ish word-piece pattern: letter runs, digit runs, or single symbols —
+#: a deterministic stand-in for a real subword tokenizer's pre-tokenizer.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language marker sets for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Word-piece count under BPE_ISH_PATTERN (regexp_extract_all + size)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Stopword tokens / tokens (exact count via filter on the token array)."""
+    toks = tokens(text)
+    stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return F.when(F.size(toks) > 0, stop.cast("double") / F.size(toks).cast("double"))
+
+
+def mean_token_length(text: Column) -> Column:
+    """Average token length — integer char count / integer token count."""
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks).cast("double"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: rewards mid-length docs and
+    moderate stopword density, penalizes punctuation soup. Deterministic
+    rational arithmetic (same formula in the SQL oracle)."""
+    n_tok = token_count(text).cast("double")
+    length_term = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    stop_term = F.least((F.coalesce(stopword_ratio(text), F.lit(0.0))) * 4, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))
+    return (length_term + stop_term + punct_term) / F.lit(3.0)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language over the distinct token set."""
+    toks = F.array_distinct(tokens(text))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by marker hits; ties broken by language-code order;
+    zero hits -> 'und' (undetermined)."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # deterministic tie-break
+    best = None
+    for lang in langs:
+        cond = F.lit(True)
+        for other in langs:
+            if other == lang:
+                continue
+            # strictly greater than later langs, >= earlier langs
+            cond = cond & (
+                (scores[lang] > scores[other])
+                if other > lang
+                else (scores[lang] >= scores[other])
+            )
+        expr = F.when((scores[lang] > 0) & cond, F.lit(lang))
+        best = expr if best is None else F.coalesce(best, expr)
+    return F.coalesce(best, F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercased text —
+    the standard 'same modulo whitespace/case' document key."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-pass projection of the full text-analysis battery."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_wordpieces"),
+        F.length(t).cast("long").alias("n_chars_computed"),
+        dround(punct_ratio(t), 6).alias("punct_ratio"),
+        dround(F.coalesce(stopword_ratio(t), F.lit(0.0)), 6).alias("stopword_ratio"),
+        dround(mean_token_length(t), 6).alias("mean_token_len"),
+        dround(quality_score(t), 6).alias("quality_score"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

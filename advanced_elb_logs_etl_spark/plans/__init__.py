@@ -1,1 +1,2 @@
 from .catalog import CATALOG, oracle_sql, queries  # noqa: F401
+from . import catalog_llm  # noqa: F401,E402  (registers LLM-ops queries into CATALOG)

@@ -54,18 +54,7 @@ def _us(col):
     return F.unix_micros(F.col(col) if isinstance(col, str) else col)
 
 
-def dround(col, scale: int):
-    """Cross-engine-stable rounding for float aggregates.
-
-    avg()/windowed-avg results differ between engines by accumulation-order
-    ulps; when the true value sits exactly on a decimal rounding boundary
-    (e.g. 457.79/8 = 57.22375) a plain round(x, 4) flips direction per
-    engine. Casting through DECIMAL(28,8) first snaps the value to the exact
-    decimal (the ulp noise is << 0.5e-8), after which both engines round the
-    same number with the same half-up rule. The oracle twin is
-    CAST(round(CAST(x AS DECIMAL(28,8)), d) AS DOUBLE).
-    """
-    return F.round(col.cast("decimal(28,8)"), scale).cast("double")
+from ..functions.scalars import dround  # cross-engine-stable rounding
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,364 @@
+"""LLM-data-pipeline query catalog: dedup, similarity search, text analysis,
+multimodal plumbing — each registered with a value-exact DuckDB oracle where
+SQL can express it (all but IVF and the mapInPandas feature vector, which get
+rows-only checks plus pytest ground truth).
+
+The oracle SQL is GENERATED from the same constants the Spark operators use
+(hash seeds, band layout, language markers, thresholds) so the two sides
+cannot drift apart silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from ..functions.hashing import MINHASH_P, _minhash_coefficients
+from ..operators.dedup import NUM_BANDS, NUM_HASHES, ROWS_PER_BAND, SIMHASH_BITS
+from .catalog import _t, register
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (twins of functions/hashing.py)
+# ---------------------------------------------------------------------------
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform("
+    "generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+    " ELSE [] END"
+)
+
+
+def _h60(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+_COEFS = _minhash_coefficients(NUM_HASHES)
+
+
+def _mh(j: int) -> str:
+    a, b = _COEFS[j]
+    return (
+        f"list_min(list_transform(hashes, "
+        f"h -> ({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}))"
+    )
+
+
+_H60_S = _h60("s")
+_DOCS_SHINGLED = f"""
+docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, list_transform({_SHINGLES}, s -> {_H60_S}) AS hashes FROM docs)
+"""
+
+_SIGS = ",\n  ".join(f"{_mh(j)} AS mh{j}" for j in range(NUM_HASHES))
+
+
+def _band_key_sql(b: int) -> str:
+    cols = " || ',' || ".join(
+        f"mh{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+    )
+    return f"md5({cols})"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+       count(*)::BIGINT AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact", _EXACT_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy, canonical id = min, copy count.
+    One hash aggregation; shuffles (hash, id) pairs only."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+_MINHASH_ORACLE = f"""
+WITH {_DOCS_SHINGLED}
+SELECT doc_id, {_SIGS}
+FROM sh
+"""
+
+
+@register("minhash_signatures", _MINHASH_ORACLE)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc {NUM_HASHES}-hash MinHash signature — narrow map over the
+    corpus scan, no shuffle; value-exact vs the md5-based SQL twin."""
+    return dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+_NEARDUP_ORACLE = f"""
+WITH {_DOCS_SHINGLED},
+sigs AS (SELECT doc_id, {_SIGS} FROM sh),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS key FROM sigs" for b in range(NUM_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       len(list_intersect(x.hashes, y.hashes))::DOUBLE /
+       len(list_distinct(list_concat(x.hashes, y.hashes)))::DOUBLE AS jaccard
+FROM cand c
+JOIN sh x ON x.doc_id = c.id_a
+JOIN sh y ON y.doc_id = c.id_b
+WHERE len(list_intersect(x.hashes, y.hashes))::DOUBLE /
+      len(list_distinct(list_concat(x.hashes, y.hashes)))::DOUBLE >= 0.8
+"""
+
+
+@register("minhash_lsh_neardup", _NEARDUP_ORACLE)
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scalable near-dup pipeline: shingle -> minhash -> band ->
+    bucket-join candidates -> exact-Jaccard verify (>= 0.8). Linear in corpus
+    size + candidate count; the oracle reproduces it value-for-value."""
+    return dedup.minhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
+_JACCARD_ORACLE = f"""
+WITH
+docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 600),
+sh AS (SELECT doc_id, list_transform({_SHINGLES}, s -> {_H60_S}) AS hashes FROM docs),
+sized AS (SELECT doc_id, hashes, len(hashes) AS n_sh FROM sh)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.hashes, b.hashes))::DOUBLE /
+       len(list_distinct(list_concat(a.hashes, b.hashes)))::DOUBLE AS jaccard
+FROM sized a JOIN sized b
+  ON a.doc_id < b.doc_id
+ AND a.n_sh * 0.8 <= b.n_sh AND b.n_sh * 0.8 <= a.n_sh
+WHERE len(list_intersect(a.hashes, b.hashes))::DOUBLE /
+      len(list_distinct(list_concat(a.hashes, b.hashes)))::DOUBLE >= 0.8
+"""
+
+
+@register("ngram_jaccard_pairs", _JACCARD_ORACLE)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth exact pairwise 3-gram Jaccard with lossless length-ratio
+    blocking (J >= t implies |A|/|B| in [t, 1/t]).
+
+    Deliberately capped to doc_id < 600: the all-pairs form is the
+    small-N/verification path (O(n^2) array intersections — 12.5M pairs at
+    sf0.1 without the cap); full-corpus near-dup detection is
+    minhash_lsh_neardup, which stays linear."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    return dedup.ngram_jaccard_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_VOTES = ",\n  ".join(
+    f"sum(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(SIMHASH_BITS)
+)
+_PACK = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(SIMHASH_BITS)
+)
+
+_SIMHASH_CTE = f"""
+docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+shh AS (SELECT doc_id, list_transform({_SHINGLES}, s -> {_H60_S}) AS hashes FROM docs),
+hashed AS (SELECT doc_id, unnest(hashes) AS h FROM shh),
+votes AS (SELECT doc_id, {_VOTES} FROM hashed GROUP BY doc_id),
+sims AS (SELECT doc_id, ({_PACK})::BIGINT AS simhash FROM votes)
+"""
+
+_SIMHASH_ORACLE = f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sims"
+
+
+@register("simhash_signatures", _SIMHASH_ORACLE)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{SIMHASH_BITS}-bit SimHash per doc: explode distinct tokens -> one
+    hash aggregation with per-bit +/-1 votes -> bit-pack. Single shuffle."""
+    return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_SIMHASH_CTE}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
+@register("simhash_neardup", _SIMHASH_PAIRS_ORACLE)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 8). All-pairs ground-truth form;
+    the scale path segments signatures pigeonhole-style (dedup.py notes)."""
+    return dedup.simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def _lang_sql() -> str:
+    """Generate the argmax CASE mirroring operators/text.lang_id exactly."""
+    langs = sorted(text.LANG_MARKERS)
+    score = {
+        lang: (
+            "len(list_intersect(list_distinct(toks), "
+            + "[" + ", ".join(f"'{m}'" for m in text.LANG_MARKERS[lang]) + "]))"
+        )
+        for lang in langs
+    }
+    cases = []
+    for lang in langs:
+        conds = [f"{score[lang]} > 0"]
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">" if other > lang else ">="
+            conds.append(f"{score[lang]} {op} {score[other]}")
+        cases.append(f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' END")
+    return f"coalesce({', '.join(cases)}, 'und')"
+
+
+_STOPLIST = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS) + "]"
+_DR = "CAST(round(CAST({x} AS DECIMAL(28,8)), 6) AS DOUBLE)"
+
+_TEXT_STATS_ORACLE = f"""
+WITH docs AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, text, toks,
+    len(toks)::BIGINT AS n_tokens,
+    len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}'))::BIGINT AS n_wordpieces,
+    length(text)::BIGINT AS n_chars_computed,
+    CASE WHEN length(text) > 0
+         THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+              / length(text)::DOUBLE ELSE 0.0 END AS punct_r,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, t -> list_contains({_STOPLIST}, t)))::DOUBLE
+              / len(toks)::DOUBLE END AS stop_r,
+    CASE WHEN len(toks) > 0
+         THEN list_reduce(list_transform(toks, t -> length(t)), (a, b) -> a + b)::DOUBLE
+              / len(toks)::DOUBLE END AS mean_tl
+  FROM docs
+)
+SELECT doc_id, n_tokens, n_wordpieces, n_chars_computed,
+  {_DR.format(x='punct_r')} AS punct_ratio,
+  {_DR.format(x='coalesce(stop_r, 0.0)')} AS stopword_ratio,
+  {_DR.format(x='mean_tl')} AS mean_token_len,
+  {_DR.format(x=("(least(n_tokens::DOUBLE / 64.0, 1.0)"
+                 " + least(coalesce(stop_r, 0.0) * 4, 1.0)"
+                 " + (1.0 - least(punct_r * 4, 1.0))) / 3.0"))} AS quality_score,
+  {_lang_sql()} AS lang_pred,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM m
+"""
+
+
+@register("text_stats", _TEXT_STATS_ORACLE)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis battery: token/wordpiece counts, punctuation/stopword
+    ratios, mean token length, composite quality score, marker-based
+    language ID, whitespace-normalized fingerprint. One narrow projection,
+    no shuffle, no UDFs."""
+    return text.text_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+_ANN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.q_id, v.vec_id AS neighbor_id,
+         {_cos('q.q_vec', 'v.embedding')} AS cosine
+  FROM q JOIN embeddings v ON v.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine AS cosine_raw, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_cosine_topk", _ANN_ORACLE)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors. Dot products are
+    left-folds in index order on doubles — bit-identical to the SQL twin,
+    so even rank ties agree. Corpus side never shuffles (queries broadcast);
+    only |Q| x k rows reach the rank shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("ivf_cosine_topk", None)  # rows-only: oracle'd via pytest recall test
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 16 deterministic centroids (vec_id < 16), nprobe=2.
+    Approximate by design — recall vs brute force is pinned in
+    tests/test_llm_ops.py, so no SQL oracle (the driver records rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        centroids=emb.filter(F.col("vec_id") < 16),
+        k=5,
+        nprobe=2,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+_MM_ORACLE = """
+SELECT doc_id AS asset_id,
+       strlen(text)::BIGINT AS payload_bytes,
+       md5(text) AS payload_md5,
+       'image' AS modality,
+       (('0x' || substr(md5(text), 1, 2))::INT / 256.0) AS f0,
+       (('0x' || substr(md5(text), 3, 2))::INT / 256.0) AS f1,
+       (('0x' || substr(md5(text), 5, 2))::INT / 256.0) AS f2,
+       (('0x' || substr(md5(text), 7, 2))::INT / 256.0) AS f3
+FROM documents
+"""
+
+
+@register("multimodal_meta", _MM_ORACLE)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing through Arrow-batched mapInPandas: payload
+    size, content hash, and the deterministic stand-in feature vector
+    (md5-byte scaled) — the Python batch path itself is what's under test;
+    the oracle recomputes every value in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.documents_as_binary_assets(docs)
+    meta = multimodal.extract_asset_metadata(assets)
+    return meta.select(
+        "asset_id", "payload_bytes", "payload_md5", "modality",
+        *[F.element_at("feature", i + 1).alias(f"f{i}") for i in range(4)],
+    )

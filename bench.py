@@ -37,12 +37,9 @@ _WIDE_OUTPUT = {
     "dim_enrich_join",
     "error_report",
     "text_stats",
-    "doc_fingerprint",
-    "lang_id",
-    "token_count",
-    "quality_score",
+    "minhash_signatures",
+    "simhash_signatures",
     "multimodal_meta",
-    "simhash",
 }
 
 
