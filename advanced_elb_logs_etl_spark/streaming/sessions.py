@@ -1,0 +1,115 @@
+"""Structured Streaming variants of the batch session/rolling operators.
+
+The reference is pure batch (SURVEY.md §2.8); these are the natural
+streaming formulations of its W3-W7 semantics, offered as an extension:
+
+- gap sessionization (batch W3-W5)  -> ``session_window(time, '30 minutes')``
+  with a watermark: Spark's native session windows implement exactly the
+  reference's 30-minute-inactivity-gap rule, incrementally, with state
+  eviction driven by the watermark.
+- trailing counts (batch W6-W7)     -> sliding ``window()`` aggregation:
+  event-time sliding windows approximate the per-event trailing frame with
+  a fixed slide granularity (a per-event trailing frame is not expressible
+  incrementally without per-key state; for exact per-event semantics use
+  ``applyInPandasWithState`` — see ``rolling_counts_stateful``).
+
+Scale: streaming state is partitioned by the session key exactly like the
+batch shuffle; the watermark bounds state size (events older than the
+horizon are finalized and evicted). Skewed keys behave like any skewed
+stateful aggregation — pre-salt upstream if one key dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sessionize_stream(
+    events: DataFrame,
+    key: str = "client_ip",
+    ts: str = "time",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-key gap sessions over a streaming DataFrame.
+
+    Emits one row per closed session: key, session start/end, event count.
+    Equivalent batch semantics: operators/sessions.sessionize aggregated by
+    (key, session_id)."""
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap).alias("session"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            key,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "event_count",
+        )
+    )
+
+
+def rolling_counts_stream(
+    events: DataFrame,
+    key: str = "client_ip",
+    ts: str = "time",
+    window: str = "5 minutes",
+    slide: str = "1 minute",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window per-key counts — the streaming analog of the batch
+    trailing 5-minute count (W6) at `slide` granularity."""
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.window(F.col(ts), window, slide).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("req_count"))
+        .select(
+            key,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "req_count",
+        )
+    )
+
+
+def rolling_counts_stateful(
+    events: DataFrame,
+    key: str = "client_ip",
+    ts: str = "time",
+    window_sec: int = 300,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """EXACT per-event trailing count as a custom stateful operator
+    (applyInPandasWithState): state = per-key deque of recent event times;
+    each input batch appends, evicts older than window_sec, and emits one
+    row per event with its trailing count — the reference's left-open
+    `(t-w, t]` frame, incrementally.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key} string, event_time timestamp, trailing_count long"
+    state_schema = "times array<timestamp>"
+
+    def update(key_tuple, pdf_iter, state):
+        import pandas as pd
+
+        times = list(state.get[0]) if state.exists else []
+        rows = []
+        for pdf in pdf_iter:
+            for t in sorted(pdf[ts]):
+                t = pd.Timestamp(t)
+                lower = t - pd.Timedelta(seconds=window_sec)
+                times = [x for x in times if x > lower]  # left-open
+                times.append(t)
+                rows.append((key_tuple[0], t, len(times)))
+        state.update((times,))
+        yield pd.DataFrame(rows, columns=[key, "event_time", "trailing_count"])
+
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.col(key))
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -1,0 +1,94 @@
+"""Physical-plan quality gates — the 100 TB design contract, asserted.
+
+These tests pin the *plan shape*, not results: filters reach the parquet
+scan, scans prune columns, dimension joins broadcast, the whole W1-W7
+feature block costs a single shuffle, and top-k never globally sorts. A
+regression here is a scale regression even if every value stays correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_elb_logs_etl_spark.operators.sessions import add_session_features
+from advanced_elb_logs_etl_spark.plans.catalog import CATALOG
+from advanced_elb_logs_etl_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """error_report's IN-list filter must appear in PushedFilters."""
+    df = CATALOG["error_report"][0](spark, SF)
+    scan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters" in scan
+    assert "In(event_type" in scan, scan[:2000]
+
+
+def test_column_pruning(spark):
+    """A two-column projection must not read the full events schema."""
+    ev = load_table(spark, SF, "events")
+    df = ev.select("event_id", "user_id")
+    scan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in scan
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    assert "value" not in read_schema and "props" not in read_schema
+
+
+def test_dim_join_is_broadcast(spark):
+    """Geo-style dimension joins must be broadcast hash joins (no shuffle
+    of the fact side)."""
+    plan = _plan(CATALOG["dim_enrich_join"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_window_block_single_shuffle(spark):
+    """The full W1-W7 feature block (lag/diff/session/cumsum/2 rolling
+    windows) must hash-partition by the session key exactly ONCE."""
+    ev = load_table(spark, SF, "events").withColumnRenamed("ts", "time")
+    out = add_session_features(
+        ev, key="user_id", ts="time", proc_time_col="value", request_col="event_type"
+    )
+    plan = _plan(out)
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 1, f"expected 1 shuffle, got {len(exchanges)}:\n" + "\n".join(exchanges)
+
+
+def test_topk_uses_take_ordered(spark):
+    """LIMIT+ORDER BY must plan TakeOrderedAndProject (per-partition heaps),
+    never a global Sort."""
+    plan = _plan(CATALOG["topk_orders"][0](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregation_has_partial_phase(spark):
+    """The pricing summary must use partial (map-side) aggregation."""
+    plan = _plan(CATALOG["pricing_summary"][0](spark, SF))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_parser_is_udf_free(spark):
+    """The ALB parse path must contain no Python UDF (BatchEvalPython) —
+    everything stays JVM-side."""
+    from advanced_elb_logs_etl_spark.operators.parse import parse_alb_lines
+
+    raw = spark.createDataFrame([("x",)], "value string")
+    plan = _plan(parse_alb_lines(raw))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_anti_join_streams_fact_side(spark):
+    """The cache-miss probe must broadcast the small side of the anti-join."""
+    plan = _plan(CATALOG["anti_join_uncached"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -1,0 +1,90 @@
+"""Streaming session/rolling operators: drive with file-source micro-batches
+into a memory sink and check emitted results against batch semantics."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_elb_logs_etl_spark.streaming.sessions import (
+    rolling_counts_stream,
+    sessionize_stream,
+)
+
+
+@pytest.fixture()
+def stream_input(spark, tmp_path):
+    """JSON-lines file source: two ips; ip A has a 45-min gap (2 sessions)."""
+    rows = [
+        {"client_ip": "1.1.1.1", "time": "2025-05-26 12:00:00"},
+        {"client_ip": "1.1.1.1", "time": "2025-05-26 12:05:00"},
+        {"client_ip": "1.1.1.1", "time": "2025-05-26 12:50:00"},
+        {"client_ip": "2.2.2.2", "time": "2025-05-26 12:00:00"},
+        # late-horizon event that advances the watermark past everything
+        {"client_ip": "9.9.9.9", "time": "2025-05-26 20:00:00"},
+    ]
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "batch0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "client_ip string, time timestamp"
+    return spark.readStream.schema(schema).json(str(d))
+
+
+def _run_to_memory(df, name, timeout_s=60):
+    q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_sessionize_stream_gap_semantics(spark, stream_input):
+    out = sessionize_stream(stream_input, gap="30 minutes", watermark="0 seconds")
+    _run_to_memory(out, "sessions_out")
+    rows = spark.sql("SELECT * FROM sessions_out").collect()
+    by_ip = {}
+    for r in rows:
+        by_ip.setdefault(r.client_ip, []).append(r)
+    # ip1: 45-min gap -> two closed sessions (2 events + 1 event)
+    ip1 = sorted(by_ip.get("1.1.1.1", []), key=lambda r: r.session_start)
+    assert [r.event_count for r in ip1] == [2, 1]
+    assert by_ip["2.2.2.2"][0].event_count == 1
+
+
+def test_rolling_counts_stateful_exact_boundary(spark, tmp_path):
+    """applyInPandasWithState variant: exact per-event trailing count with
+    the reference's left-OPEN (t-300s, t] frame."""
+    from advanced_elb_logs_etl_spark.streaming.sessions import rolling_counts_stateful
+
+    rows = [
+        {"client_ip": "1.1.1.1", "time": "2025-05-26 12:00:00"},
+        {"client_ip": "1.1.1.1", "time": "2025-05-26 12:03:00"},
+        # exactly 300s after the first event -> first event excluded
+        {"client_ip": "1.1.1.1", "time": "2025-05-26 12:05:00"},
+    ]
+    d = tmp_path / "statein"
+    d.mkdir()
+    (d / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    src = spark.readStream.schema("client_ip string, time timestamp").json(str(d))
+    _run_to_memory(rolling_counts_stateful(src, window_sec=300), "state_out")
+    got = [
+        r.trailing_count
+        for r in spark.sql("SELECT * FROM state_out ORDER BY event_time").collect()
+    ]
+    assert got == [1, 2, 2]
+
+
+def test_rolling_counts_stream(spark, stream_input):
+    out = rolling_counts_stream(
+        stream_input, window="10 minutes", slide="5 minutes", watermark="0 seconds"
+    )
+    _run_to_memory(out, "rolling_out")
+    rows = spark.sql(
+        "SELECT * FROM rolling_out WHERE client_ip='1.1.1.1' ORDER BY window_start"
+    ).collect()
+    # events at 12:00 and 12:05: the [12:00,12:10) window holds both
+    counts = {(r.window_start.strftime("%H:%M"), r.req_count) for r in rows}
+    assert ("12:00", 2) in counts
