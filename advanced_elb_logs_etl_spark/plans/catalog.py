@@ -604,3 +604,64 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     ).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Scale-hardening variants (SURVEY §4.3 / §7.8)
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT user_id, event_type,
+       count(event_id)::BIGINT AS n_events,
+       round(sum(value), 2)   AS sum_value,
+       min(event_id)          AS first_event,
+       max(event_id)          AS last_event
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+@register("salted_agg_counts", _SALTED_ORACLE)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation (operators/skew.py): one hot key spreads
+    over 16 reducers in phase 1, partials merge in phase 2. The oracle is
+    the PLAIN groupBy — identical results is exactly the point (salting is
+    a physical rewrite, not a semantic one)."""
+    from ..operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["user_id", "event_type"],
+        aggs={
+            "n_events": ("event_id", "count"),
+            "sum_value": ("value", "sum"),
+            "first_event": ("event_id", "min"),
+            "last_event": ("event_id", "max"),
+        },
+        num_salts=16,
+        salt_source="event_id",
+    )
+    return out.withColumn("sum_value", F.round("sum_value", 2))
+
+
+@register("hourly_agg_approx", None)  # sketches are engine-specific: rows-only
+def q_hourly_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the hourly battery: approx_count_distinct (HLL)
+    and approx percentile replace the exact-distinct expand and the
+    full-sort median — single-pass sketches, one shuffle. Sketch outputs are
+    engine-specific, so the driver records a rows-only check; the exact
+    variant (hourly_agg) carries the value-level correctness burden."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    return ev.groupBy(
+        F.year("ts").cast("long").alias("request_year"),
+        F.month("ts").cast("long").alias("request_month"),
+        F.dayofmonth("ts").cast("long").alias("request_day"),
+        F.hour("ts").cast("long").alias("request_hour"),
+        "event_type",
+    ).agg(
+        F.count("user_id").alias("request_count"),
+        F.approx_count_distinct("user_id").alias("unique_client_ips_approx"),
+        F.percentile_approx("value", 0.5).alias("median_value_approx"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
