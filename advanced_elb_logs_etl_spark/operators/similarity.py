@@ -139,3 +139,24 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", F.col("cosine").alias("cosine_raw"), "rank")
     )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all pairs with cosine >=
+    threshold. Exact all-pairs form — the dedup ground truth for embedding
+    space, O(n^2 d); bound the input (subset, or one IVF cluster at a time
+    via assign_clusters) before calling at scale. The scalable approximate
+    form is: assign_clusters -> per-cluster all-pairs -> union, which misses
+    only cross-cluster pairs (same trade as any IVF probe)."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine_raw"))
+        .filter(F.col("cosine_raw") >= threshold)
+    )

@@ -362,3 +362,57 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", "payload_bytes", "payload_md5", "modality",
         *[F.element_at("feature", i + 1).alias(f"f{i}") for i in range(4)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup + winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+_EMB_NEARDUP_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cos('a.embedding', 'b.embedding')} AS cosine_raw
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4
+"""
+
+
+@register("embedding_neardup_pairs", _EMB_NEARDUP_ORACLE)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs ground truth,
+    bounded to vec_id < 300 — the scale path blocks by IVF cluster first,
+    operators/similarity.py notes). Deterministic left-fold cosine: values
+    bit-match the SQL twin."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return similarity.embedding_neardup_pairs(emb, threshold=0.4)
+
+
+_WINNOW_ORACLE = f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks) - 2)) AS pos,
+         toks AS t
+  FROM docs
+  WHERE len(toks) >= 3
+),
+hashed AS (
+  SELECT doc_id, pos,
+         {_h60("t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2]")} AS h
+  FROM sh
+),
+picked AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint_hash
+  FROM hashed
+)
+SELECT DISTINCT doc_id, fingerprint_hash FROM picked
+"""
+
+
+@register("winnow_fingerprints", _WINNOW_ORACLE)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints, window=4 over 3-gram shingle
+    hashes: any shared token run >= 6 yields a shared fingerprint. Exploded
+    (doc, hash) output — join-friendly for copy-detection."""
+    return text.winnow_fingerprints(_t(spark, sf_dir, "documents"), n=3, window=4)

@@ -40,6 +40,7 @@ _WIDE_OUTPUT = {
     "minhash_signatures",
     "simhash_signatures",
     "multimodal_meta",
+    "winnow_fingerprints",
 }
 
 
