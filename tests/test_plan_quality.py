@@ -92,3 +92,29 @@ def test_anti_join_streams_fact_side(spark):
     """The cache-miss probe must broadcast the small side of the anti-join."""
     plan = _plan(CATALOG["anti_join_uncached"][0](spark, SF))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key must sort-merge join with
+    ZERO Exchange — the write-once-shuffle-never pattern for 100 TB facts."""
+    from advanced_elb_logs_etl_spark.sources.bucketing import read_table, write_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        ev = load_table(spark, SF, "events")
+        write_bucketed(ev.select("event_id", "user_id", "value"), "b_events",
+                       bucket_by="user_id", num_buckets=4, sort_by="user_id")
+        write_bucketed(ev.select(F.col("user_id").alias("user_id"), "event_type").distinct(),
+                       "b_users", bucket_by="user_id", num_buckets=4, sort_by="user_id")
+        joined = read_table(spark, "b_events").join(read_table(spark, "b_users"), "user_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:3000]
+        # groupBy on the bucket key also skips its shuffle
+        agg = read_table(spark, "b_events").groupBy("user_id").count()
+        assert "Exchange" not in _plan(agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_events")
+        spark.sql("DROP TABLE IF EXISTS b_users")
