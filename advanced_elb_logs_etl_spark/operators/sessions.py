@@ -15,12 +15,18 @@ Scale notes:
 - Partitioning is by the session key only; orderBy is within-partition.
   Rows per key must fit an executor's window buffer — true for IP-keyed web
   logs (even a hot scanner IP is ~1e6 rows/day, a few hundred MB).
-- For pathological hot keys, pre-split by a coarse time bucket first
-  (sessionize_bucketed below) — gap-correct because a session can be closed
-  at bucket boundaries only if the gap spans the boundary; we keep the simple
-  exact form as default and document the approximation.
+- For pathological hot keys, pre-split by a coarse time bucket before the
+  window (sessions at bucket boundaries become approximate unless buckets
+  overlap by the gap length); we keep the simple exact form as default and
+  leave pre-splitting to the caller.
 - pandas `rolling('5T')` frames are left-OPEN `(t-w, t]`; RANGE frames are
   closed, so bounds are `-(w*1e6 - 1)` microseconds (SURVEY.md §2.6 W6).
+- KNOWN divergence (found by property testing, pinned in
+  tests/test_property_parity.py): on EXACTLY-equal event times within a key,
+  pandas rolling is row-bounded among the ties (the first duplicate doesn't
+  see the second) while SQL RANGE frames are tie-inclusive (every duplicate
+  sees all of them). We keep SQL semantics — the DuckDB oracle agrees, and
+  ALB microsecond timestamps make real ties vanishingly rare.
 """
 
 from __future__ import annotations
