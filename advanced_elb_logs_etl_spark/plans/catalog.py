@@ -485,17 +485,21 @@ def q_dim_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANTI_ORACLE = """
 SELECT c_custkey
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
 """
 
 
 @register("anti_join_uncached", _ANTI_ORACLE)
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-membership probe (J2, reference :235-236 — 'which keys are NOT in
-    the cache'). left_anti join; at scale the probe side aggregates to
-    distinct keys first so the shuffle carries keys, not rows."""
+    the cache'): customers with no urgent order (the filter keeps the result
+    non-empty at every sf, so the check discriminates). left_anti join; at
+    scale the probe side reduces to distinct keys before the shuffle."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
@@ -664,4 +668,76 @@ def q_hourly_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("unique_client_ips_approx"),
         F.percentile_approx("value", 0.5).alias("median_value_approx"),
         F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join/grouping surface beyond strict reference parity (the reference only
+# needs J1-J4 — SURVEY §2.4 — but a complete engine offers the full family)
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+)
+"""
+
+
+@register("semi_join_active", _SEMI_ORACLE)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers having at least one large order. Plans as a
+    broadcast/shuffled semi join — no row duplication, no post-dedup."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+_FULLJOIN_ORACLE = """
+SELECT coalesce(n.n_nationkey, s.s_nationkey)::BIGINT AS nation_key,
+       n.n_name,
+       count(s.s_suppkey)::BIGINT AS supplier_count
+FROM nation n
+FULL OUTER JOIN supplier s ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+@register("full_outer_nation_suppliers", _FULLJOIN_ORACLE)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join + aggregate: nations with zero suppliers and any
+    orphaned supplier nation keys both survive."""
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey, "full_outer")
+        .groupBy(
+            F.coalesce(F.col("n_nationkey"), F.col("s_nationkey"))
+            .cast("long")
+            .alias("nation_key"),
+            "n_name",
+        )
+        .agg(F.count("s_suppkey").alias("supplier_count"))
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS revenue,
+       count(*)::BIGINT AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("rollup_pricing", _ROLLUP_ORACLE)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: per-(flag,status), per-flag subtotals, and the
+    grand total in one aggregation pass (Expand + single shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
     )
