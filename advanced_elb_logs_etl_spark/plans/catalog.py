@@ -741,3 +741,86 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end parser check: synthesize ALB lines from events, run the REAL
+# tokenizer+parser, compare against fields computed directly from the source
+# columns (P1/P2/P5-P9/P11 under oracle check; throughput under bench)
+# ---------------------------------------------------------------------------
+
+_ALB_ORACLE = """
+SELECT
+  'app/e' || event_id::VARCHAR AS elb,
+  '10.' || (user_id % 200)::VARCHAR || '.0.' || (event_id % 250)::VARCHAR AS client_ip,
+  strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS raw_time,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS parsed_time_utc,
+  (200 + (event_id % 4) * 100)::BIGINT AS status,
+  'GET' AS http_method,
+  'h' || (event_id % 5)::VARCHAR || '.example.com' AS hostname,
+  8000 + (event_id % 3)::BIGINT AS port,
+  '/api/v' || (event_id % 7)::VARCHAR || '/items' AS path,
+  'q=' || event_type AS query_params,
+  (event_id % 11 = 0) AS is_bot
+FROM events
+"""
+
+
+@register("alb_parse_roundtrip", _ALB_ORACLE)
+def q_alb_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential parser check: build a full 30-field ALB line per event
+    row (timestamps, ips, URLs, UA — bot UA on every 11th row), push it
+    through the REAL tokenizer + parser (operators/parse.py), and emit the
+    parsed fields. The oracle computes every expected value straight from
+    the source columns — if tokenization, positional binding, timestamp
+    parsing, URL decomposition, or the bot flag drift, the hash breaks.
+    Doubles as the parse-throughput benchmark entry (one line per event)."""
+    from ..operators.parse import parse_alb_lines
+
+    ev = _t(spark, sf_dir, "events")
+    ip = F.concat(
+        F.lit("10."), (F.col("user_id") % 200).cast("string"),
+        F.lit(".0."), (F.col("event_id") % 250).cast("string"),
+    )
+    tstr = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    code = (F.lit(200) + (F.col("event_id") % 4) * 100).cast("string")
+    url = F.concat(
+        F.lit("https://h"), (F.col("event_id") % 5).cast("string"),
+        F.lit(".example.com:"), (F.lit(8000) + F.col("event_id") % 3).cast("string"),
+        F.lit("/api/v"), (F.col("event_id") % 7).cast("string"),
+        F.lit("/items?q="), F.col("event_type"),
+    )
+    ua = F.when(
+        F.col("event_id") % 11 == 0,
+        F.lit("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)"),
+    ).otherwise(F.lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/137.0.0.0 Safari/537.36"))
+    line = F.concat(
+        F.lit("h2 "), tstr,
+        F.lit(" app/e"), F.col("event_id").cast("string"),
+        F.lit(" "), ip, F.lit(":51234 172.31.0.9:80 0.001 0.002 0.003 "),
+        code, F.lit(" "), code, F.lit(" 120 3456 "),
+        F.lit('"GET '), url, F.lit(' HTTP/2.0" "'), ua, F.lit('" '),
+        F.lit("TLS_AES_128_GCM_SHA256 TLSv1.3 arn:aws:elb:tg/x "),
+        F.lit('"Root=1-abc" "h0.example.com" "-" 1 '), tstr,
+        F.lit(' "forward" "-" "-" "172.31.0.9:80" "'), code,
+        F.lit('" "-" "-" TID_deadbeef'),
+    )
+    raw = ev.select(line.alias("value"))
+    parsed = parse_alb_lines(raw)
+    return parsed.select(
+        "elb",
+        "client_ip",
+        F.col("time").alias("_t"),
+        F.col("request_creation_time").alias("raw_time"),
+        F.col("elb_status_code").try_cast("long").alias("status"),
+        "http_method",
+        "hostname",
+        F.col("port").cast("long").alias("port"),
+        "path",
+        "query_params",
+        "is_bot",
+    ).select(
+        "elb", "client_ip", "raw_time",
+        F.date_format("_t", "yyyy-MM-dd HH:mm:ss").alias("parsed_time_utc"),
+        "status", "http_method", "hostname", "port", "path", "query_params", "is_bot",
+    )
