@@ -41,6 +41,7 @@ _WIDE_OUTPUT = {
     "simhash_signatures",
     "multimodal_meta",
     "winnow_fingerprints",
+    "alb_parse_roundtrip",
 }
 
 
