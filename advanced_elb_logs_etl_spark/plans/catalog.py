@@ -824,3 +824,47 @@ def q_alb_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("_t", "yyyy-MM-dd HH:mm:ss").alias("parsed_time_utc"),
         "status", "http_method", "hostname", "port", "path", "query_params", "is_bot",
     )
+
+
+_SESSION_REPORT_ORACLE = """
+WITH l AS (
+  SELECT user_id, event_id, value, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+  FROM events
+), d AS (
+  SELECT *, (pus IS NULL OR (us - pus) / 60000000.0 > 30.0) AS new_session FROM l
+), s AS (
+  SELECT *, sum(CASE WHEN new_session THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+  FROM d
+)
+SELECT session_n::VARCHAR || '-' || user_id::VARCHAR AS session_id,
+       user_id,
+       count(*)::BIGINT AS n_events,
+       (max(us) - min(us)) / 60000000.0 AS duration_min,
+       CAST(round(CAST(avg(value) AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_value
+FROM s
+GROUP BY session_n, user_id
+"""
+
+
+@register("session_report", _SESSION_REPORT_ORACLE)
+def q_session_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: the full reference flow shape in ONE lazy plan —
+    sessionization windows feeding a per-session aggregation. Catalyst
+    shares the user_id hash partitioning between the window block and the
+    (session, user) groupBy, so the whole report costs two narrow shuffles."""
+    from ..operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, key="user_id", ts="ts", order_tiebreak="event_id")
+    us = F.unix_micros(F.col("ts"))
+    return (
+        s.groupBy("session_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            ((F.max(us) - F.min(us)) / F.lit(60000000.0)).alias("duration_min"),
+            dround(F.avg("value"), 4).alias("avg_value"),
+        )
+    )

@@ -37,6 +37,9 @@ def read_alb_lines(
     reader = spark.read
     if suffix_filter:
         reader = reader.option("pathGlobFilter", f"*{suffix_filter}")
+    # Reference parity (advanced_elb_logs_etl.py:169-171): a corrupt/truncated
+    # gz object logs an error and the run continues with the other files.
+    reader = reader.option("ignoreCorruptFiles", "true")
     if isinstance(paths, str):
         paths = [paths]
     df = reader.text(*paths)
