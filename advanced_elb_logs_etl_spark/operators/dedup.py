@@ -319,3 +319,80 @@ def simhash_neardup_pairs(
         "id_a", "id_b",
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list -> (doc_id, component)
+    where component is the smallest doc id reachable through dup edges.
+
+    Algorithm: iterative min-label propagation (the standard Spark CC
+    pattern — alternating large/small-star in the limit, here the simple
+    symmetric form): each node adopts the minimum label in its closed
+    neighborhood until a fixpoint. Iterations are bounded by the graph
+    diameter; near-dup graphs are unions of small cliques, so convergence
+    is 2-3 rounds in practice. Each round is one shuffle (groupBy node).
+
+    This is deliberately an ITERATIVE driver loop over lazy plans — the
+    class of algorithm SQL can't express in one query (the driver records a
+    rows-only check; pytest pins the clustering on known corpora).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # fixpoint check materializes one count per round; localCheckpoint
+        # truncates the growing lineage so round N+1 doesn't replay round N.
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The end-to-end near-dedup APPLY step: find near-dup pairs (LSH),
+    cluster them (connected components), keep the smallest id per cluster,
+    and return the surviving rows of the corpus."""
+    pairs = minhash_neardup_pairs(df, id_col, text_col, threshold)
+    comps = neardup_components(pairs)
+    victims = comps.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias("_victim")
+    )
+    return df.join(victims, df[id_col] == F.col("_victim"), "left_anti")

@@ -416,3 +416,76 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes: any shared token run >= 6 yields a shared fingerprint. Exploded
     (doc, hash) output — join-friendly for copy-detection."""
     return text.winnow_fingerprints(_t(spark, sf_dir, "documents"), n=3, window=4)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (connected components) + corpus dedup apply step
+# ---------------------------------------------------------------------------
+
+_PAIRS_CTE = f"""
+docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, list_transform({_SHINGLES}, s -> {_H60_S}) AS hashes FROM docs),
+sigs AS (SELECT doc_id, {_SIGS} FROM sh),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS key FROM sigs" for b in range(NUM_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+dup_pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+  WHERE len(list_intersect(x.hashes, y.hashes))::DOUBLE /
+        len(list_distinct(list_concat(x.hashes, y.hashes)))::DOUBLE >= 0.8
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM dup_pairs
+  UNION SELECT id_b, id_a FROM dup_pairs
+)
+"""
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_PAIRS_CTE},
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
+"""
+
+
+@register("neardup_components", _COMPONENTS_ORACLE)
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over LSH-verified near-dup pairs — iterative
+    min-label propagation (one shuffle per round, graph-diameter rounds).
+    The oracle computes the same components via a recursive-CTE transitive
+    closure: an iterative Spark algorithm checked against exact SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_neardup_pairs(docs)
+    return dedup.neardup_components(pairs)
+
+
+_DEDUP_CORPUS_ORACLE = f"""
+WITH RECURSIVE {_PAIRS_CTE},
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
+"""
+
+
+@register("dedup_corpus", _DEDUP_CORPUS_ORACLE)
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup APPLY step: drop every near-dup cluster member except the
+    smallest id; survivors keep flowing. This is the operator an LLM data
+    pipeline actually runs — find, cluster, keep-one."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_corpus(docs).select("doc_id", "lang", "source")

@@ -105,3 +105,28 @@ def test_multimodal_metadata_and_stub(spark, docs):
     # the decode kernel itself is stubbed in this container, loudly
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_neardup_components_clusters(spark):
+    """Known edge list -> exact components; chains and cliques both
+    converge to min-id labels."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.doc_id: r.component for r in dedup.neardup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_corpus_keeps_one_per_cluster(spark, docs):
+    """Survivors = corpus minus (cluster members except the min id); every
+    near-dup pair must lose exactly its non-canonical side."""
+    survivors = {r.doc_id for r in dedup.dedup_corpus(docs).select("doc_id").collect()}
+    pairs = dedup.minhash_neardup_pairs(docs).collect()
+    comps = {r.doc_id: r.component for r in
+             dedup.neardup_components(dedup.minhash_neardup_pairs(docs)).collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    expected = all_ids - {d for d, c in comps.items() if d != c}
+    assert survivors == expected
+    for p in pairs:  # no surviving near-dup pair remains intact
+        assert not (p.id_a in survivors and p.id_b in survivors)
