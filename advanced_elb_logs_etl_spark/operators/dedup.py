@@ -345,6 +345,11 @@ def neardup_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # materialize once: `pairs` is typically a full LSH pipeline, and the
+        # loop below references edges 2x per iteration — without this the
+        # upstream pipeline would re-execute ~2*rounds times (measured 4x
+        # end-to-end on the 10x corpus).
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))

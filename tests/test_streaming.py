@@ -88,3 +88,67 @@ def test_rolling_counts_stream(spark, stream_input):
     # events at 12:00 and 12:05: the [12:00,12:10) window holds both
     counts = {(r.window_start.strftime("%H:%M"), r.req_count) for r in rows}
     assert ("12:00", 2) in counts
+
+
+def test_streaming_parse_incremental(spark, tmp_path):
+    """Batch parse operators lifted onto a file stream: drop two gz objects
+    in sequence; each micro-batch parses only the new file."""
+    from elb_fixtures import corpus, make_line, write_gz
+    from datetime import datetime
+    from advanced_elb_logs_etl_spark.streaming.pipeline import parse_alb_stream
+
+    d = tmp_path / "drops"
+    d.mkdir()
+    write_gz(str(d / "b1.gz"), corpus())
+    out = parse_alb_stream(spark, str(d))
+    q = (
+        out.selectExpr("client_ip", "status_code_type", "request_year")
+        .writeStream.format("memory").queryName("parse_stream").outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT count(*) FROM parse_stream").first()[0]
+        assert n1 == 13  # valid lines of the fixture corpus
+        write_gz(str(d / "b2.gz"), [make_line(datetime(2025, 6, 1, 9, 0, 0), ip="9.9.9.9")])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM parse_stream").collect()
+        assert len(rows) == 14
+        assert any(r.client_ip == "9.9.9.9" for r in rows)
+        assert all(r.status_code_type in {"2xx_Success", "4xx_ClientError",
+                                          "5xx_ServerError"} for r in rows)
+    finally:
+        q.stop()
+
+
+def test_streaming_parse_survives_corrupt_file(spark, tmp_path):
+    """A truncated gz landing in the stream directory must not kill the
+    query (the streaming source needs the session conf, not the reader
+    option — regression pinned)."""
+    import gzip
+    from elb_fixtures import corpus, make_line, write_gz
+    from datetime import datetime
+    from advanced_elb_logs_etl_spark.streaming.pipeline import parse_alb_stream
+
+    d = tmp_path / "drops2"
+    d.mkdir()
+    write_gz(str(d / "b1.gz"), corpus())
+    q = (
+        parse_alb_stream(spark, str(d)).selectExpr("client_ip")
+        .writeStream.format("memory").queryName("corrupt_stream").outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        before = spark.sql("SELECT count(*) FROM corrupt_stream").first()[0]
+        bad = d / "bad.gz"
+        with gzip.open(bad, "wt") as fh:
+            fh.write("y" * 500)
+        data = bad.read_bytes()
+        bad.write_bytes(data[: len(data) // 2])
+        write_gz(str(d / "b2.gz"), [make_line(datetime(2025, 6, 1, 10, 0), ip="7.7.7.7")])
+        q.processAllAvailable()
+        after = spark.sql("SELECT count(*) FROM corrupt_stream").first()[0]
+        assert after == before + 1
+    finally:
+        q.stop()
