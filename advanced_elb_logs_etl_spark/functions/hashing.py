@@ -96,3 +96,27 @@ def minhash_signature(hashes: Column, num_hashes: int = 16) -> list[Column]:
         F.array_min(F.transform(hashes, perm(j))).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
+
+
+def positional_shingle_hash_rows(df, id_col: str = "doc_id", text_col: str = "text",
+                                 n: int = 3):
+    """Exploded positional shingle hashes: one row per (id, pos, h) where h
+    is h60 of the n-gram starting at token position pos.
+
+    The shared physical kernel behind with_shingle_hashes, SimHash, and
+    winnowing: posexplode + lead() windows + md5 stays entirely in
+    whole-stage codegen (array higher-order functions run interpreted and
+    measured ~5x slower). One shuffle on the doc id.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", k).over(w) for k in range(1, n)]
+    sh = tok.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
+        leads[-1].alias("_guard"),
+    ).filter(F.col("_guard").isNotNull())
+    return sh.select(F.col(id_col), F.col("pos"), h60(F.col("s")).alias("h"))

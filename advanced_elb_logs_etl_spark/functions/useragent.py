@@ -70,7 +70,7 @@ _OS_RULES: list[tuple[str, str]] = [
 #: regex and skip the 9-rule bot/tool chain entirely — the CASE chain
 #: evaluates sequentially, so ordering + gating is the whole perf story for
 #: a 100 TB parse (measured ~2x on the derived-column stage).
-_NONBROWSER_GATE = r"(?i)bot|spider|crawl|urllib|requests|curl|wget"
+_NONBROWSER_GATE = r"(?i)bot|spider|crawl|urllib|requests|curl|wget|yandex"
 
 
 def _rules_to_column(ua: Column, rules: list[tuple[str, str]]) -> Column:

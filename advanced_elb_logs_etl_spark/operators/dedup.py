@@ -55,34 +55,17 @@ def with_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def with_shingle_hashes(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                         n: int = 3) -> DataFrame:
-    """(id, hashes array<long>): the distinct-shingle hash SET per doc.
-
-    Two deliberate physical choices (both ~5x wins measured at sf0.1):
-    - md5 runs ONCE per shingle; downstream set ops (minhash permutations,
-      Jaccard intersections) work on 8-byte longs, not ~20-byte strings.
-    - built via posexplode + lead() windows + collect_set instead of
-      array higher-order functions: HOF lambdas execute on Spark's
-      interpreted (CodegenFallback) path, while explode/window/md5 stay in
-      whole-stage codegen. Costs one shuffle on the doc id — trivial next
-      to the per-shingle hashing it accelerates.
+    """(id, hashes array<long>): the distinct-shingle hash SET per doc,
+    built on functions.hashing.positional_shingle_hash_rows (codegen kernel;
+    md5 once per shingle, 8-byte longs through every downstream join).
 
     Array order is unspecified (collect_set); every consumer is
     order-insensitive (min, intersect, explode), as is the SQL oracle's
     list_distinct form."""
-    from ..functions.hashing import h60 as _h60
-    from ..functions.hashing import tokens as _tokens
+    from ..functions.hashing import positional_shingle_hash_rows
 
-    tok = df.select(F.col(id_col), F.posexplode(_tokens(F.col(text_col))).alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", k).over(w) for k in range(1, n)]
-    sh = tok.select(
-        F.col(id_col),
-        F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
-        leads[-1].alias("_guard"),
-    ).filter(F.col("_guard").isNotNull())
-    hashed = sh.select(F.col(id_col), _h60(F.col("s")).alias("h")).groupBy(id_col).agg(
-        F.collect_set("h").alias("hashes")
-    )
+    rows = positional_shingle_hash_rows(df, id_col, text_col, n)
+    hashed = rows.groupBy(id_col).agg(F.collect_set("h").alias("hashes"))
     # docs with fewer than n tokens produce no shingle rows; reattach as []
     return df.select(F.col(id_col)).join(hashed, id_col, "left").select(
         F.col(id_col),
@@ -162,16 +145,21 @@ def minhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash/LSH candidates verified by exact Jaccard >= threshold — the
     full scalable near-dup pipeline.
 
     The shingle-hash frame feeds five plan branches (signatures, bucket
     counts, both self-join sides, verification); persisting it turns five
-    md5 passes over the corpus into one. It is O(corpus shingle count) longs
-    — at 100 TB swap .persist() for a parquet checkpoint of the same frame.
+    md5 passes over the corpus into one. It is O(corpus shingle count)
+    longs. Pass `hashed` (your own with_shingle_hashes frame) to control the
+    cache lifecycle — when this function creates it internally, the persist
+    lives until Spark evicts it (callers that loop over corpora should own
+    the frame and unpersist it; dedup_corpus does exactly that). At 100 TB
+    swap .persist() for a parquet checkpoint of the same frame.
     """
-    sh = with_shingle_hashes(df, id_col, text_col).persist()
+    sh = hashed if hashed is not None else with_shingle_hashes(df, id_col, text_col).persist()
     cands = lsh_candidate_pairs(df, id_col, text_col, hashed=sh)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("hashes").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("hashes").alias("sh_b"))
@@ -233,20 +221,13 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     token-set simhash degenerates on small vocabularies): bit b is 1 iff the
     sum of (+1 / -1) votes from hash bit b is positive.
 
-    Built directly on the exploded (doc, shingle-hash) rows — one distinct +
-    one 60-column hash aggregation, all codegen, two shuffles on the doc id."""
-    from ..functions.hashing import h60 as _h60
-    from ..functions.hashing import tokens as _tokens
+    Shares the positional-shingle kernel; one distinct + one 60-column hash
+    aggregation, all codegen."""
+    from ..functions.hashing import positional_shingle_hash_rows
 
-    tok = df.select(F.col(id_col), F.posexplode(_tokens(F.col(text_col))).alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    lead1 = F.lead("tok", 1).over(w)
-    lead2 = F.lead("tok", 2).over(w)
-    sh = tok.select(
-        F.col(id_col), F.concat_ws(" ", F.col("tok"), lead1, lead2).alias("s"),
-        lead2.alias("_guard"),
-    ).filter(F.col("_guard").isNotNull())
-    hashed = sh.select(F.col(id_col), _h60(F.col("s")).alias("h")).distinct()
+    hashed = positional_shingle_hash_rows(df, id_col, text_col).select(
+        F.col(id_col), F.col("h")
+    ).distinct()
     votes = [
         F.sum((F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
@@ -383,6 +364,12 @@ def neardup_components(
         labels = updated
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iterations} rounds "
+            "(dup-graph diameter too large) — raise max_iterations or pre-split "
+            "the graph; returning partial labels would silently under-merge"
+        )
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 
@@ -395,8 +382,12 @@ def dedup_corpus(
     """The end-to-end near-dedup APPLY step: find near-dup pairs (LSH),
     cluster them (connected components), keep the smallest id per cluster,
     and return the surviving rows of the corpus."""
-    pairs = minhash_neardup_pairs(df, id_col, text_col, threshold)
+    sh = with_shingle_hashes(df, id_col, text_col).persist()
+    pairs = minhash_neardup_pairs(df, id_col, text_col, threshold, hashed=sh)
+    # neardup_components eagerly checkpoints the edge list, materializing the
+    # whole LSH pipeline — after that the hash cache is no longer needed.
     comps = neardup_components(pairs)
+    sh.unpersist()
     victims = comps.filter(F.col("doc_id") != F.col("component")).select(
         F.col("doc_id").alias("_victim")
     )

@@ -152,18 +152,33 @@ def upsert_cache(spark: SparkSession, cache: DataFrame, new_rows: list[dict]) ->
     if not new_rows:
         return cache
     now = F.current_timestamp()
+
+    def _cell(row: dict, field: T.StructField):
+        v = row.get(field.name)
+        # ip-api returns country-level coords as JSON integers (lat: 35);
+        # an int in a DoubleType field makes createDataFrame raise.
+        if v is not None and isinstance(field.dataType, T.DoubleType):
+            return float(v)
+        return v
+
     fresh = spark.createDataFrame(
         [
-            tuple(r.get(f.name) for f in GEO_CACHE_SCHEMA.fields[:-1])
+            tuple(_cell(r, f) for f in GEO_CACHE_SCHEMA.fields[:-1])
             for r in new_rows
         ],
         T.StructType(GEO_CACHE_SCHEMA.fields[:-1]),
     ).withColumn("api_fetch_timestamp", now)
-    merged = cache.unionByName(fresh)
+    # keep-last: fresh rows outrank cache rows; remaining ties (duplicate
+    # rows inside an old cache file with equal timestamps) break on a row
+    # content hash so the winner is deterministic across runs.
+    merged = cache.withColumn("_src", F.lit(0)).unionByName(fresh.withColumn("_src", F.lit(1)))
+    content = F.md5(F.concat_ws("\u001f", *[F.col(f.name).cast("string")
+                                             for f in GEO_CACHE_SCHEMA.fields[:-1]]))
     w = Window.partitionBy("query").orderBy(
-        F.col("api_fetch_timestamp").desc_nulls_last(), F.lit(1)
+        F.col("_src").desc(), F.col("api_fetch_timestamp").desc_nulls_last(), content
     )
-    return merged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    return (merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn", "_src"))
 
 
 def write_cache(cache: DataFrame, path: str) -> None:

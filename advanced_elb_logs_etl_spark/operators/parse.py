@@ -86,13 +86,18 @@ def _parse_request(request: Column) -> dict[str, Column]:
     protocol = F.when(ok & has_scheme, F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))).when(
         ok, F.lit("")
     )
+    # (?:[^/@?#]*@)? skips userinfo — urlparse.hostname is the part after
+    # the last '@' in the authority ('http://u:p@host' -> 'host').
     hostname = F.when(
         ok & has_scheme,
-        F.lower(F.nullif(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1), F.lit(""))),
+        F.lower(F.nullif(
+            F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]*)", 1),
+            F.lit(""),
+        )),
     )
     port = F.when(
         ok & has_scheme,
-        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]*:(\d+)", 1),
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?[^/:?#@]*:(\d+)", 1),
     ).try_cast("int")
     path = (
         F.when(ok & has_scheme, F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))

@@ -72,8 +72,9 @@ def hourly_aggregation(df: DataFrame, exact: bool = True) -> DataFrame:
         uniq,
         F.avg("total_processing_time_ms").alias("average_total_processing_time"),
         med,
-        F.sum("sent_bytes").alias("sum_sent_bytes"),
-        F.sum("received_bytes").alias("sum_received_bytes"),
+        # pandas parity: groupby().sum() of an all-NaN group is 0, not null
+        F.coalesce(F.sum("sent_bytes"), F.lit(0)).alias("sum_sent_bytes"),
+        F.coalesce(F.sum("received_bytes"), F.lit(0)).alias("sum_received_bytes"),
         F.count_if(F.col("status_code_type") == "2xx_Success").alias("count_2xx"),
         F.count_if(F.col("status_code_type") == "4xx_ClientError").alias("count_4xx"),
         F.count_if(F.col("status_code_type") == "5xx_ServerError").alias("count_5xx"),

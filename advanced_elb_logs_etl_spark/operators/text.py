@@ -138,29 +138,17 @@ def winnow_fingerprints(
     hashes is the fingerprint. Guarantees any shared run of >= w+n-1 tokens
     contributes a shared fingerprint, at ~1/w the storage of full shingles.
 
-    Spark form: posexplode -> lead() windows build positional shingles ->
-    min() over a rows-frame -> distinct. All codegen; shuffles on the doc id
-    only. Returns (id, fingerprint_hash) rows — exploded, join-friendly.
+    Shares the positional-shingle kernel (functions/hashing.py); min() over
+    a rows-frame; distinct. Returns (id, fingerprint_hash) rows — exploded,
+    join-friendly. Trailing windows shorter than `window` are partial in
+    this rows-frame; the SQL oracle uses the identical frame, so both
+    engines select the same set.
     """
     from pyspark.sql import Window as W
 
-    from ..functions.hashing import h60 as _h60
-    from ..functions.hashing import tokens as _tokens
+    from ..functions.hashing import positional_shingle_hash_rows
 
-    tok = df.select(F.col(id_col), F.posexplode(_tokens(F.col(text_col))).alias("pos", "tok"))
-    w_ord = W.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", k).over(w_ord) for k in range(1, n)]
-    sh = tok.select(
-        F.col(id_col),
-        F.col("pos"),
-        F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
-        leads[-1].alias("_guard"),
-    ).filter(F.col("_guard").isNotNull())
-    hashed = sh.select(F.col(id_col), F.col("pos"), _h60(F.col("s")).alias("h"))
+    hashed = positional_shingle_hash_rows(df, id_col, text_col, n)
     w_roll = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     picked = hashed.select(F.col(id_col), F.min("h").over(w_roll).alias("fp"))
-    # trailing windows shorter than `window` are partial in this rows-frame;
-    # they only ever select hashes also covered by full windows or the tail
-    # shingles themselves — keeping them matches the SQL oracle's identical
-    # rows-frame, so both engines pick the same set.
     return picked.distinct().withColumnRenamed("fp", "fingerprint_hash")

@@ -27,16 +27,19 @@ def read_alb_stream(
     path: str,
     max_files_per_trigger: int = 16,
     source_col: str = "log_source_file",
+    ignore_corrupt_files: bool = True,
 ) -> DataFrame:
-    """Streaming scan of ALB .gz drops in a directory (S1-S4, incremental)."""
+    """Streaming scan of ALB .gz drops in a directory (S1-S4, incremental).
+
+    ignore_corrupt_files: the streaming file source does NOT honor the
+    per-reader ignoreCorruptFiles option (verified: a truncated gz kills the
+    query); only the SESSION conf applies, so enabling this changes the
+    whole session's behavior (corrupt files in other reads are skipped too).
+    Default True for reference parity (:169-171 skip-and-continue); pass
+    False if the session must keep fail-fast semantics elsewhere."""
     apply_runtime_confs(spark)
-    # The streaming file source does NOT honor the per-reader
-    # ignoreCorruptFiles option (verified: a truncated gz kills the query);
-    # only the session conf applies. Reference parity (:169-171) wants
-    # skip-and-continue, so set it session-wide here — the trade-off
-    # (corrupt parquet elsewhere also skipped) matches the reference's
-    # blanket try/except stance.
-    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    if ignore_corrupt_files:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
     return (
         spark.readStream.option("pathGlobFilter", "*.gz")
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -45,10 +48,15 @@ def read_alb_stream(
     )
 
 
-def parse_alb_stream(spark: SparkSession, path: str, eastern: bool = True) -> DataFrame:
+def parse_alb_stream(
+    spark: SparkSession,
+    path: str,
+    eastern: bool = True,
+    ignore_corrupt_files: bool = True,
+) -> DataFrame:
     """Streaming parsed+featured frame: exactly the batch operators applied
     to a streaming source. Attach a writeStream sink (parquet + checkpoint
     in production; memory in tests) to run it."""
-    raw = read_alb_stream(spark, path)
+    raw = read_alb_stream(spark, path, ignore_corrupt_files=ignore_corrupt_files)
     parsed = parse_alb_lines(raw)
     return add_features(parsed, eastern=eastern)

@@ -81,10 +81,16 @@ def rolling_counts_stateful(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """EXACT per-event trailing count as a custom stateful operator
-    (applyInPandasWithState): state = per-key deque of recent event times;
-    each input batch appends, evicts older than window_sec, and emits one
-    row per event with its trailing count — the reference's left-open
-    `(t-w, t]` frame, incrementally.
+    (applyInPandasWithState): state = per-key list of recent event times;
+    each event is emitted with the count of events in ITS OWN left-open
+    frame `(t - window_sec, t]` — computed by membership test, so
+    out-of-order and late events (within the watermark) get correct counts
+    for their frame; state entries with later timestamps are ignored, not
+    miscounted. Eviction drops entries at or below (watermark - window),
+    which can no longer fall in any admissible future frame.
+
+    Append-mode caveat (inherent to streaming): a late event cannot
+    retroactively increment counts already emitted for later events.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -95,14 +101,22 @@ def rolling_counts_stateful(
         import pandas as pd
 
         times = list(state.get[0]) if state.exists else []
-        rows = []
+        window_delta = pd.Timedelta(seconds=window_sec)
+        batch = []
         for pdf in pdf_iter:
-            for t in sorted(pdf[ts]):
-                t = pd.Timestamp(t)
-                lower = t - pd.Timedelta(seconds=window_sec)
-                times = [x for x in times if x > lower]  # left-open
-                times.append(t)
-                rows.append((key_tuple[0], t, len(times)))
+            batch.extend(pd.Timestamp(t) for t in pdf[ts])
+        rows = []
+        for t in sorted(batch):
+            times.append(t)
+            lower = t - window_delta
+            rows.append((key_tuple[0], t, sum(1 for x in times if lower < x <= t)))
+        try:
+            wm_ms = state.getCurrentWatermarkMs()
+        except Exception:
+            wm_ms = 0
+        if wm_ms and wm_ms > 0:
+            cutoff = pd.Timestamp(wm_ms, unit="ms") - window_delta
+            times = [x for x in times if x > cutoff]
         state.update((times,))
         yield pd.DataFrame(rows, columns=[key, "event_time", "trailing_count"])
 

@@ -152,3 +152,28 @@ def test_streaming_parse_survives_corrupt_file(spark, tmp_path):
         assert after == before + 1
     finally:
         q.stop()
+
+
+def test_rolling_counts_stateful_late_event_frame(spark, tmp_path):
+    """A late event's count must reflect ITS OWN frame — state entries with
+    later timestamps are ignored (review finding, pinned)."""
+    from advanced_elb_logs_etl_spark.streaming.sessions import rolling_counts_stateful
+
+    d = tmp_path / "latein"
+    d.mkdir()
+    (d / "b1.json").write_text(json.dumps({"client_ip": "k", "time": "2025-05-26 12:10:00"}))
+    src = spark.readStream.schema("client_ip string, time timestamp").json(str(d))
+    q = (rolling_counts_stateful(src, window_sec=300)
+         .writeStream.format("memory").queryName("late_out").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # late event 10 minutes earlier, within the 1h watermark
+        (d / "b2.json").write_text(json.dumps({"client_ip": "k", "time": "2025-05-26 12:00:00"}))
+        q.processAllAvailable()
+        got = {r.event_time.strftime("%H:%M"): r.trailing_count
+               for r in spark.sql("SELECT * FROM late_out").collect()}
+        assert got["12:10"] == 1
+        # frame (11:55, 12:00] contains only the late event itself
+        assert got["12:00"] == 1
+    finally:
+        q.stop()
