@@ -868,3 +868,97 @@ def q_session_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.avg("value"), 4).alias("avg_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytical queries (TPC-H Q3/Q5 shapes): the join-reordering /
+# pushdown / partial-agg machinery exercised together
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate_str,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '2024-06-01'
+  AND l.l_shipdate > TIMESTAMP '2024-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@register("shipping_priority_q3", _Q3_ORACLE)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3 shape: selective dim filter -> 3-way join -> partial-agg ->
+    top-k. All three filters reach their scans (PushedFilters); customer is
+    broadcast; the top-10 is TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "2024-06-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "2024-06-01")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_str"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q5_ORACLE = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+@register("local_supplier_q5", _Q5_ORACLE)
+def q_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5 shape: 6-way join with a same-nation theta condition and a
+    region filter that prunes through two dimension hops. nation/region/
+    supplier broadcast; Catalyst pushes r_name='ASIA' into the region scan
+    and prunes nations before the fact joins."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
