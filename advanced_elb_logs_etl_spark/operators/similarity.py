@@ -160,3 +160,44 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine_raw"))
         .filter(F.col("cosine_raw") >= threshold)
     )
+
+
+def refine_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means refinement of the IVF coarse quantizer: assign ->
+    per-cluster elementwise mean -> repeat. Deterministic (seed centroids in,
+    no randomness), so results are reproducible run to run.
+
+    Physical form: posexplode the vectors to (cluster, dim, value) rows and
+    hash-aggregate per (cluster, dim) — codegen, one shuffle per iteration,
+    no driver-side math. Empty clusters keep their previous centroid.
+    Returns (vec_id=cluster id, embedding=array<double>) usable directly as
+    the `centroids` argument of ivf_topk / assign_clusters.
+    """
+    current = centroids.select(
+        F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_col)
+    )
+    for _ in range(iterations):
+        assigned = assign_clusters(vectors, current, id_col=id_col, vec_col=vec_col)
+        dims = assigned.select(
+            "cluster", F.posexplode(F.col(vec_col)).alias("dim", "v")
+        )
+        means = (
+            dims.groupBy("cluster", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                F.col("cluster").alias(id_col),
+                F.transform(F.col("dm"), lambda s: s.getField("m")).alias(vec_col),
+            )
+        )
+        # empty clusters vanish from `means`; keep their old centroid
+        kept = current.join(means.select(F.col(id_col).alias("_k")), current[id_col] == F.col("_k"), "left_anti")
+        current = means.unionByName(kept).localCheckpoint(eager=True)
+    return current

@@ -130,3 +130,25 @@ def test_dedup_corpus_keeps_one_per_cluster(spark, docs):
     assert survivors == expected
     for p in pairs:  # no surviving near-dup pair remains intact
         assert not (p.id_a in survivors and p.id_b in survivors)
+
+
+def test_refined_centroids_well_formed_and_usable(spark, emb):
+    """Lloyd refinement: every cluster keeps a centroid (empty ones fall
+    back to their seed), dimensionality is preserved, the result is
+    deterministic, and IVF over refined centroids still achieves sane
+    recall. (No per-query recall-improvement claim: k-means optimizes
+    quantization error, not recall of a specific 8-query set — observed
+    recall can go either way at nprobe=2.)"""
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = {(r.q_id, r.neighbor_id)
+             for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
+    seeds = emb.filter(F.col("vec_id") < 16)
+    refined = similarity.refine_centroids(emb, seeds, iterations=2)
+    rows = refined.collect()
+    assert len(rows) == 16 and all(len(r.embedding) == 64 for r in rows)
+    again = {r.vec_id: tuple(r.embedding)
+             for r in similarity.refine_centroids(emb, seeds, iterations=2).collect()}
+    assert {r.vec_id: tuple(r.embedding) for r in rows} == again  # deterministic
+    r_ref = {(r.q_id, r.neighbor_id)
+             for r in similarity.ivf_topk(emb, queries, refined, k=5, nprobe=2).collect()}
+    assert len(brute & r_ref) / len(brute) >= 0.3
