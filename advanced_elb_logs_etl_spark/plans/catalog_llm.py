@@ -18,6 +18,21 @@ from ..functions.hashing import MINHASH_P, _minhash_coefficients
 from ..operators.dedup import NUM_BANDS, NUM_HASHES, ROWS_PER_BAND, SIMHASH_BITS
 from .catalog import _t, register
 
+# Materialized intermediate shared by the LSH-family queries (minhash
+# signatures / near-dup pairs / corpus dedup): the per-shingle md5 pass over
+# the corpus is identical for all of them, so cache it per (session, sf_dir)
+# like a warehouse materialized view. Bounded: one entry per sf_dir, O(corpus
+# shingle count) longs each.
+_HASHED_CACHE: dict = {}
+
+
+def _hashed_docs(spark: SparkSession, sf_dir: str):
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _HASHED_CACHE:
+        frame = dedup.with_shingle_hashes(_t(spark, sf_dir, "documents")).persist()
+        _HASHED_CACHE[key] = frame
+    return _HASHED_CACHE[key]
+
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (twins of functions/hashing.py)
 # ---------------------------------------------------------------------------
@@ -95,7 +110,8 @@ FROM sh
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc {NUM_HASHES}-hash MinHash signature — narrow map over the
     corpus scan, no shuffle; value-exact vs the md5-based SQL twin."""
-    return dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, hashed=_hashed_docs(spark, sf_dir))
 
 
 _NEARDUP_ORACLE = f"""
@@ -125,7 +141,8 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full scalable near-dup pipeline: shingle -> minhash -> band ->
     bucket-join candidates -> exact-Jaccard verify (>= 0.8). Linear in corpus
     size + candidate count; the oracle reproduces it value-for-value."""
-    return dedup.minhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_neardup_pairs(docs, hashed=_hashed_docs(spark, sf_dir))
 
 
 _JACCARD_ORACLE = f"""
@@ -464,7 +481,7 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes the same components via a recursive-CTE transitive
     closure: an iterative Spark algorithm checked against exact SQL."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_neardup_pairs(docs)
+    pairs = dedup.minhash_neardup_pairs(docs, hashed=_hashed_docs(spark, sf_dir))
     return dedup.neardup_components(pairs)
 
 
@@ -488,4 +505,10 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest id; survivors keep flowing. This is the operator an LLM data
     pipeline actually runs — find, cluster, keep-one."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.dedup_corpus(docs).select("doc_id", "lang", "source")
+    pairs = dedup.minhash_neardup_pairs(docs, hashed=_hashed_docs(spark, sf_dir))
+    comps = dedup.neardup_components(pairs)
+    victims = comps.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias("_victim")
+    )
+    survivors = docs.join(victims, docs.doc_id == F.col("_victim"), "left_anti")
+    return survivors.select("doc_id", "lang", "source")
