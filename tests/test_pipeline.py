@@ -103,3 +103,27 @@ def test_session_and_rolling_semantics(pipeline_out):
     assert [r.rolling_5min_req_count for r in ip4] == [1, 1]
     # -1 sentinel total: -3000.0 ms, kept (not nulled)
     assert ip4[0].total_processing_time_ms == -3000.0
+
+
+def test_pipeline_config_from_env(monkeypatch):
+    from advanced_elb_logs_etl_spark.plans.pipeline import PipelineConfig
+
+    monkeypatch.setenv("ELB_INPUT_PATHS", "/a/x.gz,/b/y.gz")
+    monkeypatch.setenv("ELB_OUTPUT_DIR", "/out")
+    config = PipelineConfig.from_env()
+    assert config.input_paths == ["/a/x.gz", "/b/y.gz"]
+    assert config.output_dir == "/out"
+    assert config.geo_cache_path == "/out/ip_geolocation_cache.parquet"
+
+
+def test_sample_json(pipeline_out):
+    """S10 (reference :417-418): first-n JSON-lines sample."""
+    import json as _json
+
+    from advanced_elb_logs_etl_spark.operators.reports import sample_json
+
+    spark, paths = pipeline_out
+    df = spark.read.parquet(paths["cleaned_logs"])
+    lines = sample_json(df, n=3)
+    assert len(lines) == 3
+    assert all("client_ip" in _json.loads(l) for l in lines)
