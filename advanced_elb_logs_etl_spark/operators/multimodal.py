@@ -92,3 +92,100 @@ def documents_as_binary_assets(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("asset_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
+
+
+def decode_audio(payload: bytes) -> "object":
+    """STUB — audio decode requires an audio library not present in this
+    container (same contract as decode_image)."""
+    raise NotImplementedError("audio decode stubbed: no audio library in container")
+
+
+#: Output schema of resize_images.
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize kernel plumbing: binary in -> binary out via Arrow-batched
+    mapInPandas. The pixel resample itself is STUBBED (no imaging library
+    in this container) with a deterministic fake — md5-keyed truncation to
+    width*height bytes — so the batch shapes, output schema, and payload
+    round-trip are real and testable; swap `_fake_resize` for
+    PIL.Image.resize in deployment."""
+
+    def _fake_resize(payload: bytes) -> bytes:
+        target = max(1, min(len(payload), width * height))
+        return hashlib.md5(payload).digest() + payload[:target]
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": batch[id_col],
+                    "width": width,
+                    "height": height,
+                    "resized_payload": batch[payload_col].map(_fake_resize),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        process, schema=RESIZED_SCHEMA
+    )
+
+
+#: Output schema of sample_frames — one row per sampled frame.
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 8,
+    max_frames: int = 4,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling plumbing: one input asset -> MANY output rows (the
+    1:N expansion a video pipeline needs) via mapInPandas. The container
+    demux/decode is STUBBED: the fake treats the payload as fixed-size
+    'frames' of 16 bytes and samples every `every_n`-th — deterministic, so
+    tests pin exact frames; swap for pyav/ffmpeg demux in deployment."""
+
+    frame_bytes = 16
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, frames = [], [], []
+            for asset_id, payload in zip(batch[id_col], batch[payload_col]):
+                n_frames = max(1, len(payload) // frame_bytes)
+                for k, frame_i in enumerate(range(0, n_frames, every_n)):
+                    if k >= max_frames:
+                        break
+                    start = frame_i * frame_bytes
+                    ids.append(asset_id)
+                    idxs.append(frame_i)
+                    frames.append(bytes(payload[start:start + frame_bytes]))
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_index": idxs, "frame_payload": frames}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        process, schema=FRAME_SCHEMA
+    )

@@ -152,3 +152,29 @@ def test_refined_centroids_well_formed_and_usable(spark, emb):
     r_ref = {(r.q_id, r.neighbor_id)
              for r in similarity.ivf_topk(emb, queries, refined, k=5, nprobe=2).collect()}
     assert len(brute & r_ref) / len(brute) >= 0.3
+
+
+def test_multimodal_resize_and_frame_sampling(spark, docs):
+    """Resize (1:1) and frame-sample (1:N) mapInPandas plumbing: schemas,
+    batch shapes, and deterministic fake kernels."""
+    assets = multimodal.documents_as_binary_assets(docs.limit(5))
+    resized = multimodal.resize_images(assets, width=4, height=4).collect()
+    assert len(resized) == 5
+    for r in resized:
+        assert (r.width, r.height) == (4, 4)
+        assert len(r.resized_payload) == 16 + 16  # md5 prefix + 4*4 bytes
+
+    frames = multimodal.sample_frames(assets, every_n=2, max_frames=3)
+    rows = frames.collect()
+    per_asset = {}
+    for r in rows:
+        per_asset.setdefault(r.asset_id, []).append(r.frame_index)
+    raw = {r.doc_id: r.text.encode() for r in docs.limit(5).collect()}
+    for aid, idxs in per_asset.items():
+        assert idxs == sorted(idxs) and len(idxs) <= 3
+        assert idxs[0] == 0 and all(i % 2 == 0 for i in idxs)
+        # frame content is the right slice of the payload
+        first = next(r for r in rows if r.asset_id == aid and r.frame_index == 0)
+        assert bytes(first.frame_payload) == raw[aid][:16]
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF")
