@@ -962,3 +962,57 @@ def q_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+_ASOF_ORACLE = """
+WITH state AS (
+  SELECT user_id, ts AS state_ts, value AS state_value
+  FROM events
+  WHERE event_type = 'signup'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+)
+SELECT e.event_id, e.user_id,
+       s.state_value AS state_value_asof,
+       (epoch_us(e.ts) - epoch_us(s.state_ts)) / 60000000.0 AS state_age_min
+FROM events e
+ASOF LEFT JOIN state s ON e.user_id = s.user_id AND e.ts >= s.state_ts
+"""
+
+
+@register("asof_join_state", _ASOF_ORACLE)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join — an operator Spark lacks as a builtin,
+    composed as union + ONE keyed window (operators/temporal.py): every
+    event gets the latest 'signup' state at-or-before it, plus the state
+    age. Cost is one shuffle of |events|+|state| rows; the oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    state = (
+        ev.filter(F.col("event_type") == "signup")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("ts").alias("state_ts"), F.col("value").alias("state_value"))
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        state,
+        on="user_id",
+        left_ts="ts",
+        right_ts="state_ts",
+        value_cols=["state_ts", "state_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("state_value_asof"),
+        (
+            (F.unix_micros("ts") - F.unix_micros("state_ts_asof")) / F.lit(60000000.0)
+        ).alias("state_age_min"),
+    )

@@ -178,3 +178,25 @@ def test_multimodal_resize_and_frame_sampling(spark, docs):
         assert bytes(first.frame_payload) == raw[aid][:16]
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"RIFF")
+
+
+def test_asof_join_semantics(spark):
+    """as-of join unit semantics: backward match, equal-ts inclusive by
+    default, strict excludes equal-ts, no-prior-state -> nulls."""
+    from datetime import datetime
+
+    from advanced_elb_logs_etl_spark.operators.temporal import asof_join
+
+    t = lambda m: datetime(2025, 1, 1, 12, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "k", t(2)), (2, "k", t(5)), (3, "k", t(10)), (4, "z", t(7))],
+        "event_id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", t(5), "a"), ("k", t(9), "b")], "k string, ts timestamp, v string"
+    )
+    out = {r.event_id: r.v_asof for r in asof_join(left, right, on="k").collect()}
+    assert out == {1: None, 2: "a", 3: "b", 4: None}
+    strict = {r.event_id: r.v_asof
+              for r in asof_join(left, right, on="k", strict=True).collect()}
+    assert strict[2] is None  # equal-ts state invisible under strict
