@@ -82,3 +82,76 @@ def asof_join(
         *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
     return out
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    left_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    on: str | None = None,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval/range join: left rows matched to every interval containing
+    them (start <= t < end), optionally also keyed by `on`.
+
+    A naive theta-join (t >= start AND t < end) degenerates to a per-key
+    cross product — Spark plans BroadcastNestedLoopJoin. The scalable form
+    here is BUCKETIZATION: explode each interval onto the coarse time
+    buckets it overlaps, join left rows to (key?, bucket) with a plain
+    equi-join (hash shuffle, no nested loop), then apply the exact range
+    predicate. Work is O(|left| + |intervals| * avg_buckets_per_interval +
+    |candidate pairs|); pick bucket_seconds near the median interval length
+    so intervals explode to O(1) buckets each.
+
+    `how='inner'` (matched pairs) or 'left' (keep unmatched left rows with
+    null interval columns).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    bucket_us = bucket_seconds * 1_000_000
+
+    def bucket_of(col: str, offset: int = 0):
+        # exact integer floor-division: (x - x mod b) / b — the numerator is
+        # a multiple of b, so the double division is exact; a plain x/b
+        # double division can misplace values one ulp from a boundary.
+        x = F.unix_micros(F.col(col)) + F.lit(offset)
+        return ((x - F.pmod(x, F.lit(bucket_us))) / F.lit(bucket_us)).cast("long")
+
+    ivl_cols = intervals.columns
+    exploded = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                bucket_of(start_col),
+                # end is exclusive: a zero-length or bucket-aligned end must
+                # not spill into the next bucket
+                bucket_of(end_col, offset=-1),
+            )
+        ),
+    )
+    l_b = left.withColumn("_bucket", bucket_of(left_ts))
+    cond = (F.col(f"_l._bucket") == F.col(f"_r._bucket"))
+    if on is not None:
+        cond = cond & (F.col(f"_l.{on}") == F.col(f"_r.{on}"))
+    cand = l_b.alias("_l").join(exploded.alias("_r"), cond, "inner")
+    matched = cand.filter(
+        (F.col(f"_l.{left_ts}") >= F.col(f"_r.{start_col}"))
+        & (F.col(f"_l.{left_ts}") < F.col(f"_r.{end_col}"))
+    ).select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_r.{c}").alias(f"ivl_{c}") for c in ivl_cols if on is None or c != on],
+    )
+    if how == "inner":
+        return matched
+    # left join: re-attach unmatched left rows with nulls
+    unmatched = left.join(
+        matched.select(*left.columns).distinct(), left.columns, "left_anti"
+    )
+    for c in ivl_cols:
+        if on is not None and c == on:
+            continue
+        unmatched = unmatched.withColumn(f"ivl_{c}", F.lit(None).cast(intervals.schema[c].dataType))
+    return matched.unionByName(unmatched)

@@ -1016,3 +1016,46 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("ts") - F.unix_micros("state_ts_asof")) / F.lit(60000000.0)
         ).alias("state_age_min"),
     )
+
+
+_RANGE_ORACLE = """
+WITH ivl AS (
+  SELECT user_id, ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts,
+         event_id AS ivl_id
+  FROM events WHERE event_type = 'signup'
+)
+SELECT e.event_id, e.user_id, i.ivl_id AS ivl_ivl_id,
+       (epoch_us(e.ts) - epoch_us(i.start_ts)) / 60000000.0 AS mins_into_interval
+FROM events e
+JOIN ivl i ON e.user_id = i.user_id
+          AND e.ts >= i.start_ts AND e.ts < i.end_ts
+"""
+
+
+@register("range_join_windows", _RANGE_ORACLE)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — the second temporal operator Spark lacks as a
+    builtin (operators/temporal.py): events matched to every 2-hour
+    post-signup window containing them. Bucketized equi-join instead of the
+    BroadcastNestedLoopJoin a naive theta-join plans; the oracle is the
+    plain inequality join."""
+    from ..operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    ivl = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        F.col("event_id").alias("ivl_id"),
+    )
+    out = range_join(
+        ev.select("event_id", "user_id", "ts"), ivl, on="user_id", bucket_seconds=1800
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ivl_ivl_id",
+        (
+            (F.unix_micros("ts") - F.unix_micros("ivl_start_ts")) / F.lit(60000000.0)
+        ).alias("mins_into_interval"),
+    )
