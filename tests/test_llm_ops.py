@@ -200,3 +200,24 @@ def test_asof_join_semantics(spark):
     strict = {r.event_id: r.v_asof
               for r in asof_join(left, right, on="k", strict=True).collect()}
     assert strict[2] is None  # equal-ts state invisible under strict
+
+
+def test_range_join_left_mode_and_boundaries(spark):
+    """Range join edges: start-inclusive / end-exclusive, zero-length
+    intervals match nothing, left mode keeps unmatched rows."""
+    from datetime import datetime
+
+    from advanced_elb_logs_etl_spark.operators.temporal import range_join
+
+    t = lambda h: datetime(2025, 1, 1, h)  # noqa: E731
+    left = spark.createDataFrame([(1, t(10)), (2, t(12)), (3, t(11))],
+                                 "eid long, ts timestamp")
+    ivl = spark.createDataFrame(
+        [(t(10), t(11), "w1"), (t(12), t(12), "empty")],
+        "start_ts timestamp, end_ts timestamp, label string",
+    )
+    got = sorted((r.eid, r.ivl_label)
+                 for r in range_join(left, ivl, how="left", bucket_seconds=3600).collect())
+    assert got == [(1, "w1"), (2, None), (3, None)]
+    with pytest.raises(ValueError):
+        range_join(left, ivl, how="outer")
