@@ -201,3 +201,121 @@ def refine_centroids(
         kept = current.join(means.select(F.col(id_col).alias("_k")), current[id_col] == F.col("_k"), "left_anti")
         current = means.unionByName(kept).localCheckpoint(eager=True)
     return current
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane (SimHash-for-vectors) LSH — the bucketed ANN variant
+# ---------------------------------------------------------------------------
+
+RP_BITS = 24
+# 3 bits per band: P[band match] = P[bit]^3, so even moderate-angle
+# neighbors (cosine ~0.4 => P[bit] ~0.63) collide on some band with 8
+# chances. Wider bands (6 bits) drop recall to ~0.2 on near-orthogonal
+# corpora like the synthetic embeddings; tighten bands (raise bits/band)
+# when real corpora have closer neighbors and candidate volume matters.
+RP_BANDS = 8
+
+
+def _rp_hyperplanes(bits: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5: component (i, d) is
+    ((md5int('i:d') mod 2001) - 1000) / 1000 in [-1, 1]. Computed in Python
+    and inlined as LITERALS into both the Spark plan and the SQL oracle, so
+    the two engines share exact coefficients (and the fold order makes the
+    dot products bit-identical)."""
+    import hashlib
+
+    planes = []
+    for i in range(bits):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(((h % 2001) - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def rp_signatures(
+    vectors: DataFrame,
+    bits: int = RP_BITS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector random-hyperplane signature: bit i = 1 iff dot(v, h_i) > 0.
+    Cosine-similar vectors agree on most bits (P[bit match] = 1 - angle/pi).
+    Pure Column expressions; left-fold dots -> deterministic."""
+    planes = _rp_hyperplanes(bits, dim)
+    sig = None
+    for i, row in enumerate(planes):
+        h_arr = F.array(*[F.lit(x) for x in row])
+        d = F.aggregate(
+            F.zip_with(_as_double(F.col(vec_col)), h_arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return vectors.select(F.col(id_col), F.col(vec_col), sig.alias("rp_sig"))
+
+
+def rp_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = RP_BITS,
+    bands: int = RP_BANDS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates are corpus vectors sharing at least one
+    signature band with the query; exact cosine ranks them. Recall < 1 by
+    design (near-orthogonal misses), but the whole chain is deterministic,
+    so it is oracle-reproducible unlike most ANN implementations.
+
+    Scale: band buckets are equi-join keys — the corpus never cross-joins
+    the queries; at 100 TB materialize rp_sig as a stored column and
+    partition by a band prefix."""
+    seg = bits // bands
+
+    def band_cols(df, tag):
+        return [
+            F.shiftright(F.col(f"{tag}_sig"), b * seg)
+            .bitwiseAND(F.lit((1 << seg) - 1))
+            .alias(f"{tag}_band{b}")
+            for b in range(bands)
+        ]
+
+    v = rp_signatures(vectors, bits, dim, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        F.col("rp_sig").alias("c_sig"),
+    )
+    q = rp_signatures(queries, bits, dim, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        F.col("rp_sig").alias("q_sig"),
+    )
+    v_bands = v.select("neighbor_id", "c_vec", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright("c_sig", b * seg).bitwiseAND(F.lit((1 << seg) - 1)).alias("key"))
+        for b in range(bands)
+    ])).alias("bk")).select("neighbor_id", "c_vec", "bk.band", "bk.key")
+    q_bands = q.select("q_id", "q_vec", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright("q_sig", b * seg).bitwiseAND(F.lit((1 << seg) - 1)).alias("key"))
+        for b in range(bands)
+    ])).alias("bk")).select("q_id", "q_vec", "bk.band", "bk.key")
+    cands = (
+        q_bands.join(v_bands, ["band", "key"])
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "q_vec", "neighbor_id", "c_vec")
+        .distinct()
+    )
+    scored = cands.select(
+        "q_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", F.col("cosine").alias("cosine_raw"), "rank")
+    )

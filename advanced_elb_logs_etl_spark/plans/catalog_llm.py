@@ -512,3 +512,66 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = docs.join(victims, docs.doc_id == F.col("_victim"), "left_anti")
     return survivors.select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH ANN (oracle-reproducible approximate search)
+# ---------------------------------------------------------------------------
+
+from ..operators.similarity import RP_BANDS, RP_BITS, _rp_hyperplanes  # noqa: E402
+
+_RP_PLANES = _rp_hyperplanes(RP_BITS, 64)
+_RP_SEG = RP_BITS // RP_BANDS
+
+
+def _rp_sig_sql(vec: str) -> str:
+    bits = []
+    for i, row in enumerate(_RP_PLANES):
+        hp = "[" + ", ".join(repr(x) for x in row) + "]"
+        dot = (
+            f"list_reduce(list_transform(generate_series(1, 64), "
+            f"i -> {vec}[i]::DOUBLE * ({hp})[i]), (x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+_RP_ORACLE = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_rp_sig_sql('embedding')} AS sig FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, sig AS q_sig FROM sigs WHERE vec_id < 8),
+vb AS (
+  {" UNION ALL ".join(f"SELECT vec_id, embedding, {b} AS band, (sig >> {b * _RP_SEG}) & {(1 << _RP_SEG) - 1} AS key FROM sigs" for b in range(RP_BANDS))}
+),
+qb AS (
+  {" UNION ALL ".join(f"SELECT q_id, q_vec, {b} AS band, (q_sig >> {b * _RP_SEG}) & {(1 << _RP_SEG) - 1} AS key FROM q" for b in range(RP_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT qb.q_id, qb.q_vec, vb.vec_id AS neighbor_id, vb.embedding AS c_vec
+  FROM qb JOIN vb ON qb.band = vb.band AND qb.key = vb.key
+  WHERE qb.q_id != vb.vec_id
+),
+scored AS (
+  SELECT q_id, neighbor_id, {_cos('q_vec', 'c_vec')} AS cosine FROM cand
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine AS cosine_raw, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("rp_lsh_topk", _RP_ORACLE)
+def q_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (random hyperplanes, {RP_BITS} bits, {RP_BANDS}
+    bands): corpus vectors sharing a signature band with the query are
+    candidates; exact cosine ranks them. Deterministic end to end (literal
+    md5-derived hyperplanes + left-fold dots), so unlike typical ANN this
+    approximate path is VALUE-exact against the SQL oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.rp_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))

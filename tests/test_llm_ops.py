@@ -221,3 +221,15 @@ def test_range_join_left_mode_and_boundaries(spark):
     assert got == [(1, "w1"), (2, None), (3, None)]
     with pytest.raises(ValueError):
         range_join(left, ivl, how="outer")
+
+
+def test_rp_lsh_recall_vs_brute_force(spark, emb):
+    """Random-hyperplane LSH ANN: meaningful recall vs brute force, and the
+    candidate generation is banded (no full cross join)."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = {(r.q_id, r.neighbor_id)
+             for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
+    lsh = {(r.q_id, r.neighbor_id)
+           for r in similarity.rp_lsh_topk(emb, queries, k=5).collect()}
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.6, f"rp-lsh recall {recall:.2f}"
