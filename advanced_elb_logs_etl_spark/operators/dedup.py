@@ -378,16 +378,21 @@ def dedup_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """The end-to-end near-dedup APPLY step: find near-dup pairs (LSH),
     cluster them (connected components), keep the smallest id per cluster,
-    and return the surviving rows of the corpus."""
-    sh = with_shingle_hashes(df, id_col, text_col).persist()
+    and return the surviving rows of the corpus. Pass `hashed` (a persisted
+    with_shingle_hashes frame) to own the cache lifecycle; otherwise one is
+    created and released here."""
+    own_cache = hashed is None
+    sh = hashed if hashed is not None else with_shingle_hashes(df, id_col, text_col).persist()
     pairs = minhash_neardup_pairs(df, id_col, text_col, threshold, hashed=sh)
     # neardup_components eagerly checkpoints the edge list, materializing the
     # whole LSH pipeline — after that the hash cache is no longer needed.
     comps = neardup_components(pairs)
-    sh.unpersist()
+    if own_cache:
+        sh.unpersist()
     victims = comps.filter(F.col("doc_id") != F.col("component")).select(
         F.col("doc_id").alias("_victim")
     )

@@ -69,14 +69,27 @@ def extract_asset_metadata(
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            payloads = batch[payload_col]
+            # null payloads (failed upstream fetches) emit null metadata
+            # instead of killing the stage with a worker TypeError. Explicit
+            # None (not Series.where: it fills NaN floats, which break the
+            # Arrow list/binary converters).
+            payloads = list(batch[payload_col])
             yield pd.DataFrame(
                 {
                     "asset_id": batch[id_col],
-                    "payload_bytes": payloads.map(len).astype("int64"),
-                    "payload_md5": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "payload_bytes": pd.array(
+                        [len(b) if b is not None else None for b in payloads],
+                        dtype="Int64",
+                    ),
+                    "payload_md5": [
+                        hashlib.md5(b).hexdigest() if b is not None else None
+                        for b in payloads
+                    ],
                     "modality": modality,
-                    "feature": payloads.map(_fake_feature),
+                    "feature": pd.Series(
+                        [_fake_feature(b) if b is not None else None for b in payloads],
+                        dtype="object",
+                    ),
                 }
             )
 
@@ -136,7 +149,13 @@ def resize_images(
                     "asset_id": batch[id_col],
                     "width": width,
                     "height": height,
-                    "resized_payload": batch[payload_col].map(_fake_resize),
+                    "resized_payload": pd.Series(
+                        [
+                            _fake_resize(b) if b is not None else None
+                            for b in batch[payload_col]
+                        ],
+                        dtype="object",
+                    ),
                 }
             )
 
@@ -174,6 +193,8 @@ def sample_frames(
         for batch in batches:
             ids, idxs, frames = [], [], []
             for asset_id, payload in zip(batch[id_col], batch[payload_col]):
+                if payload is None:  # null payload -> no frames, not a crash
+                    continue
                 n_frames = max(1, len(payload) // frame_bytes)
                 for k, frame_i in enumerate(range(0, n_frames, every_n)):
                     if k >= max_frames:

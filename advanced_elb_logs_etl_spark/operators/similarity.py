@@ -64,11 +64,16 @@ def brute_force_topk(
     the corpus side streams — no corpus shuffle until the k-row-per-query
     rank, which AQE coalesces to almost nothing.
     """
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # norms precomputed once per vector: per-pair work drops from three
+    # O(d) folds to one, with bit-identical results (same sqrt/product/div)
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+                       norm2(F.col(vec_col)).alias("q_n"))
+    c = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+                       norm2(F.col(vec_col)).alias("c_n"))
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
-        .select("q_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
+        .select("q_id", "neighbor_id",
+                (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))).alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -170,12 +175,16 @@ def refine_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Lloyd's k-means refinement of the IVF coarse quantizer: assign ->
-    per-cluster elementwise mean -> repeat. Deterministic (seed centroids in,
-    no randomness), so results are reproducible run to run.
+    per-cluster elementwise mean -> repeat. No randomness (seed centroids
+    in), but see the floating-point note below before assuming bit-exact
+    reproducibility.
 
     Physical form: posexplode the vectors to (cluster, dim, value) rows and
     hash-aggregate per (cluster, dim) — codegen, one shuffle per iteration,
     no driver-side math. Empty clusters keep their previous centroid.
+    Note: avg() accumulates doubles in partition order, so centroid values
+    are reproducible only up to floating ulps across different partition
+    layouts — do not build bit-exact contracts on refined centroids.
     Returns (vec_id=cluster id, embedding=array<double>) usable directly as
     the `centroids` argument of ivf_topk / assign_clusters.
     """
@@ -237,13 +246,23 @@ def _rp_hyperplanes(bits: int, dim: int) -> list[list[float]]:
 def rp_signatures(
     vectors: DataFrame,
     bits: int = RP_BITS,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Per-vector random-hyperplane signature: bit i = 1 iff dot(v, h_i) > 0.
     Cosine-similar vectors agree on most bits (P[bit match] = 1 - angle/pi).
-    Pure Column expressions; left-fold dots -> deterministic."""
+    Pure Column expressions; left-fold dots -> deterministic.
+
+    dim defaults to the actual embedding length (probed from the first row):
+    a wrong dim would null-poison the folds, zero every signature, and
+    silently degrade LSH to an all-pairs join."""
+    if dim is None:
+        first = vectors.select(F.size(F.col(vec_col)).alias("n")).first()
+        if first is None:
+            dim = 1  # empty input; any plane works
+        else:
+            dim = int(first.n)
     planes = _rp_hyperplanes(bits, dim)
     sig = None
     for i, row in enumerate(planes):
@@ -277,14 +296,6 @@ def rp_lsh_topk(
     the queries; at 100 TB materialize rp_sig as a stored column and
     partition by a band prefix."""
     seg = bits // bands
-
-    def band_cols(df, tag):
-        return [
-            F.shiftright(F.col(f"{tag}_sig"), b * seg)
-            .bitwiseAND(F.lit((1 << seg) - 1))
-            .alias(f"{tag}_band{b}")
-            for b in range(bands)
-        ]
 
     v = rp_signatures(vectors, bits, dim, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),

@@ -43,12 +43,18 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
 
+    # the right side rides as ONE struct: last(ignorenulls) must pick all
+    # attributes from the SAME right row — per-column carries would stitch a
+    # null attribute of the newest state together with stale older values
+    r_struct_type = F.struct(*[F.col(c) for c in value_cols])
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(
+            right.select(r_struct_type.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
     )
     r_tagged = right.select(
         F.col(on).alias("_k"),
@@ -57,7 +63,7 @@ def asof_join(
         F.lit(None).cast(
             l_tagged.schema["_l"].dataType
         ).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        r_struct_type.alias("_r"),
     )
     # tie order: right rows sort BEFORE left rows at equal timestamps, so a
     # state change at exactly t is visible to a left row at t (<=). With
@@ -72,14 +78,11 @@ def asof_join(
     carried = unioned.select(
         "_side",
         "_l",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_r_{c}")
-            for c in value_cols
-        ],
+        F.last(F.col("_r"), ignorenulls=True).over(w).alias("_r"),
     )
     out = carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[F.col(f"_r.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
     return out
 
@@ -146,10 +149,15 @@ def range_join(
     )
     if how == "inner":
         return matched
-    # left join: re-attach unmatched left rows with nulls
-    unmatched = left.join(
-        matched.select(*left.columns).distinct(), left.columns, "left_anti"
-    )
+    # left join: re-attach unmatched left rows with nulls. Null-SAFE
+    # equality: with plain equality a left row containing any NULL column
+    # never matches itself in the anti-join and would be emitted twice.
+    m = matched.select(*left.columns).distinct().alias("_m")
+    cond = None
+    for c in left.columns:
+        term = F.col(f"_lf.{c}").eqNullSafe(F.col(f"_m.{c}"))
+        cond = term if cond is None else cond & term
+    unmatched = left.alias("_lf").join(m, cond, "left_anti")
     for c in ivl_cols:
         if on is not None and c == on:
             continue

@@ -24,11 +24,18 @@ from .catalog import _t, register
 # like a warehouse materialized view. Bounded: one entry per sf_dir, O(corpus
 # shingle count) longs each.
 _HASHED_CACHE: dict = {}
+_HASHED_CACHE_MAX = 4  # FIFO-evict (and unpersist) beyond this many entries
 
 
 def _hashed_docs(spark: SparkSession, sf_dir: str):
     key = (id(spark.sparkContext), sf_dir)
     if key not in _HASHED_CACHE:
+        while len(_HASHED_CACHE) >= _HASHED_CACHE_MAX:
+            _, old = _HASHED_CACHE.popitem()
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # stopped context; nothing to release
         frame = dedup.with_shingle_hashes(_t(spark, sf_dir, "documents")).persist()
         _HASHED_CACHE[key] = frame
     return _HASHED_CACHE[key]
@@ -108,8 +115,8 @@ FROM sh
 
 @register("minhash_signatures", _MINHASH_ORACLE)
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc {NUM_HASHES}-hash MinHash signature — narrow map over the
-    corpus scan, no shuffle; value-exact vs the md5-based SQL twin."""
+    """Per-doc MinHash signature (NUM_HASHES=16 columns) — narrow map over
+    the corpus scan, no shuffle; value-exact vs the md5-based SQL twin."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_signatures(docs, hashed=_hashed_docs(spark, sf_dir))
 
@@ -198,7 +205,7 @@ _SIMHASH_ORACLE = f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sims"
 
 @register("simhash_signatures", _SIMHASH_ORACLE)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{SIMHASH_BITS}-bit SimHash per doc: explode distinct tokens -> one
+    """60-bit SimHash per doc: explode distinct shingle hashes -> one
     hash aggregation with per-bit +/-1 votes -> bit-pack. Single shuffle."""
     return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
 
@@ -505,12 +512,7 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest id; survivors keep flowing. This is the operator an LLM data
     pipeline actually runs — find, cluster, keep-one."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_neardup_pairs(docs, hashed=_hashed_docs(spark, sf_dir))
-    comps = dedup.neardup_components(pairs)
-    victims = comps.filter(F.col("doc_id") != F.col("component")).select(
-        F.col("doc_id").alias("_victim")
-    )
-    survivors = docs.join(victims, docs.doc_id == F.col("_victim"), "left_anti")
+    survivors = dedup.dedup_corpus(docs, hashed=_hashed_docs(spark, sf_dir))
     return survivors.select("doc_id", "lang", "source")
 
 
@@ -567,8 +569,8 @@ FROM ranked WHERE rank <= 5
 
 @register("rp_lsh_topk", _RP_ORACLE)
 def q_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (random hyperplanes, {RP_BITS} bits, {RP_BANDS}
-    bands): corpus vectors sharing a signature band with the query are
+    """LSH-bucketed ANN (random hyperplanes, 24 bits, 8 x 3-bit bands):
+    corpus vectors sharing a signature band with the query are
     candidates; exact cosine ranks them. Deterministic end to end (literal
     md5-derived hyperplanes + left-fold dots), so unlike typical ANN this
     approximate path is VALUE-exact against the SQL oracle."""
