@@ -20,12 +20,32 @@ Determinism contract (shared with the DuckDB oracle): embeddings are cast
 float->double elementwise, dot products and norms are LEFT folds in index
 order, cosine = dot / (sqrt(n_a) * sqrt(n_b)) — bit-identical across
 engines, so even rank ties order identically under (cos DESC, id).
+
+Two physical forms of the SAME fold:
+
+- Column-expression form (`dot`/`norm2`/`cosine`): F.aggregate + zip_with.
+  These are CodegenFallback expressions — interpreted per row, measured
+  5-7x slower than codegen — kept as the SQL-shaped reference form and for
+  composition inside pure-SQL contexts.
+- Arrow/NumPy kernel form (`dot_v`/`norm_v`, default in every operator
+  here): a pandas_udf that materializes the per-element float64 products
+  and then accumulates them COLUMN BY COLUMN in index order. Per row this
+  executes the identical IEEE-754 operation sequence ((0 + p0) + p1) + ...
+  as the fold, so results are BIT-identical (pinned by
+  tests/test_vectorized_parity.py), while rows batch through Arrow and the
+  per-dimension adds vectorize across the batch. This is the scale path:
+  the 100 TB corpus scan pays ~d vector ops per Arrow batch instead of an
+  interpreted expression tree per row.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 
 def _as_double(arr: Column) -> Column:
@@ -33,7 +53,7 @@ def _as_double(arr: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Left-fold dot product. SQL twin:
+    """Left-fold dot product (interpreted reference form). SQL twin:
     list_reduce(list_transform(generate_series(1, len(a)),
                 i -> a[i]::DOUBLE * b[i]::DOUBLE), (x, y) -> x + y)"""
     return F.aggregate(
@@ -51,12 +71,123 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm2(a) * norm2(b))
 
 
+# -- Arrow/NumPy kernels: bit-identical to the folds above, vectorized -------
+
+
+def _stack_valid(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(valid-row mask, (n_valid, d) float64 matrix) from an Arrow array
+    column. float32 -> float64 elementwise is exact, matching the Column
+    form's x.cast('double')."""
+    vals = s.tolist()
+    mask = np.array([v is not None for v in vals], dtype=bool)
+    if not mask.any():
+        return mask, np.zeros((0, 0))
+    mat = np.stack([np.asarray(vals[i], dtype=np.float64) for i in np.flatnonzero(mask)])
+    return mask, mat
+
+
+def _fold_dot_np(prods: np.ndarray) -> np.ndarray:
+    """Accumulate a (n, d) product matrix column-by-column: per row this is
+    the exact float64 left fold ((0 + p0) + p1) + ... — the same operation
+    sequence as F.aggregate and DuckDB list_reduce, hence bit-identical."""
+    acc = np.zeros(prods.shape[0], dtype=np.float64)
+    for i in range(prods.shape[1]):
+        acc = acc + prods[:, i]
+    return acc
+
+
+def _masked_out(out: np.ndarray, mask: np.ndarray) -> pd.Series:
+    """float64 results + validity mask -> Series that Arrow reads as
+    double-with-NULLs. Object dtype with explicit None, NOT .where(...):
+    .where fills float NaN, which Arrow would emit as NaN instead of NULL,
+    diverging from the fold form's null propagation."""
+    if mask.all():
+        return pd.Series(out)
+    return pd.Series([out[i] if mask[i] else None for i in range(len(out))], dtype=object)
+
+
+@pandas_udf(T.DoubleType())
+def _dot_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+    mask_a, mat_a = _stack_valid(a)
+    mask_b, mat_b = _stack_valid(b)
+    mask = mask_a & mask_b
+    out = np.full(len(a), np.nan)
+    if mask.all() and len(mask):
+        out = _fold_dot_np(mat_a * mat_b)
+    elif mask.any():
+        # sides had different null rows: re-stack against the joint mask
+        idx = np.flatnonzero(mask)
+        mat_a = np.stack([np.asarray(a.iloc[i], dtype=np.float64) for i in idx])
+        mat_b = np.stack([np.asarray(b.iloc[i], dtype=np.float64) for i in idx])
+        out[mask] = _fold_dot_np(mat_a * mat_b)
+    return _masked_out(out, mask)
+
+
+@pandas_udf(T.DoubleType())
+def _norm_kernel(a: pd.Series) -> pd.Series:
+    mask, mat = _stack_valid(a)
+    out = np.full(len(a), np.nan)
+    if mask.any():
+        out[mask] = np.sqrt(_fold_dot_np(mat * mat))  # np.sqrt: correctly
+        # rounded IEEE-754, identical to java Math.sqrt / DuckDB sqrt
+    return _masked_out(out, mask)
+
+
+@pandas_udf(T.DoubleType())
+def _cosine_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Fused cosine: dot, both norms, sqrt and divide in ONE Python stage
+    (three separate kernels would each pay an ArrowEval stage's scheduling
+    overhead). Identical IEEE op sequence to dot/(sqrt(aa)*sqrt(bb)), so
+    still bit-exact vs the fold form and the SQL twin."""
+    mask_a, mat_a = _stack_valid(a)
+    mask_b, mat_b = _stack_valid(b)
+    mask = mask_a & mask_b
+    out = np.full(len(a), np.nan)
+    if mask.all() and len(mask):
+        out = _fold_dot_np(mat_a * mat_b) / (
+            np.sqrt(_fold_dot_np(mat_a * mat_a)) * np.sqrt(_fold_dot_np(mat_b * mat_b))
+        )
+    elif mask.any():
+        idx = np.flatnonzero(mask)
+        mat_a = np.stack([np.asarray(a.iloc[i], dtype=np.float64) for i in idx])
+        mat_b = np.stack([np.asarray(b.iloc[i], dtype=np.float64) for i in idx])
+        out[mask] = _fold_dot_np(mat_a * mat_b) / (
+            np.sqrt(_fold_dot_np(mat_a * mat_a)) * np.sqrt(_fold_dot_np(mat_b * mat_b))
+        )
+    return _masked_out(out, mask)
+
+
+def dot_v(a: Column, b: Column) -> Column:
+    """Vectorized dot — bit-identical to `dot` (see module docstring)."""
+    return _dot_kernel(a, b)
+
+
+def norm_v(a: Column) -> Column:
+    """Vectorized L2 norm — bit-identical to `norm2`."""
+    return _norm_kernel(a)
+
+
+def cosine_v(a: Column, b: Column) -> Column:
+    """Vectorized cosine — bit-identical to `cosine` (fused kernel: one
+    Python stage per evaluation site)."""
+    return _cosine_kernel(a, b)
+
+
+def _dot_fn(vectorized: bool):
+    return dot_v if vectorized else dot
+
+
+def _cos_fn(vectorized: bool):
+    return cosine_v if vectorized else cosine
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k for each query vector (self-matches excluded).
 
@@ -64,16 +195,18 @@ def brute_force_topk(
     the corpus side streams — no corpus shuffle until the k-row-per-query
     rank, which AQE coalesces to almost nothing.
     """
+    nrm = norm_v if vectorized else norm2
+    dt = _dot_fn(vectorized)
     # norms precomputed once per vector: per-pair work drops from three
     # O(d) folds to one, with bit-identical results (same sqrt/product/div)
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-                       norm2(F.col(vec_col)).alias("q_n"))
+                       nrm(F.col(vec_col)).alias("q_n"))
     c = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
-                       norm2(F.col(vec_col)).alias("c_n"))
+                       nrm(F.col(vec_col)).alias("c_n"))
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
         .select("q_id", "neighbor_id",
-                (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))).alias("cosine"))
+                (dt(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))).alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -88,9 +221,63 @@ def assign_clusters(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
+    m: int = 1,
 ) -> DataFrame:
-    """Nearest-centroid assignment by cosine (centroids broadcast).
-    Deterministic tie-break on centroid id."""
+    """Top-m nearest-centroid assignment by cosine. Deterministic tie-break
+    on centroid id. m=1 is classic hard assignment; m>1 is overlap
+    assignment (one row per (vector, cluster)) — the blocking trick that
+    buys near-dup recall without widening any single cluster.
+
+    Default physical form: the centroid table is collected (it is tiny by
+    IVF construction — C x d doubles) and shipped as a NumPy closure into
+    ONE narrow pandas_udf over the corpus: no join, no window shuffle, the
+    kernel emits each vector's top-m cluster ids directly. Per pair it
+    computes dot/(sqrt(aa)*sqrt(bb)) with the same fold order as the
+    Column form, and orders by (sim DESC, centroid_id) with Spark's
+    NaN-greatest/NULLS-LAST semantics — so the assignment is IDENTICAL to
+    the vectorized=False reference plan (broadcast join + row_number),
+    which remains available and pinned against this one in
+    tests/test_vectorized_parity.py."""
+    if vectorized:
+        cent_rows = sorted(
+            ((r[0], r[1]) for r in centroids.select(F.col(id_col), F.col(vec_col)).collect()),
+            key=lambda t: t[0],
+        )
+        if not cent_rows:
+            schema = vectors.select(F.col(id_col), F.col(vec_col)).schema.add(
+                "cluster", centroids.schema[id_col].dataType
+            )
+            return vectors.sparkSession.createDataFrame([], schema)
+        cent_ids = np.array([t[0] for t in cent_rows], dtype=np.int64)
+        cent_mat = np.stack([np.asarray(t[1], dtype=np.float64) for t in cent_rows])
+        cent_norm = np.sqrt(_fold_dot_np(cent_mat * cent_mat))
+        top_m = min(m, len(cent_ids))
+        null_vec_clusters = [int(x) for x in cent_ids[:top_m]]  # all-null sims
+        # -> pure id tie-break, like the window form's NULLS LAST ordering
+
+        @pandas_udf(T.ArrayType(T.LongType()))
+        def topm(v: pd.Series) -> pd.Series:
+            mask, mat = _stack_valid(v)
+            results: list[list[int] | None] = [null_vec_clusters] * len(v)
+            if mat.size:
+                v_norm = np.sqrt(_fold_dot_np(mat * mat))
+                sims = np.empty((mat.shape[0], len(cent_ids)))
+                for j in range(len(cent_ids)):
+                    sims[:, j] = _fold_dot_np(mat * cent_mat[j]) / (v_norm * cent_norm[j])
+                # Spark orders NaN as greatest under DESC: map NaN -> +inf
+                key = np.where(np.isnan(sims), np.inf, sims)
+                rows = np.flatnonzero(mask)
+                for out_i, row in enumerate(rows):
+                    order = np.lexsort((cent_ids, -key[out_i]))[:top_m]
+                    results[row] = [int(x) for x in cent_ids[order]]
+            return pd.Series(results, dtype=object)
+
+        v = vectors.select(F.col(id_col), F.col(vec_col))
+        return v.select(
+            id_col, vec_col, F.explode(topm(F.col(vec_col))).alias("cluster")
+        )
+
     c = centroids.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid"))
     v = vectors.select(F.col(id_col), F.col(vec_col))
     scored = v.join(F.broadcast(c)).select(
@@ -99,7 +286,7 @@ def assign_clusters(
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= m)
         .select(id_col, vec_col, F.col("centroid_id").alias("cluster"))
     )
 
@@ -112,31 +299,37 @@ def ivf_topk(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """IVF-style ANN: search only the nprobe clusters nearest each query.
 
     Same output shape as brute_force_topk; recall is approximate. The
     candidate join is cluster-equi (shuffle on tiny cluster ids) instead of
     a full cross join."""
-    assigned = assign_clusters(vectors, centroids, id_col, vec_col)
+    dt, nrm = _dot_fn(vectorized), (norm_v if vectorized else norm2)
+    cs = _cos_fn(vectorized)
+    assigned = assign_clusters(vectors, centroids, id_col, vec_col, vectorized=vectorized)
     c = centroids.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid"))
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+                       nrm(F.col(vec_col)).alias("q_n"))
     q_scored = q.join(F.broadcast(c)).select(
-        "q_id", "q_vec", "centroid_id", cosine(F.col("q_vec"), F.col("centroid")).alias("sim")
+        "q_id", "q_vec", "q_n", "centroid_id",
+        cs(F.col("q_vec"), F.col("centroid")).alias("sim"),
     )
     wq = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
     q_probes = (
         q_scored.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
-        .select("q_id", "q_vec", F.col("centroid_id").alias("cluster"))
+        .select("q_id", "q_vec", "q_n", F.col("centroid_id").alias("cluster"))
     )
     cands = q_probes.join(
         assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
-                        "cluster"),
+                        nrm(F.col(vec_col)).alias("nb_n"), "cluster"),
         "cluster",
     ).filter(F.col("q_id") != F.col("neighbor_id"))
     scored = cands.select(
-        "q_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine")
+        "q_id", "neighbor_id",
+        (dt(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("nb_n"))).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -151,18 +344,76 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all pairs with cosine >=
     threshold. Exact all-pairs form — the dedup ground truth for embedding
     space, O(n^2 d); bound the input (subset, or one IVF cluster at a time
-    via assign_clusters) before calling at scale. The scalable approximate
-    form is: assign_clusters -> per-cluster all-pairs -> union, which misses
+    via assign_clusters) before calling at scale. The scalable form is
+    embedding_neardup_blocked below: per-cluster pairs only, which misses
     only cross-cluster pairs (same trade as any IVF probe)."""
+    cs = _cos_fn(vectorized)
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine_raw"))
+        .select("id_a", "id_b", cs(F.col("v_a"), F.col("v_b")).alias("cosine_raw"))
+        .filter(F.col("cosine_raw") >= threshold)
+    )
+
+
+def embedding_neardup_blocked(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    overlap: int = 1,
+    vectorized: bool = True,
+) -> DataFrame:
+    """Scalable embedding near-dup: cluster-blocked pairs instead of all
+    pairs. assign_clusters(m=overlap) maps each vector to its top-`overlap`
+    clusters; candidate pairs come from a CLUSTER-EQUI self-join (hash
+    shuffle on cluster id, never a cross join), are deduped, then the exact
+    cosine threshold filters. Misses only pairs sharing NO top-overlap
+    cluster — overlap is the recall knob (measured on the near-orthogonal
+    synthetic corpus: 0.29 at overlap=1, 0.80 at overlap=3, C=16), centroid
+    count C is the cost knob (candidate volume ~ overlap^2/C of the pair
+    space per uniform cluster).
+
+    At 100 TB: materialize `cluster` as a stored partition column; each
+    cluster's pair generation is then partition-local. Deterministic end to
+    end, so value-exact against a SQL twin that reproduces the same
+    assignment (plans/catalog_llm.py)."""
+    dt, nrm = _dot_fn(vectorized), (norm_v if vectorized else norm2)
+    assigned = assign_clusters(
+        vectors, centroids, id_col, vec_col, vectorized=vectorized, m=overlap
+    )
+    # candidate ids stay SLIM through the self-join and dedup (16 bytes/row,
+    # not 1 KB of vector payload); embeddings + precomputed norms attach
+    # afterwards by equi-join, so each surviving pair costs ONE dot kernel.
+    # Same shape as minhash_neardup_pairs' candidates->verify split.
+    # localCheckpoint: both self-join sides reference the assignment — the
+    # checkpoint materializes the (id, cluster) rows once instead of running
+    # the scoring subtree twice (same reason dedup's CC loop checkpoints).
+    ids = assigned.select(F.col(id_col), "cluster").localCheckpoint(eager=True)
+    cands = (
+        ids.select(F.col(id_col).alias("id_a"), "cluster")
+        .join(ids.select(F.col(id_col).alias("id_b"), "cluster"), "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    if overlap > 1:  # same pair can surface from several shared clusters
+        cands = cands.distinct()
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+                        nrm(F.col(vec_col)).alias("n_a"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+                        nrm(F.col(vec_col)).alias("n_b"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b",
+                (dt(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))).alias("cosine_raw"))
         .filter(F.col("cosine_raw") >= threshold)
     )
 
@@ -243,16 +494,42 @@ def _rp_hyperplanes(bits: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def _rp_sig_kernel(planes: list[list[float]]):
+    """Arrow/NumPy twin of the fold-expression signature: per hyperplane, a
+    column-by-column left-fold dot (bit-identical, see _fold_dot_np) and a
+    strict >0 bit test. One pandas_udf evaluates all `bits` planes per
+    batch — replaces `bits` interpreted fold expressions per row."""
+    H = np.array(planes, dtype=np.float64)  # (bits, dim)
+
+    @pandas_udf(T.LongType())
+    def sig(v: pd.Series) -> pd.Series:
+        mask, mat = _stack_valid(v)
+        full = np.zeros(len(v), dtype=np.int64)  # null vec -> 0, like the
+        # fold form (null dot -> when() otherwise-branch -> all bits 0)
+        if mat.size:
+            acc_bits = np.zeros(mat.shape[0], dtype=np.int64)
+            for i in range(H.shape[0]):
+                d = _fold_dot_np(mat * H[i])
+                acc_bits |= (d > 0).astype(np.int64) << i
+            full[mask] = acc_bits
+        return pd.Series(full)
+
+    return sig
+
+
 def rp_signatures(
     vectors: DataFrame,
     bits: int = RP_BITS,
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Per-vector random-hyperplane signature: bit i = 1 iff dot(v, h_i) > 0.
     Cosine-similar vectors agree on most bits (P[bit match] = 1 - angle/pi).
-    Pure Column expressions; left-fold dots -> deterministic.
+    Deterministic: left-fold dots in both physical forms (the default
+    NumPy kernel reproduces the fold bit-for-bit; vectorized=False keeps
+    the pure Column-expression plan).
 
     dim defaults to the actual embedding length (probed from the first row):
     a wrong dim would null-poison the folds, zero every signature, and
@@ -264,6 +541,11 @@ def rp_signatures(
         else:
             dim = int(first.n)
     planes = _rp_hyperplanes(bits, dim)
+    if vectorized:
+        kern = _rp_sig_kernel(planes)
+        return vectors.select(
+            F.col(id_col), F.col(vec_col), kern(F.col(vec_col)).alias("rp_sig")
+        )
     sig = None
     for i, row in enumerate(planes):
         h_arr = F.array(*[F.lit(x) for x in row])
@@ -286,6 +568,7 @@ def rp_lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """LSH-bucketed ANN: candidates are corpus vectors sharing at least one
     signature band with the query; exact cosine ranks them. Recall < 1 by
@@ -296,33 +579,35 @@ def rp_lsh_topk(
     the queries; at 100 TB materialize rp_sig as a stored column and
     partition by a band prefix."""
     seg = bits // bands
+    dt, nrm = _dot_fn(vectorized), (norm_v if vectorized else norm2)
 
-    v = rp_signatures(vectors, bits, dim, id_col, vec_col).select(
+    v = rp_signatures(vectors, bits, dim, id_col, vec_col, vectorized=vectorized).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
-        F.col("rp_sig").alias("c_sig"),
+        nrm(F.col(vec_col)).alias("c_n"), F.col("rp_sig").alias("c_sig"),
     )
-    q = rp_signatures(queries, bits, dim, id_col, vec_col).select(
+    q = rp_signatures(queries, bits, dim, id_col, vec_col, vectorized=vectorized).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-        F.col("rp_sig").alias("q_sig"),
+        nrm(F.col(vec_col)).alias("q_n"), F.col("rp_sig").alias("q_sig"),
     )
-    v_bands = v.select("neighbor_id", "c_vec", F.explode(F.array(*[
+    v_bands = v.select("neighbor_id", "c_vec", "c_n", F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.shiftright("c_sig", b * seg).bitwiseAND(F.lit((1 << seg) - 1)).alias("key"))
         for b in range(bands)
-    ])).alias("bk")).select("neighbor_id", "c_vec", "bk.band", "bk.key")
-    q_bands = q.select("q_id", "q_vec", F.explode(F.array(*[
+    ])).alias("bk")).select("neighbor_id", "c_vec", "c_n", "bk.band", "bk.key")
+    q_bands = q.select("q_id", "q_vec", "q_n", F.explode(F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.shiftright("q_sig", b * seg).bitwiseAND(F.lit((1 << seg) - 1)).alias("key"))
         for b in range(bands)
-    ])).alias("bk")).select("q_id", "q_vec", "bk.band", "bk.key")
+    ])).alias("bk")).select("q_id", "q_vec", "q_n", "bk.band", "bk.key")
     cands = (
         q_bands.join(v_bands, ["band", "key"])
         .filter(F.col("q_id") != F.col("neighbor_id"))
-        .select("q_id", "q_vec", "neighbor_id", "c_vec")
+        .select("q_id", "q_vec", "q_n", "neighbor_id", "c_vec", "c_n")
         .distinct()
     )
     scored = cands.select(
-        "q_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine")
+        "q_id", "neighbor_id",
+        (dt(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

@@ -342,14 +342,20 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ivf_cosine_topk", None)  # rows-only: oracle'd via pytest recall test
 def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: 16 deterministic centroids (vec_id < 16), nprobe=2.
-    Approximate by design — recall vs brute force is pinned in
-    tests/test_llm_ops.py, so no SQL oracle (the driver records rows-only)."""
+    """IVF ANN with a TRAINED coarse quantizer: 16 seed centroids (vec_id <
+    16) refined by 2 Lloyd iterations (similarity.refine_centroids — the
+    production IVF build step), then nprobe=2 search. Approximate by design
+    — recall vs brute force is pinned in tests/test_llm_ops.py, so no SQL
+    oracle (the driver records rows-only; refined centroids are avg()-based
+    and reproducible only up to partition-order ulps anyway)."""
     emb = _t(spark, sf_dir, "embeddings")
+    refined = similarity.refine_centroids(
+        emb, emb.filter(F.col("vec_id") < 16), iterations=2
+    )
     out = similarity.ivf_topk(
         emb,
         emb.filter(F.col("vec_id") < 8),
-        centroids=emb.filter(F.col("vec_id") < 16),
+        centroids=refined,
         k=5,
         nprobe=2,
     )
@@ -404,11 +410,59 @@ WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4
 @register("embedding_neardup_pairs", _EMB_NEARDUP_ORACLE)
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact all-pairs ground truth,
-    bounded to vec_id < 300 — the scale path blocks by IVF cluster first,
-    operators/similarity.py notes). Deterministic left-fold cosine: values
+    bounded to vec_id < 300 — the scale path is embedding_neardup_blocked
+    below, which runs UNBOUNDED). Deterministic left-fold cosine: values
     bit-match the SQL twin."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     return similarity.embedding_neardup_pairs(emb, threshold=0.4)
+
+
+_BLOCKED_OVERLAP = 3
+
+_EMB_BLOCKED_ORACLE = f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS centroid
+           FROM embeddings WHERE vec_id < 16),
+v AS (SELECT vec_id, embedding FROM embeddings),
+scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         {_cos('v.embedding', 'c.centroid')} AS sim
+  FROM v CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, centroid_id AS cluster FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn <= {_BLOCKED_OVERLAP}
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)
+SELECT p.id_a, p.id_b, {_cos('x.embedding', 'y.embedding')} AS cosine_raw
+FROM pairs p
+JOIN embeddings x ON x.vec_id = p.id_a
+JOIN embeddings y ON y.vec_id = p.id_b
+WHERE {_cos('x.embedding', 'y.embedding')} >= 0.4
+"""
+
+
+@register("embedding_neardup_blocked", _EMB_BLOCKED_ORACLE)
+def q_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALABLE embedding near-dup: overlap-3 cluster blocking over the
+    FULL corpus (no row cap, unlike the all-pairs ground truth above). The
+    candidate join is cluster-equi — no cross join anywhere (asserted in
+    tests/test_plan_quality.py) — and the whole chain is deterministic, so
+    even this approximate path is VALUE-exact against the SQL twin, which
+    reproduces the same top-3 assignment and pair blocking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_blocked(
+        emb,
+        emb.filter(F.col("vec_id") < 16),
+        threshold=0.4,
+        overlap=_BLOCKED_OVERLAP,
+    )
 
 
 _WINNOW_ORACLE = f"""

@@ -58,6 +58,14 @@ def main() -> None:
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # engine, not first-touch costs.
     next(iter(CATALOG.values()))[0](spark, sf_dir).limit(1).collect()
+    # ... and the Arrow/Python worker pool (pandas_udf paths): daemon fork +
+    # Arrow IPC setup is a one-time-per-executor cost (~2 s) that would
+    # otherwise land on whichever similarity query happens to run first.
+    from pyspark.sql import functions as F  # noqa: E402
+
+    spark.range(32).repartition(32).select(
+        F.pandas_udf(lambda s: s * 2, "long")(F.col("id"))
+    ).collect()
 
     timings: dict[str, float] = {}
     for name, (fn, _) in CATALOG.items():

@@ -118,3 +118,18 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_events")
         spark.sql("DROP TABLE IF EXISTS b_users")
+
+
+def test_blocked_neardup_no_cross_join(spark):
+    """embedding_neardup_blocked's candidate generation must be a cluster
+    EQUI-join; the only nested-loop join allowed is the tiny centroid
+    broadcast inside assign_clusters. A CartesianProduct anywhere means the
+    blocking regressed to all-pairs."""
+    from advanced_elb_logs_etl_spark.plans.catalog_llm import q_embedding_neardup_blocked
+
+    plan = _plan(q_embedding_neardup_blocked(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the pair self-join duplicates the assign_clusters subtree (one per
+    # side), so exactly TWO 16-row centroid-broadcast BNLJs are expected;
+    # any more would mean a vector-pair nested loop crept in
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:3000]
