@@ -215,27 +215,56 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+#: Lane layout for the packed SimHash vote aggregation: 3 x 20-bit popcount
+#: lanes per long. A lane counts at most 2^20-1 = 1,048,575 distinct shingles
+#: per doc before carrying into its neighbor — ~1M tokens/doc, far above any
+#: real document; the arithmetic caps at ~2^60 < LONG_MAX.
+_SIMHASH_LANES = 3
+_SIMHASH_LANE_BITS = 20
+
+
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """60-bit SimHash over distinct SHINGLE hashes (word-order sensitive —
     token-set simhash degenerates on small vocabularies): bit b is 1 iff the
-    sum of (+1 / -1) votes from hash bit b is positive.
+    sum of (+1 / -1) votes from hash bit b is positive, equivalently iff
+    2 * popcount_b > n_shingles.
 
-    Shares the positional-shingle kernel; one distinct + one 60-column hash
+    Physical form: per-bit popcounts are LANE-PACKED, 3 x 20-bit lanes per
+    long, so the hash aggregation computes 20 packed sums + 1 count instead
+    of 60 single-bit sums (the 60-column aggregate constant was the measured
+    bottleneck: ~2.8 s for 5 000 docs at sf0.1). Unpack + threshold is a
+    cheap post-aggregation projection. Identical output values — the vote
+    identity sum(2*bit-1) > 0  <=>  2*sum(bit) > count needs no float math.
+
+    Shares the positional-shingle kernel; one distinct + one hash
     aggregation, all codegen."""
     from ..functions.hashing import positional_shingle_hash_rows
 
     hashed = positional_shingle_hash_rows(df, id_col, text_col).select(
         F.col(id_col), F.col("h")
     ).distinct()
-    votes = [
-        F.sum((F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    agg = hashed.groupBy(id_col).agg(*votes)
+    n_groups = (SIMHASH_BITS + _SIMHASH_LANES - 1) // _SIMHASH_LANES
+    packed_rows = []
+    for g in range(n_groups):
+        lanes = None
+        for lane in range(_SIMHASH_LANES):
+            b = g * _SIMHASH_LANES + lane
+            if b >= SIMHASH_BITS:
+                break
+            bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+            term = F.shiftleft(bit, lane * _SIMHASH_LANE_BITS)
+            lanes = term if lanes is None else lanes + term
+        packed_rows.append(F.sum(lanes).alias(f"g{g}"))
+    agg = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *packed_rows)
+    lane_mask = (1 << _SIMHASH_LANE_BITS) - 1
     packed = None
     for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+        g, lane = divmod(b, _SIMHASH_LANES)
+        cnt = F.shiftright(F.col(f"g{g}"), lane * _SIMHASH_LANE_BITS).bitwiseAND(
+            F.lit(lane_mask)
+        )
+        bit = F.when(cnt * 2 > F.col("_n"), F.lit(1 << b).cast("long")).otherwise(F.lit(0))
         packed = bit if packed is None else packed + bit
     return agg.select(F.col(id_col), packed.alias("simhash"))
 
