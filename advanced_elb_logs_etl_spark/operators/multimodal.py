@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode/feature-extraction kernels themselves are STUBS in this
-environment (no image/audio libraries in the container) — clearly marked
-below — but everything Spark-side is real and tested: the binary column
-schema, the mapInPandas batch shape (pandas DataFrames in/out), the output
-StructType, and the partitioning story.
+Image decode is REAL for uncompressed 24/32-bpp BMP (decode_bmp — a
+dependency-free container parse + NumPy pixel unpack, with an exact
+encode_bmp inverse), and routes through PIL for other formats when that is
+installed. Audio decode remains a STUB (no audio library in the container)
+— clearly marked below. Everything Spark-side is real and tested either
+way: the binary column schema, the mapInPandas batch shape (pandas
+DataFrames in/out), the output StructType, and the partitioning story.
 
 Scale notes:
 - Binary payloads ride in the same parquet row groups as their metadata;
@@ -39,12 +41,108 @@ ASSET_META_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """STUB — image decode requires an imaging library not present in this
-    container. The Spark plumbing around it (binary column -> mapInPandas
-    batches -> typed metadata) is real; swap this body for PIL/torchvision
-    in a real deployment."""
-    raise NotImplementedError("image decode stubbed: no imaging library in container")
+class ImageDecodeError(ValueError):
+    """Raised for malformed or unsupported image payloads."""
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Dependency-free decoder for uncompressed 24/32-bpp BMP (the one
+    format whose container is simple enough to parse without an imaging
+    library): BITMAPFILEHEADER + BITMAPINFOHEADER + BI_RGB pixel array.
+
+    Returns {"width", "height", "mode", "pixels"} where pixels is
+    top-to-bottom row-major RGB bytes (BMP stores rows bottom-up with
+    4-byte row padding; both are undone here). Raises ImageDecodeError on
+    anything malformed — callers route that to null metadata, never a
+    stage crash."""
+    import struct as _struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ImageDecodeError("not a BMP payload")
+    data_offset = _struct.unpack_from("<I", payload, 10)[0]
+    header_size = _struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ImageDecodeError(f"unsupported DIB header size {header_size}")
+    width, height = _struct.unpack_from("<ii", payload, 18)
+    planes, bpp = _struct.unpack_from("<HH", payload, 26)
+    compression = _struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or compression != 0 or bpp not in (24, 32):
+        raise ImageDecodeError(
+            f"unsupported BMP variant: planes={planes} bpp={bpp} compression={compression}"
+        )
+    if width <= 0 or height == 0 or width > 1 << 20 or abs(height) > 1 << 20:
+        raise ImageDecodeError(f"implausible dimensions {width}x{height}")
+    top_down = height < 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    row_stride = (width * bytes_pp + 3) & ~3  # rows pad to 4-byte boundary
+    need = data_offset + row_stride * height
+    if len(payload) < need:
+        raise ImageDecodeError(f"truncated pixel array: {len(payload)} < {need}")
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8, count=row_stride * height,
+                        offset=data_offset)
+    arr = arr.reshape(height, row_stride)[:, : width * bytes_pp]
+    arr = arr.reshape(height, width, bytes_pp)
+    if not top_down:
+        arr = arr[::-1]                     # undo bottom-up row order
+    rgb = arr[:, :, [2, 1, 0]]              # BMP stores BGR(A); emit RGB
+    return {"width": width, "height": height, "mode": "RGB",
+            "pixels": rgb.tobytes()}
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode an image payload to {"width", "height", "mode", "pixels"}.
+
+    BMP decodes natively (decode_bmp, no dependencies). Other formats use
+    PIL when importable; in this container PIL is absent, so they raise
+    ImageDecodeError — the mapInPandas kernels translate that to null
+    metadata rather than failing the stage."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+    except ImportError as exc:
+        raise ImageDecodeError(
+            "non-BMP image and no imaging library available"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    return {
+        "width": img.width,
+        "height": img.height,
+        "mode": "RGB",
+        "pixels": img.tobytes(),
+    }
+
+
+def encode_bmp(width: int, height: int, rgb_pixels: bytes) -> bytes:
+    """Encode top-to-bottom row-major RGB bytes as an uncompressed 24-bpp
+    BMP (the inverse of decode_bmp — exact round-trip, pinned in tests).
+    Used by resize_images to re-encode resampled pixels and by tests to
+    synthesize real image payloads without an imaging library."""
+    import struct as _struct
+
+    if len(rgb_pixels) != width * height * 3:
+        raise ImageDecodeError(
+            f"pixel buffer {len(rgb_pixels)} != {width}x{height}x3"
+        )
+    row_stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (row_stride - width * 3)
+    rows = []
+    for r in range(height - 1, -1, -1):  # BMP rows are bottom-up
+        row = rgb_pixels[r * width * 3: (r + 1) * width * 3]
+        # RGB -> BGR
+        rows.append(bytes(v for px in range(width)
+                          for v in (row[px * 3 + 2], row[px * 3 + 1], row[px * 3])))
+        rows.append(pad)
+    pixel_data = b"".join(rows)
+    header = _struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
+    dib = _struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pixel_data), 2835, 2835, 0, 0)
+    return header + dib + pixel_data
 
 
 def _fake_feature(payload: bytes, dim: int = 4) -> list[float]:
@@ -98,6 +196,64 @@ def extract_asset_metadata(
     )
 
 
+#: Output schema of decode_image_meta — real decoded-image metadata.
+DECODED_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("pixel_md5", T.StringType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def decode_image_meta(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL image decode via Arrow-batched mapInPandas: dimensions, mode and
+    a pixel-content hash per asset (decode_image — native BMP decoder, PIL
+    for other formats when installed). Undecodable payloads emit null
+    metadata plus the error string instead of failing the stage — at 100 TB
+    a corrupt asset must cost one row, not a task retry loop."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            widths, heights, modes, hashes, errs = [], [], [], [], []
+            for payload in batch[payload_col]:
+                if payload is None:
+                    widths.append(None); heights.append(None); modes.append(None)
+                    hashes.append(None); errs.append("null payload")
+                    continue
+                try:
+                    img = decode_image(bytes(payload))
+                except ImageDecodeError as exc:
+                    widths.append(None); heights.append(None); modes.append(None)
+                    hashes.append(None); errs.append(str(exc))
+                else:
+                    widths.append(img["width"]); heights.append(img["height"])
+                    modes.append(img["mode"])
+                    hashes.append(hashlib.md5(img["pixels"]).hexdigest())
+                    errs.append(None)
+            yield pd.DataFrame(
+                {
+                    "asset_id": batch[id_col],
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "mode": modes,
+                    "pixel_md5": hashes,
+                    "decode_error": errs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        process, schema=DECODED_META_SCHEMA
+    )
+
+
 def documents_as_binary_assets(docs: DataFrame) -> DataFrame:
     """Adapter for the synthetic corpus: text bytes as a stand-in payload
     column (real deployments read binary files via `binaryFile` format)."""
@@ -131,16 +287,33 @@ def resize_images(
     id_col: str = "asset_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Resize kernel plumbing: binary in -> binary out via Arrow-batched
-    mapInPandas. The pixel resample itself is STUBBED (no imaging library
-    in this container) with a deterministic fake — md5-keyed truncation to
-    width*height bytes — so the batch shapes, output schema, and payload
-    round-trip are real and testable; swap `_fake_resize` for
-    PIL.Image.resize in deployment."""
+    """Resize via Arrow-batched mapInPandas: binary in -> binary out.
+
+    Decodable payloads (BMP natively; anything PIL handles when installed)
+    get a REAL nearest-neighbor resample — NumPy index sampling on the
+    decoded pixel matrix, re-encoded as 24-bpp BMP, deterministic and
+    library-free. Undecodable payloads fall back to the md5-keyed
+    deterministic fake so the 1:1 batch plumbing stays testable on
+    arbitrary bytes (the synthetic corpus is text-as-binary)."""
+
+    import numpy as np
 
     def _fake_resize(payload: bytes) -> bytes:
         target = max(1, min(len(payload), width * height))
         return hashlib.md5(payload).digest() + payload[:target]
+
+    def _resize(payload: bytes) -> bytes:
+        try:
+            img = decode_image(bytes(payload))
+        except ImageDecodeError:
+            return _fake_resize(payload)
+        src = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(
+            img["height"], img["width"], 3
+        )
+        rows = (np.arange(height) * img["height"]) // height
+        cols = (np.arange(width) * img["width"]) // width
+        resampled = src[rows][:, cols]
+        return encode_bmp(width, height, resampled.tobytes())
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -151,7 +324,7 @@ def resize_images(
                     "height": height,
                     "resized_payload": pd.Series(
                         [
-                            _fake_resize(b) if b is not None else None
+                            _resize(b) if b is not None else None
                             for b in batch[payload_col]
                         ],
                         dtype="object",
