@@ -12,7 +12,14 @@ quoted multi-token fields, quotes stripped). Known divergences on
 non-ALB-shaped adversarial input, each pinned by tests/test_parse.py:
 - backslash escapes: shlex(posix) processes them, CSV does not (ALB never
   emits backslashes outside quoted payloads);
-- adjacent quoted segments ('a"b"c'): shlex concatenates, CSV does not.
+- adjacent quoted segments ('a"b"c'): shlex concatenates, CSV does not;
+- whitespace RUNS / tabs outside quotes: shlex collapses them, the CSV
+  tokenizer would emit an empty token per extra space and silently shift
+  every later column binding. Such lines are therefore REJECTED here (the
+  `_ws_ok` gate below): the reference parses them, we drop them — a safe,
+  documented divergence (ALB emits exactly one space between fields;
+  a whitespace run means a corrupt line, and a misaligned bind would be
+  far worse than a drop).
 
 Arity (P2): token count is computed by blanking quoted spans and counting
 separators — lines with fewer than 29 tokens are dropped, extras beyond the
@@ -51,9 +58,22 @@ _TS_FMT_FRAC = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
 _TS_FMT_SEC = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 
 
+def _blank_quoted(value: Column) -> Column:
+    """The line with quoted spans collapsed to 'Q' — the shared basis for
+    token counting and the whitespace-run malformation gate."""
+    return F.regexp_replace(F.trim(value), '"[^"]*"', "Q")
+
+
 def token_count(value: Column) -> Column:
     """Number of shlex-style tokens: blank out quoted spans, count separators."""
-    return F.size(F.split(F.regexp_replace(F.trim(value), '"[^"]*"', "Q"), " "))
+    return F.size(F.split(_blank_quoted(value), " "))
+
+
+def _ws_ok(value: Column) -> Column:
+    """False for lines with a whitespace RUN or a tab outside quoted spans:
+    the CSV tokenizer would bind such lines misaligned (one empty token per
+    extra space), so they are dropped instead (module docstring)."""
+    return ~_blank_quoted(value).rlike("  |\t")
 
 
 def parse_timestamp_utc(raw: Column) -> Column:
@@ -135,8 +155,9 @@ def parse_alb_lines(
         *( [F.col(source_col)] if has_source else [] ),
         value.alias("_raw"),
         token_count(value).alias("_ntok"),
+        _ws_ok(value).alias("_ws_ok"),
         F.from_csv(value, _CSV_SCHEMA, _CSV_OPTIONS).alias("_t"),
-    ).filter(F.col("_ntok") >= len(ELB_LOG_COLUMNS))
+    ).filter((F.col("_ntok") >= len(ELB_LOG_COLUMNS)) & F.col("_ws_ok"))
 
     raw_cols = [
         F.col(f"_t.c{i}").alias(name) for i, name in enumerate(ELB_LOG_COLUMNS) if name != "time"

@@ -114,6 +114,13 @@ def write_cleaned_logs(df: DataFrame, path: str) -> None:
     formatting — zero-padded month/day, null country -> 'UNK' — and
     stringified Eastern `time`.
 
+    DELIBERATE divergence (ROUND1_NOTES §deliberate-divergences): in the
+    reference, pandas groupby(dropna=True) over the partition columns
+    silently DROPS rows with null countryCode, so its own 'UNK' branch
+    (:331) is unreachable dead code. This sink keeps those rows under the
+    UNK partition — losing rows because one dimension is null is a data
+    loss bug, and UNK is clearly what the reference author intended.
+
     One `partitionBy` write instead of the reference's sequential per-group
     loop; at scale add .repartition(partition_cols) first if small-file
     explosion matters (AQE coalescing already bounds it per task)."""

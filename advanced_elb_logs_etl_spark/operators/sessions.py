@@ -123,12 +123,28 @@ def add_session_features(
     ts: str = "time",
     proc_time_col: str = "total_processing_time_ms",
     request_col: str = "request",
+    order_tiebreak: str | None = None,
 ) -> DataFrame:
     """The reference's full W1-W7 block (:303-319) in one pass: sessionize +
     5-minute rolling count + 60-minute rolling mean. All windows share one
-    partitioning on ``key`` — a single shuffle."""
-    out = sessionize(df, key=key, ts=ts)
+    partitioning on ``key`` — a single shuffle.
+
+    Determinism on exact timestamp ties: the reference's pandas stable sort
+    keeps input order; an unordered Spark window would make prev_time /
+    session ids run-dependent. With no ``order_tiebreak`` column given, a
+    row-content hash (xxhash64 over all columns) breaks ties
+    deterministically — identical duplicate rows remain interchangeable,
+    which is value-irrelevant (equal timestamps produce the same lag/flag
+    either way). The rolling RANGE frames need no tiebreak: they are
+    tie-INCLUSIVE by SQL semantics (module docstring)."""
+    tmp = None
+    if order_tiebreak is None:
+        tmp = "_order_tiebreak"
+        df = df.withColumn(tmp, F.xxhash64(*[F.col(c) for c in df.columns]))
+        order_tiebreak = tmp
+    out = sessionize(df, key=key, ts=ts, order_tiebreak=order_tiebreak)
     out = rolling_count(out, key=key, ts=ts, value_col=request_col, window_sec=300,
                         out_col="rolling_5min_req_count")
-    return rolling_avg(out, key=key, ts=ts, value_col=proc_time_col, window_sec=3600,
-                       out_col="rolling_1h_avg_proc_time")
+    out = rolling_avg(out, key=key, ts=ts, value_col=proc_time_col, window_sec=3600,
+                      out_col="rolling_1h_avg_proc_time")
+    return out.drop(tmp) if tmp else out

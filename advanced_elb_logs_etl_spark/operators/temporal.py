@@ -124,7 +124,12 @@ def range_join(
         return ((x - F.pmod(x, F.lit(bucket_us))) / F.lit(bucket_us)).cast("long")
 
     ivl_cols = intervals.columns
-    exploded = intervals.withColumn(
+    # Degenerate intervals (end <= start, incl. null bounds) are dropped
+    # BEFORE the explode. They can never satisfy start <= t < end, so the
+    # result is unchanged — but without this guard one corrupt row with end
+    # far before start would make F.sequence (step -1 when start > stop)
+    # emit a huge DESCENDING bucket array and OOM an executor.
+    exploded = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "_bucket",
         F.explode(
             F.sequence(

@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from advanced_elb_logs_etl_spark.operators.features import add_features
+from advanced_elb_logs_etl_spark.operators.sessions import add_session_features
 from advanced_elb_logs_etl_spark.sources.elb import read_alb_lines
 from elb_fixtures import corpus, make_line, write_gz
 
@@ -79,3 +80,35 @@ def test_pipeline_checkpoint_materialization(spark, tmp_path):
     paths = run_pipeline(spark, config, transport=None)
     assert spark.read.parquet(ckpt).count() == 13
     assert spark.read.parquet(paths["cleaned_logs"]).count() == 13
+
+
+def test_session_tiebreak_deterministic_on_equal_timestamps(spark):
+    """ADVICE r1 pin: on duplicate (key, time) pairs the pipeline path
+    (add_session_features, no explicit tiebreak) must order by a row-content
+    hash, so prev_time / new_session / session_id are identical regardless
+    of input row order or partitioning."""
+    t0 = datetime(2025, 1, 1, 12, 0, tzinfo=timezone.utc)
+    rows = [
+        ("1.1.1.1", t0, 10.0, "GET /a"),
+        ("1.1.1.1", t0, 20.0, "GET /b"),      # exact tie with /a
+        ("1.1.1.1", t0, 30.0, "GET /c"),      # three-way tie
+        ("1.1.1.1", datetime(2025, 1, 1, 13, 0, tzinfo=timezone.utc), 40.0, "GET /d"),
+    ]
+    schema = ("client_ip string, time timestamp, "
+              "total_processing_time_ms double, request string")
+
+    def run(ordering):
+        df = spark.createDataFrame(ordering, schema).repartition(4)
+        out = add_session_features(df)
+        return sorted(
+            (r.request, r.prev_time, r.new_session, r.session_id,
+             r.rolling_5min_req_count, r.rolling_1h_avg_proc_time)
+            for r in out.collect()
+        )
+
+    first = run(rows)
+    assert first == run(list(reversed(rows)))
+    assert first == run([rows[2], rows[0], rows[3], rows[1]])
+    # the helper tiebreak column must not leak into the output schema
+    df = spark.createDataFrame(rows, schema)
+    assert "_order_tiebreak" not in add_session_features(df).columns

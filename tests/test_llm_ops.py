@@ -102,8 +102,8 @@ def test_multimodal_metadata_and_stub(spark, docs):
         assert r.payload_bytes == len(payload)
         assert r.payload_md5 == hashlib.md5(payload).hexdigest()
         assert len(r.feature) == 4 and all(0 <= x < 1 for x in r.feature)
-    # the decode kernel itself is stubbed in this container, loudly
-    with pytest.raises(NotImplementedError):
+    # non-BMP decode needs PIL (absent in this container): loud, typed error
+    with pytest.raises(multimodal.ImageDecodeError):
         multimodal.decode_image(b"\x89PNG")
 
 
@@ -218,6 +218,30 @@ def test_range_join_left_mode_and_boundaries(spark):
     assert got == [(1, "w1"), (2, None), (3, None)]
     with pytest.raises(ValueError):
         range_join(left, ivl, how="outer")
+
+
+def test_range_join_inverted_interval_guard(spark):
+    """ADVICE r1 pin: an interval with end FAR before start (corrupt /
+    sentinel data) must be dropped before the bucket explode — without the
+    guard F.sequence(start_bucket, end_bucket) steps -1 and materializes a
+    multi-million-element descending array (OOM risk). Correctness is
+    unchanged: such intervals can never satisfy start <= t < end."""
+    from datetime import datetime
+
+    from advanced_elb_logs_etl_spark.operators.temporal import range_join
+
+    t = lambda h: datetime(2025, 1, 1, h)  # noqa: E731
+    left = spark.createDataFrame([(1, t(10)), (2, t(12))],
+                                 "eid long, ts timestamp")
+    ivl = spark.createDataFrame(
+        # ~55 years inverted: unguarded, ~480k hourly buckets PER ROW
+        [(t(10), t(11), "ok"), (t(12), datetime(1970, 1, 1), "inverted"),
+         (t(12), None, "nullend")],
+        "start_ts timestamp, end_ts timestamp, label string",
+    )
+    got = sorted((r.eid, r.ivl_label)
+                 for r in range_join(left, ivl, how="left", bucket_seconds=3600).collect())
+    assert got == [(1, "ok"), (2, None)]
 
 
 def test_rp_lsh_recall_vs_brute_force(spark, emb):

@@ -64,6 +64,23 @@ def test_short_line_dropped(spark):
     assert _parse(spark, ["too short line", GOLDEN]).count() == 1
 
 
+def test_whitespace_run_dropped_quoted_run_kept(spark):
+    """ADVICE r1 pin: a whitespace RUN (or tab) between unquoted fields would
+    make the CSV tokenizer emit empty tokens and bind every later column
+    shifted; such lines are rejected outright (documented divergence — shlex
+    would collapse the run and parse them). Runs INSIDE quoted spans are
+    payload and must still parse."""
+    double_space = GOLDEN.replace(
+        "0.001 0.303", "0.001  0.303"
+    )  # run between unquoted fields -> drop
+    tabbed = GOLDEN.replace("0.001 0.303", "0.001\t0.303")
+    quoted_run = GOLDEN.replace('"session-reused"', '"session  reused"')
+    out = _parse(spark, [double_space, tabbed, quoted_run, GOLDEN])
+    rows = out.collect()
+    assert len(rows) == 2  # quoted_run + GOLDEN survive
+    assert all(r.client_ip == "3.135.238.214" for r in rows)
+
+
 def test_bad_timestamp_dropped(spark):
     """Unparseable timestamp -> row dropped (reference :95-97)."""
     bad = GOLDEN.replace("2025-05-26T23:55:02.179979Z", "NOT_A_TIME")
