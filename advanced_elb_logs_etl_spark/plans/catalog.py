@@ -766,24 +766,24 @@ FROM events
 """
 
 
-@register("alb_parse_roundtrip", _ALB_ORACLE)
-def q_alb_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differential parser check: build a full 30-field ALB line per event
-    row (timestamps, ips, URLs, UA — bot UA on every 11th row), push it
-    through the REAL tokenizer + parser (operators/parse.py), and emit the
-    parsed fields. The oracle computes every expected value straight from
-    the source columns — if tokenization, positional binding, timestamp
-    parsing, URL decomposition, or the bot flag drift, the hash breaks.
-    Doubles as the parse-throughput benchmark entry (one line per event)."""
-    from ..operators.parse import parse_alb_lines
-
-    ev = _t(spark, sf_dir, "events")
+def _synth_alb_lines(ev: DataFrame) -> DataFrame:
+    """One full 30-field ALB line per event row, every interesting field a
+    deterministic function of the source columns so oracles can recompute
+    expected values in SQL: timestamps from ts, client ip / status / URL /
+    latencies / byte counts from event_id+user_id, a bot UA on every 11th
+    row. Shared by alb_parse_roundtrip (parser differential) and
+    pipeline_e2e_hourly (full reference main() path)."""
     ip = F.concat(
         F.lit("10."), (F.col("user_id") % 200).cast("string"),
         F.lit(".0."), (F.col("event_id") % 250).cast("string"),
     )
     tstr = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
     code = (F.lit(200) + (F.col("event_id") % 4) * 100).cast("string")
+    # 3-decimal latency strings: req 0.000-0.009, tgt 0.000-0.099, resp fixed
+    req_t = F.concat(F.lit("0.00"), (F.col("event_id") % 10).cast("string"))
+    tgt_t = F.concat(F.lit("0.0"), F.lpad((F.col("event_id") % 100).cast("string"), 2, "0"))
+    rcvd = ((F.col("event_id") % 500) + 20).cast("string")
+    sent = ((F.col("event_id") % 700) + 100).cast("string")
     url = F.concat(
         F.lit("https://h"), (F.col("event_id") % 5).cast("string"),
         F.lit(".example.com:"), (F.lit(8000) + F.col("event_id") % 3).cast("string"),
@@ -797,15 +797,31 @@ def q_alb_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = F.concat(
         F.lit("h2 "), tstr,
         F.lit(" app/e"), F.col("event_id").cast("string"),
-        F.lit(" "), ip, F.lit(":51234 172.31.0.9:80 0.001 0.002 0.003 "),
-        code, F.lit(" "), code, F.lit(" 120 3456 "),
+        F.lit(" "), ip, F.lit(":51234 172.31.0.9:80 "),
+        req_t, F.lit(" "), tgt_t, F.lit(" 0.003 "),
+        code, F.lit(" "), code, F.lit(" "), rcvd, F.lit(" "), sent, F.lit(" "),
         F.lit('"GET '), url, F.lit(' HTTP/2.0" "'), ua, F.lit('" '),
         F.lit("TLS_AES_128_GCM_SHA256 TLSv1.3 arn:aws:elb:tg/x "),
         F.lit('"Root=1-abc" "h0.example.com" "-" 1 '), tstr,
         F.lit(' "forward" "-" "-" "172.31.0.9:80" "'), code,
         F.lit('" "-" "-" TID_deadbeef'),
     )
-    raw = ev.select(line.alias("value"))
+    return ev.select(line.alias("value"))
+
+
+@register("alb_parse_roundtrip", _ALB_ORACLE)
+def q_alb_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential parser check: build a full 30-field ALB line per event
+    row (timestamps, ips, URLs, UA — bot UA on every 11th row), push it
+    through the REAL tokenizer + parser (operators/parse.py), and emit the
+    parsed fields. The oracle computes every expected value straight from
+    the source columns — if tokenization, positional binding, timestamp
+    parsing, URL decomposition, or the bot flag drift, the hash breaks.
+    Doubles as the parse-throughput benchmark entry (one line per event)."""
+    from ..operators.parse import parse_alb_lines
+
+    ev = _t(spark, sf_dir, "events")
+    raw = _synth_alb_lines(ev)
     parsed = parse_alb_lines(raw)
     return parsed.select(
         "elb",
@@ -823,6 +839,111 @@ def q_alb_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "elb", "client_ip", "raw_time",
         F.date_format("_t", "yyyy-MM-dd HH:mm:ss").alias("parsed_time_utc"),
         "status", "http_method", "hostname", "port", "path", "query_params", "is_bot",
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipeline check: the full reference main() path — synthesize ALB
+# lines, then REAL parse -> geo-enrich (broadcast dim join) -> add_features
+# (Eastern date parts, status buckets, null-coding casts) -> hourly
+# aggregation — under one value hash. Every expected value is recomputed in
+# SQL straight from the events/nation source columns.
+# ---------------------------------------------------------------------------
+
+_E2E_ORACLE = """
+WITH e AS (
+  SELECT timezone('America/New_York', timezone('UTC', ts)) AS lt,
+         '10.' || (user_id % 200)::VARCHAR || '.0.' || (event_id % 250)::VARCHAR AS client_ip,
+         (user_id % 200) AS u,
+         200 + (event_id % 4) * 100 AS code,
+         round((('0.00' || (event_id % 10)::VARCHAR)::DOUBLE
+              + ('0.0' || lpad((event_id % 100)::VARCHAR, 2, '0'))::DOUBLE
+              + '0.003'::DOUBLE) * 1000, 3) AS total_ms,
+         (event_id % 500) + 20 AS rcvd,
+         (event_id % 700) + 100 AS sent
+  FROM events
+)
+SELECT year(lt)::BIGINT   AS request_year,
+       month(lt)::BIGINT  AS request_month,
+       day(lt)::BIGINT    AS request_day,
+       hour(lt)::BIGINT   AS request_hour,
+       n.n_name AS countryName,
+       'city_' || (u % 10)::VARCHAR AS city,
+       count(client_ip)::BIGINT AS request_count,
+       count(DISTINCT client_ip)::BIGINT AS unique_client_ips_count,
+       CAST(round(CAST(avg(total_ms) AS DECIMAL(28,8)), 4) AS DOUBLE)
+         AS average_total_processing_time,
+       median(total_ms) AS median_total_processing_time,
+       sum(sent)::BIGINT AS sum_sent_bytes,
+       sum(rcvd)::BIGINT AS sum_received_bytes,
+       count_if(code BETWEEN 200 AND 299)::BIGINT AS count_2xx,
+       count_if(code BETWEEN 400 AND 499)::BIGINT AS count_4xx,
+       count_if(code BETWEEN 500 AND 599)::BIGINT AS count_5xx
+FROM e JOIN nation n ON (u % 25) = n.n_nationkey
+GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
+@register("pipeline_e2e_hourly", _E2E_ORACLE)
+def q_pipeline_e2e_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference main() flow (:395-442) end-to-end under a value hash:
+    synthesized ALB lines -> REAL tokenizer/parser -> broadcast geo dim join
+    (enrich, geo attrs derived deterministically from the ip's second octet
+    + the nation table) -> add_features (Eastern wall-clock date parts,
+    null-coding casts, status buckets) -> the reference's hourly aggregation
+    battery. One lazy DAG, same operator composition as plans/pipeline.py
+    minus the sinks; the oracle recomputes every value from source columns.
+
+    Scale shape: parse is a narrow map; the geo dim is dimension-sized and
+    broadcast (fact side never shuffles for the join); the single shuffle is
+    the 6-key hash aggregation with map-side partials."""
+    from ..operators.features import add_features
+    from ..operators.geo import enrich
+    from ..operators.parse import parse_alb_lines
+    from ..operators.reports import hourly_aggregation
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = parse_alb_lines(_synth_alb_lines(ev))
+
+    # Geo "cache" dim: one row per distinct client ip, attributes a pure
+    # function of the ip's second octet (u = user_id % 200) + nation names —
+    # the offline stand-in for the reference's ip-api cache parquet.
+    nation = _t(spark, sf_dir, "nation")
+    ips = (
+        ev.select(
+            F.concat(
+                F.lit("10."), (F.col("user_id") % 200).cast("string"),
+                F.lit(".0."), (F.col("event_id") % 250).cast("string"),
+            ).alias("query")
+        ).distinct()
+    )
+    u = F.split(F.col("query"), "\\.").getItem(1).cast("long")
+    cache = ips.join(F.broadcast(nation), u % 25 == F.col("n_nationkey")).select(
+        "query",
+        F.col("n_name").alias("country"),
+        F.concat(F.lit("city_"), (u % 10).cast("string")).alias("city"),
+        F.concat(F.lit("isp_"), (u % 7).cast("string")).alias("isp"),
+        F.substring("n_name", 1, 2).alias("countryCode"),
+    )
+
+    featured = add_features(enrich(parsed, cache))
+    agg = hourly_aggregation(featured, exact=True)
+    return agg.select(
+        F.col("request_year").cast("long"),
+        F.col("request_month").cast("long"),
+        F.col("request_day").cast("long"),
+        F.col("request_hour").cast("long"),
+        "countryName",
+        "city",
+        "request_count",
+        "unique_client_ips_count",
+        dround(F.col("average_total_processing_time"), 4).alias("average_total_processing_time"),
+        "median_total_processing_time",
+        "sum_sent_bytes",
+        "sum_received_bytes",
+        "count_2xx",
+        "count_4xx",
+        "count_5xx",
     )
 
 

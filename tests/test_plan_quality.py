@@ -64,6 +64,16 @@ def test_window_block_single_shuffle(spark):
     assert len(exchanges) == 1, f"expected 1 shuffle, got {len(exchanges)}:\n" + "\n".join(exchanges)
 
 
+def test_pipeline_e2e_plan_shape(spark):
+    """The end-to-end pipeline query (parse -> enrich -> features -> hourly)
+    must broadcast both dimension joins (fact side never shuffles for a
+    join) and keep the whole path JVM-side."""
+    plan = _plan(CATALOG["pipeline_e2e_hourly"][0](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_topk_uses_take_ordered(spark):
     """LIMIT+ORDER BY must plan TakeOrderedAndProject (per-partition heaps),
     never a global Sort."""
