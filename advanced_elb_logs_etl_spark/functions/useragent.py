@@ -96,23 +96,39 @@ def ua_os_family(ua: Column) -> Column:
     return F.when(blank, F.lit(_UNKNOWN)).otherwise(_rules_to_column(ua, _OS_RULES))
 
 
-if HAVE_UA_LIB:  # pragma: no cover - exercised only where the lib exists
+def make_ua_families_udf(ua_module=None):
+    """Build the Arrow-vectorized pandas_udf around ``user_agents.parse`` —
+    byte-for-byte reference parity (advanced_elb_logs_etl.py:123-131:
+    blank/'-' -> Unknown, ``.browser.family or 'Unknown'``,
+    ``.os.family or 'Unknown'``).
+
+    ``ua_module`` lets tests inject a parse-compatible fake so the Arrow
+    wrapper (batching, null handling, struct output) is exercised even where
+    the real library is absent; production callers omit it."""
+    mod = ua_module if ua_module is not None else _ua_lib
+    if mod is None:
+        raise ImportError(
+            "user_agents is not installed; use the regex fallback "
+            "(ua_browser_family / ua_os_family) instead"
+        )
 
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # No type hints on purpose: `from __future__ import annotations` turns
+    # them into strings pandas_udf can't resolve from a nested scope; the
+    # explicit returnType makes this a legacy SCALAR struct udf.
     @pandas_udf("browser_family string, os_family string")
-    def ua_families_udf(ua: pd.Series) -> pd.DataFrame:
-        """Arrow-batched wrapper of user_agents.parse — reference parity
-        (advanced_elb_logs_etl.py:125-127)."""
-
+    def ua_families_udf(ua):
         def one(s):
             if not s or s == "-":
                 return (_UNKNOWN, _UNKNOWN)
-            parsed = _ua_lib.parse(s)
+            parsed = mod.parse(s)
             return (parsed.browser.family or _UNKNOWN, parsed.os.family or _UNKNOWN)
 
         pairs = ua.map(one)
         return pd.DataFrame(
             {"browser_family": pairs.map(lambda t: t[0]), "os_family": pairs.map(lambda t: t[1])}
         )
+
+    return ua_families_udf

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalars import is_bot, to_float_col
-from ..functions.useragent import ua_browser_family, ua_os_family
+from ..functions import useragent as _ua
 
 #: The 29 positionally-bound raw columns (reference ELB_LOG_COLUMNS :43-49).
 ELB_LOG_COLUMNS = [
@@ -175,7 +175,7 @@ def parse_alb_lines(
     tpt = to_float_col("target_processing_time")
     resppt = to_float_col("response_processing_time")
 
-    return parsed.select(
+    out = parsed.select(
         "*",
         # P6 — replicates the reference's IPv4-only split(':')[0] (:101);
         # IPv6 addresses are truncated at the first colon there too.
@@ -183,7 +183,22 @@ def parse_alb_lines(
         *[expr.alias(name) for name, expr in req.items()],
         # P7 — null if ANY component is null ('+' null-propagates).
         F.round((rpt + tpt + resppt) * 1000, 3).alias("total_processing_time_ms"),
-        ua_browser_family(F.col("user_agent")).alias("ua_browser_family"),
-        ua_os_family(F.col("user_agent")).alias("ua_os_family"),
-        is_bot(F.col("user_agent")).alias("is_bot"),
     )
+
+    # P10 — user_agents-library parity when the lib is importable (one
+    # Arrow-batched UDF call, expanded from a single struct column), else
+    # the pure-Column regex classifier (whole-stage codegen, no Python).
+    # Checked at call time so tests can exercise the library path with an
+    # injected module.
+    if _ua.HAVE_UA_LIB:
+        out = (
+            out.withColumn("_uafam", _ua.make_ua_families_udf()(F.col("user_agent")))
+            .withColumn("ua_browser_family", F.col("_uafam.browser_family"))
+            .withColumn("ua_os_family", F.col("_uafam.os_family"))
+            .drop("_uafam")
+        )
+    else:
+        out = out.withColumn(
+            "ua_browser_family", _ua.ua_browser_family(F.col("user_agent"))
+        ).withColumn("ua_os_family", _ua.ua_os_family(F.col("user_agent")))
+    return out.withColumn("is_bot", is_bot(F.col("user_agent")))

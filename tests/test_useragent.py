@@ -1,0 +1,144 @@
+"""P10 user-agent parity tests.
+
+The real `user_agents` library is absent in this container, so the library
+path is exercised two ways:
+- the Arrow pandas_udf wrapper runs against an injected parse-compatible
+  FAKE module (batching, blank/'-' handling, `or "Unknown"` fallbacks,
+  struct output, parse-path routing all real);
+- the regex fallback classifier is pinned against a golden corpus of
+  family strings the library (ua-parser/uap-core definitions) is known to
+  produce for common agents — the documented-divergence surface is exotic
+  agents only.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_elb_logs_etl_spark.functions import useragent
+from advanced_elb_logs_etl_spark.functions.useragent import (
+    make_ua_families_udf,
+    ua_browser_family,
+    ua_os_family,
+)
+from advanced_elb_logs_etl_spark.operators import parse as parse_mod
+
+
+def make_fake_ua_module():
+    """parse()-compatible stand-in for `user_agents`: deterministic families
+    derived from the string, plus an empty-family case to exercise the
+    reference's `or "Unknown"` fallback (advanced_elb_logs_etl.py:126-127).
+    Built from locals so cloudpickle ships it to executor workers by VALUE
+    (a module-level test class would pickle by reference to a module the
+    workers can't import)."""
+
+    def parse(s):
+        if s.startswith("EMPTYFAM"):
+            browser, os_ = "", None
+        else:
+            browser, os_ = "B:" + s.split("/")[0], "O:" + s.split("/")[-1]
+        return SimpleNamespace(
+            browser=SimpleNamespace(family=browser), os=SimpleNamespace(family=os_)
+        )
+
+    return SimpleNamespace(parse=parse)
+
+
+def test_udf_wrapper_with_injected_module(spark):
+    df = spark.createDataFrame(
+        [("Mozilla/5.0",), ("curl/8.1",), ("-",), ("",), (None,), ("EMPTYFAM/1",)],
+        "ua string",
+    )
+    udf = make_ua_families_udf(make_fake_ua_module())
+    rows = df.select(udf(F.col("ua")).alias("f")).collect()
+    got = [(r.f.browser_family, r.f.os_family) for r in rows]
+    assert got == [
+        ("B:Mozilla", "O:5.0"),
+        ("B:curl", "O:8.1"),
+        ("Unknown", "Unknown"),   # '-' sentinel
+        ("Unknown", "Unknown"),   # empty
+        ("Unknown", "Unknown"),   # null
+        ("Unknown", "Unknown"),   # library returned empty/None families
+    ]
+
+
+def test_udf_factory_raises_without_library():
+    if useragent.HAVE_UA_LIB:  # pragma: no cover - container has no lib
+        pytest.skip("real user_agents present")
+    with pytest.raises(ImportError):
+        make_ua_families_udf()
+
+
+def test_parse_routes_through_library_when_present(spark, monkeypatch):
+    """With the library importable, parse_alb_lines must emit family columns
+    from ONE Arrow-batched UDF call (plan contains ArrowEvalPython exactly
+    once) — and the output schema is unchanged vs the regex path."""
+    monkeypatch.setattr(useragent, "_ua_lib", make_fake_ua_module())
+    monkeypatch.setattr(useragent, "HAVE_UA_LIB", True)
+    from test_parse import GOLDEN
+
+    df = spark.createDataFrame([(GOLDEN,)], "value string")
+    out = parse_mod.parse_alb_lines(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    r = out.collect()[0]
+    assert r.ua_browser_family == "B:Mozilla"
+    assert r.is_bot is False  # is_bot stays the reference's substring test
+    regex_cols = parse_mod.parse_alb_lines(df).columns
+    monkeypatch.setattr(useragent, "HAVE_UA_LIB", False)
+    assert parse_mod.parse_alb_lines(df).columns == regex_cols
+
+
+# (ua, browser_family, os_family) — families as produced by ua-parser's
+# uap-core definitions for these canonical strings (the library the
+# reference wraps); the regex classifier must agree on all of them.
+GOLDEN_FAMILIES = [
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) "
+     "Chrome/137.0.0.0 Safari/537.36", "Chrome", "Windows"),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",
+     "Firefox", "Linux"),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+     "(KHTML, like Gecko) Version/17.0 Safari/605.1.15", "Safari", "Mac OS X"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) "
+     "Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91", "Edge", "Windows"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 "
+     "(KHTML, like Gecko) Version/17.0 Mobile/15E148 Safari/604.1",
+     "Mobile Safari", "iOS"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 "
+     "(KHTML, like Gecko) CriOS/120.0.6099.119 Mobile/15E148 Safari/604.1",
+     "Chrome Mobile iOS", "iOS"),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 "
+     "(KHTML, like Gecko) FxiOS/120.0 Mobile/15E148 Safari/605.1.15",
+     "Firefox iOS", "iOS"),
+    ("Mozilla/5.0 (Linux; Android 14; SM-S918B) AppleWebKit/537.36 (KHTML, like Gecko) "
+     "SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36",
+     "Samsung Internet", "Android"),
+    ("Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) "
+     "Chrome/120.0.6099.144 Mobile Safari/537.36", "Chrome Mobile", "Android"),
+    ("Mozilla/5.0 (compatible; MSIE 10.0; Windows NT 6.1; Trident/6.0)",
+     "IE", "Windows"),
+    ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+     "Googlebot", "Unknown"),
+    ("Mozilla/5.0 (compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm)",
+     "bingbot", "Unknown"),
+    ("curl/8.4.0", "curl", "Unknown"),
+    # uap-core OS tokens are case-sensitive: '(linux-gnu)' is NOT 'Linux'
+    ("Wget/1.21.3 (linux-gnu)", "Wget", "Unknown"),
+    ("python-requests/2.31.0", "Python Requests", "Unknown"),
+    ("Python-urllib/3.11", "Python-urllib", "Unknown"),
+]
+
+
+def test_regex_classifier_matches_library_goldens(spark):
+    df = spark.createDataFrame([(ua,) for ua, _, _ in GOLDEN_FAMILIES], "ua string")
+    rows = df.select(
+        "ua",
+        ua_browser_family(F.col("ua")).alias("b"),
+        ua_os_family(F.col("ua")).alias("o"),
+    ).collect()
+    got = {r.ua: (r.b, r.o) for r in rows}
+    for ua, browser, os_ in GOLDEN_FAMILIES:
+        assert got[ua] == (browser, os_), f"{ua!r}: {got[ua]} != {(browser, os_)}"
