@@ -631,3 +631,118 @@ def q_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.rp_lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: decontamination / sequence packing / normalization
+# (operators/curation.py — training-data-pipeline extensions, no reference
+# analog)
+# ---------------------------------------------------------------------------
+
+_DECONTAM_ORACLE = f"""
+WITH {_DOCS_SHINGLED},
+bench AS (SELECT DISTINCT unnest(hashes) AS h FROM sh WHERE doc_id % 17 = 0),
+corp AS (SELECT doc_id, hashes FROM sh WHERE doc_id % 17 <> 0),
+ex AS (SELECT doc_id, unnest(hashes) AS h FROM corp),
+hit AS (SELECT e.doc_id, count(*) AS n_hit
+        FROM ex e JOIN bench b USING (h) GROUP BY e.doc_id),
+scored AS (
+  SELECT c.doc_id,
+         len(c.hashes)::BIGINT AS n_shingles,
+         coalesce(t.n_hit, 0)::BIGINT AS n_contaminated,
+         CASE WHEN len(c.hashes) > 0
+              THEN CAST(round(CAST(coalesce(t.n_hit, 0)::DOUBLE / len(c.hashes)
+                   AS DECIMAL(28,8)), 6) AS DOUBLE)
+              ELSE 0.0 END AS contamination_ratio
+  FROM corp c LEFT JOIN hit t USING (doc_id)
+)
+SELECT doc_id, n_shingles, n_contaminated, contamination_ratio,
+       contamination_ratio >= 0.2 AS is_contaminated
+FROM scored
+"""
+
+
+@register("decontaminate_corpus", _DECONTAM_ORACLE)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 17th doc plays the held-out eval
+    set; the rest is the training corpus. A corpus doc is contaminated when
+    >= 20% of its distinct 3-gram shingles appear anywhere in the benchmark
+    (the planted near-dup pairs make this non-trivially populated). Corpus
+    side: narrow shingle-hash map + per-doc distinct; benchmark hash set
+    broadcast — linear, no cross join (operators/curation.py)."""
+    from ..operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation.decontaminate(
+        docs.filter(F.col("doc_id") % 17 != 0),
+        docs.filter(F.col("doc_id") % 17 == 0),
+    )
+
+
+_PACK_ORACLE = f"""
+WITH RECURSIVE d AS (
+  SELECT lang AS group_key, doc_id, len({_TOKS})::BIGINT AS n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+), r AS (
+  SELECT group_key, doc_id, n_tokens, rn, 0::BIGINT AS pack_id,
+         n_tokens AS acc
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.group_key, d.doc_id, d.n_tokens, d.rn,
+         CASE WHEN r.acc > 0 AND r.acc + d.n_tokens > 128
+              THEN r.pack_id + 1 ELSE r.pack_id END,
+         CASE WHEN r.acc > 0 AND r.acc + d.n_tokens > 128
+              THEN d.n_tokens ELSE r.acc + d.n_tokens END
+  FROM d JOIN r ON d.group_key = r.group_key AND d.rn = r.rn + 1
+)
+SELECT group_key, doc_id, n_tokens, pack_id,
+       group_key || '-' || pack_id::VARCHAR AS pack_key
+FROM r
+"""
+
+
+@register("pack_sequences_greedy", _PACK_ORACLE)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing into 128-token context budgets,
+    one independent packing per language shard. Inherently sequential
+    within a shard (each pack boundary depends on the running remainder ->
+    applyInPandas, one Arrow batch per group), embarrassingly parallel
+    across shards; the oracle is a per-group recursive CTE walking the same
+    recurrence (operators/curation.py)."""
+    from ..operators import curation
+    from ..operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("group_key"),
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return curation.pack_sequences(docs, budget=128)
+
+
+_NORM_ORACLE = r"""
+SELECT doc_id,
+       trim(regexp_replace(
+         lower(nfc_normalize(replace(text, 'e', 'e' || chr(769)))),
+         '\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
+@register("normalize_text_nfc", _NORM_ORACLE)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization differential: inject a decomposed acute
+    accent after every 'e' (e + U+0301), then normalize (NFC compose ->
+    casefold -> collapse whitespace -> trim). The oracle uses DuckDB's
+    nfc_normalize, so the hash only matches if composition actually
+    happened — a real Unicode check, not an ASCII no-op. pandas_udf is the
+    justified-Python case here: Spark has no NFC builtin
+    (operators/curation.py)."""
+    from ..operators import curation
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301")).alias("text"),
+    )
+    return curation.normalize_text(docs).select("doc_id", "norm_text")
