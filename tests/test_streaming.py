@@ -177,3 +177,66 @@ def test_rolling_counts_stateful_late_event_frame(spark, tmp_path):
         assert got["12:00"] == 1
     finally:
         q.stop()
+
+
+def test_stream_alb_pipeline_end_to_end(spark, tmp_path):
+    """Full streaming pipeline: gz drop -> parse -> stream-static geo join
+    -> features -> watermarked hourly agg, append mode. The 12:00 window
+    closes when the 20:00 horizon event advances the watermark; uncached
+    ips are dropped by the null-country filter (batch parity)."""
+    from datetime import datetime, timedelta
+
+    from advanced_elb_logs_etl_spark.operators.geo import GEO_CACHE_SCHEMA
+    from advanced_elb_logs_etl_spark.streaming.pipeline import stream_alb_pipeline
+    from elb_fixtures import UA_BOT, make_line, write_gz
+
+    base = datetime(2025, 5, 26, 12, 0, 0)
+    lines = [make_line(base + timedelta(minutes=i), ip="1.1.1.1") for i in range(5)]
+    lines += [
+        make_line(base, ip="2.2.2.2", status=404),
+        make_line(base + timedelta(minutes=1), ip="2.2.2.2", status=503),
+        make_line(base + timedelta(minutes=2), ip="3.3.3.3", ua=UA_BOT),
+        make_line(base + timedelta(minutes=4), ip="3.3.3.3", ua=UA_BOT),
+        # watermark horizon: must be a CACHED ip — rows filtered before the
+        # watermark operator cannot advance event time
+        make_line(base + timedelta(hours=8), ip="9.9.9.9"),
+    ]
+    in_dir = tmp_path / "stream_in"
+    in_dir.mkdir()
+    write_gz(str(in_dir / "drop0.gz"), lines)
+
+    def geo_row(ip, country, city):
+        return {f.name: None for f in GEO_CACHE_SCHEMA.fields} | {
+            "query": ip, "status": "success", "country": country, "city": city,
+        }
+
+    cache_path = str(tmp_path / "geo_cache.parquet")
+    spark.createDataFrame(
+        [geo_row("1.1.1.1", "United States", "New York"),
+         geo_row("2.2.2.2", "United States", "New York"),
+         geo_row("3.3.3.3", "Germany", "Berlin"),
+         geo_row("9.9.9.9", "France", "Paris")],
+        GEO_CACHE_SCHEMA,
+    ).write.mode("overwrite").parquet(cache_path)
+
+    out = stream_alb_pipeline(spark, str(in_dir), cache_path, watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("hourly_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {(r.countryName, r.city): r
+            for r in spark.sql("SELECT * FROM hourly_stream").collect()}
+    # only the 12:00 window is closed; the 20:00 horizon window stays open
+    assert set(rows) == {("United States", "New York"), ("Germany", "Berlin")}
+    us = rows[("United States", "New York")]
+    assert us.window_start == base and us.window_end == base + timedelta(hours=1)
+    assert us.request_count == 7
+    assert us.unique_client_ips_count == 2
+    assert (us.count_2xx, us.count_4xx, us.count_5xx) == (5, 1, 1)
+    assert us.median_total_processing_time == 304.0
+    de = rows[("Germany", "Berlin")]
+    assert de.request_count == 2 and de.count_2xx == 2
+    assert de.sum_received_bytes == 2 * 74 and de.sum_sent_bytes == 2 * 1013
