@@ -500,6 +500,12 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-dup clustering (connected components) + corpus dedup apply step
 # ---------------------------------------------------------------------------
 
+def _pairs_cte(source: str = "documents") -> str:
+    """The shingle -> minhash -> band -> verified-pair -> edge CTE chain,
+    rooted on `source` (a table or an upstream CTE with doc_id + text)."""
+    return _PAIRS_CTE.replace("FROM documents)", f"FROM {source})", 1)
+
+
 _PAIRS_CTE = f"""
 docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, list_transform({_SHINGLES}, s -> {_H60_S}) AS hashes FROM docs),
@@ -746,3 +752,101 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301")).alias("text"),
     )
     return curation.normalize_text(docs).select("doc_id", "norm_text")
+
+
+# ---------------------------------------------------------------------------
+# Composite curation flagship: quality/lang gate -> near-dup dedup ->
+# benchmark decontamination, one lazy DAG (the LLM-side analog of
+# pipeline_e2e_hourly)
+# ---------------------------------------------------------------------------
+
+_CURATE_ORACLE = f"""
+WITH RECURSIVE
+tstats AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+tm AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_tokens,
+    CASE WHEN length(text) > 0
+         THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+              / length(text)::DOUBLE ELSE 0.0 END AS punct_r,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, t -> list_contains({_STOPLIST}, t)))::DOUBLE
+              / len(toks)::DOUBLE END AS stop_r,
+    {_lang_sql()} AS lang_pred
+  FROM tstats
+),
+tq AS (
+  SELECT doc_id,
+    {_DR.format(x=("(least(n_tokens::DOUBLE / 64.0, 1.0)"
+                   " + least(coalesce(stop_r, 0.0) * 4, 1.0)"
+                   " + (1.0 - least(punct_r * 4, 1.0))) / 3.0"))} AS quality_score,
+    lang_pred
+  FROM tm
+),
+base AS (
+  SELECT d.doc_id, d.text, d.lang, d.source
+  FROM documents d JOIN tq USING (doc_id)
+  WHERE tq.quality_score >= 0.55 AND tq.lang_pred <> 'und' AND d.doc_id % 17 <> 0
+),
+{_pairs_cte("base")},
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+survivors AS (
+  SELECT b.doc_id, b.lang, b.source FROM base b
+  WHERE b.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
+),
+benchdocs AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 17 = 0),
+benchsh AS (SELECT doc_id, list_transform({_SHINGLES}, s -> {_H60_S}) AS hashes
+            FROM benchdocs),
+bench AS (SELECT DISTINCT unnest(hashes) AS h FROM benchsh),
+survsh AS (SELECT s.doc_id, sh.hashes FROM survivors s JOIN sh ON sh.doc_id = s.doc_id),
+ex AS (SELECT doc_id, unnest(hashes) AS h FROM survsh),
+hit AS (SELECT e.doc_id, count(*) AS n_hit
+        FROM ex e JOIN bench b USING (h) GROUP BY e.doc_id),
+scored AS (
+  SELECT v.doc_id,
+         CASE WHEN len(v.hashes) > 0
+              THEN CAST(round(CAST(coalesce(t.n_hit, 0)::DOUBLE / len(v.hashes)
+                   AS DECIMAL(28,8)), 6) AS DOUBLE)
+              ELSE 0.0 END AS ratio
+  FROM survsh v LEFT JOIN hit t USING (doc_id)
+)
+SELECT s.doc_id, s.lang, s.source
+FROM survivors s JOIN scored USING (doc_id)
+WHERE scored.ratio < 0.2
+"""
+
+
+@register("curate_corpus", _CURATE_ORACLE)
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation pipeline as ONE lazy DAG (the
+    LLM-side analog of pipeline_e2e_hourly): quality + language gate
+    (text_stats, rounded-score threshold for cross-engine comparability)
+    -> hold out every 17th doc as the benchmark -> near-dup dedup on the
+    gated corpus (LSH -> connected components -> keep min id) -> drop
+    survivors with >= 20% shingle overlap against the benchmark.
+
+    Scale: every stage is the already-audited operator — narrow maps,
+    banded equi-joins, one-shuffle CC rounds, broadcast benchmark set; no
+    stage introduces a new shuffle shape."""
+    from ..operators import curation, text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = text_ops.text_stats(docs)
+    keep = stats.filter(
+        (F.col("quality_score") >= 0.55) & (F.col("lang_pred") != "und")
+    ).select("doc_id")
+    corpus = docs.join(keep, "doc_id").filter(F.col("doc_id") % 17 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0)
+
+    survivors = dedup.dedup_corpus(corpus)
+    clean = curation.decontaminate(survivors, benchmark, threshold=0.2)
+    return (
+        survivors.join(
+            clean.filter(~F.col("is_contaminated")).select("doc_id"), "doc_id"
+        ).select("doc_id", "lang", "source")
+    )
