@@ -840,7 +840,14 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = stats.filter(
         (F.col("quality_score") >= 0.55) & (F.col("lang_pred") != "und")
     ).select("doc_id")
-    corpus = docs.join(keep, "doc_id").filter(F.col("doc_id") % 17 != 0)
+    # The gated corpus feeds four consumers (shingle hashing, the victim
+    # anti-join, decontamination, the output join) — persist it once or the
+    # text_stats gate re-executes per consumer (measured ~4s of the query
+    # at sf0.1). Released when the session ends (same lifecycle stance as
+    # _hashed_docs).
+    corpus = (
+        docs.join(keep, "doc_id").filter(F.col("doc_id") % 17 != 0).persist()
+    )
     benchmark = docs.filter(F.col("doc_id") % 17 == 0)
 
     survivors = dedup.dedup_corpus(corpus)
