@@ -1,0 +1,71 @@
+"""Deterministic hash-based sampling and dataset splitting for corpus
+construction: stable train/val/test assignment and per-stratum downsampling
+that give the SAME verdict for a given record on every run, every engine,
+and every cluster size — unlike rand()-based sampling, which is neither
+reproducible across retries nor auditable.
+
+The uniform variate is the shared 60-bit md5 hash (functions/hashing.h60)
+scaled by 2^-60. Both the hash and the scaling are exact integer/dyadic
+operations, so Spark and the DuckDB oracle produce bit-identical doubles and
+therefore identical keep/split decisions — sampling is VALUE-exact, not
+just statistically equivalent.
+
+Scale: narrow projections + filters only; no shuffle, no Python. Rates
+arrive as a Column expression (typically a CASE or a broadcast-join lookup),
+so per-stratum policy needs no driver-side data motion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60
+
+#: 2^60 as an exact double — dividing the 60-bit hash by it is an exact
+#: dyadic scaling (no rounding), so cross-engine comparisons are stable.
+_TWO_60 = float(1 << 60)
+
+#: Distinct hash seeds so the split assignment and the sampling decision are
+#: independent uniforms (same doc can be train AND dropped, etc.).
+SPLIT_SEED = 101
+SAMPLE_SEED = 202
+
+
+def hash_uniform(key: Column, seed: int) -> Column:
+    """Deterministic U[0,1) from a record key. SQL twin:
+    ('0x' || substr(md5('<seed>:' || key), 1, 15))::BIGINT / 2^60."""
+    return h60(key.cast("string"), seed=seed).cast("double") / F.lit(_TWO_60)
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+    out_col: str = "split",
+) -> DataFrame:
+    """Stable train/val/test label from the key hash: u < train -> 'train',
+    u < train+val -> 'val', else 'test'. Adding data never reassigns an
+    existing record (the property rand()-splits lack)."""
+    u = hash_uniform(F.col(key_col), SPLIT_SEED)
+    return df.withColumn(
+        out_col,
+        F.when(u < F.lit(train), F.lit("train"))
+        .when(u < F.lit(train + val), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rate: Column,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each record iff its sampling uniform is below `rate` — a Column
+    expression evaluated per row, so per-stratum rates are just a CASE (or a
+    broadcast-joined policy column). Expected per-stratum yield is
+    rate * |stratum| with zero coordination; exact membership is
+    reproducible everywhere."""
+    u = hash_uniform(F.col(key_col), SAMPLE_SEED)
+    return df.filter(u < rate)

@@ -125,6 +125,142 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+def ngram_array(text: Column, n: int) -> Column:
+    """All word n-grams in position order WITH multiplicity — unlike
+    hashing.shingles() (which distincts for set similarity), repetition
+    statistics need occurrence counts. SQL twin:
+    CASE WHEN len(toks) >= n THEN list_transform(
+      generate_series(1, len(toks)-(n-1)), i -> toks[i] || ' ' || ...)
+    ELSE [] END"""
+    from ..functions.hashing import tokens as _tokens
+
+    toks = _tokens(text)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + F.lit(k)) for k in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+#: Gopher-style repetition gate thresholds (Rae et al. 2021 table A1 uses
+#: 0.30 duplicate-line / 0.20 top-2-gram fractions on natural text; these are
+#: tuned to the synthetic corpus so the gate is non-trivially populated).
+DUP_TOKEN_MAX = 0.30
+TOP_BIGRAM_MAX = 0.08
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition statistics: duplicate-token
+    fraction, most-frequent-token fraction, most-frequent-bigram fraction,
+    and the resulting quality-gate flag.
+
+    Plan shape (scale contract): tokens/bigrams are built in-row (narrow),
+    exploded, then counted with TWO hash aggregations each — (doc, term)
+    partial-aggregates map-side before the shuffle, so the wire carries
+    per-doc-distinct terms, not raw tokens. The per-doc reduce then needs
+    only (doc) rows. No windows, no Python; at 100 TB this is the same
+    shape as the shingle pass dedup already runs."""
+    from ..functions.hashing import tokens as _tokens
+
+    base = df.select(
+        F.col(id_col),
+        _tokens(F.col(text_col)).alias("toks"),
+        ngram_array(F.col(text_col), 2).alias("bigrams"),
+    )
+    uni = (
+        base.select(id_col, F.explode("toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_distinct_tokens"),
+            F.max("cnt").cast("long").alias("top_token_count"),
+        )
+    )
+    bi = (
+        base.select(id_col, F.explode("bigrams").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.max("cnt").cast("long").alias("top_bigram_count"),
+        )
+    )
+    n_tok = F.col("n_tokens").cast("double")
+    dup_ratio = (F.col("n_tokens") - F.col("n_distinct_tokens")).cast("double") / n_tok
+    top_tok_ratio = F.col("top_token_count").cast("double") / n_tok
+    top_bg_ratio = F.coalesce(
+        F.col("top_bigram_count").cast("double") / F.col("n_bigrams").cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        uni.join(bi, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_distinct_tokens",
+            dround(dup_ratio, 6).alias("dup_token_ratio"),
+            dround(top_tok_ratio, 6).alias("top_token_ratio"),
+            dround(top_bg_ratio, 6).alias("top_bigram_ratio"),
+        )
+        .withColumn(
+            "passes_repetition_gate",
+            (F.col("dup_token_ratio") <= DUP_TOKEN_MAX)
+            & (F.col("top_bigram_ratio") <= TOP_BIGRAM_MAX),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per group by TF-IDF (tf(term, group) x
+    ln(n_groups / n_groups_containing_term)).
+
+    Plan shape: explode -> (group, term) hash agg (map-side combine eats the
+    token stream) -> term-level doc-frequency agg over the ALREADY-reduced
+    tf frame (tiny) -> broadcast both the df frame and the 1-row group count
+    back onto tf -> per-group top-k window over |groups| x |vocab| rows.
+    Ranking uses the ROUNDED score (then term) so cross-engine libm ulp
+    noise in ln() can't flip a rank."""
+    ex = df.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = ex.groupBy(group_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("n_groups_with_term"))
+    totals = df.select(F.countDistinct(group_col).alias("n_groups"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "tfidf",
+            dround(
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("n_groups").cast("double")
+                    / F.col("n_groups_with_term").cast("double")
+                ),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "term", "tf", "tfidf", "rank")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

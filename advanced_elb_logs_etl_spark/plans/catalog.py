@@ -1180,3 +1180,88 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("ts") - F.unix_micros("ivl_start_ts")) / F.lit(60000000.0)
         ).alias("mins_into_interval"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction + reshaping (JSON props, PIVOT, grouped top-k)
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+WITH x AS (SELECT event_type, (props->>'k')::BIGINT AS k FROM events)
+SELECT event_type,
+  count(*)::BIGINT AS n_events,
+  count(k)::BIGINT AS n_with_k,
+  sum(k)::BIGINT   AS sum_k,
+  CAST(round(CAST(avg(k) AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_k,
+  max(k)::BIGINT   AS max_k
+FROM x GROUP BY event_type
+"""
+
+
+@register("json_extract_summary", _JSON_ORACLE)
+def q_json_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull `$.k` out of the JSON `props`
+    column (get_json_object — JVM-side JsonPath, no Python) and aggregate
+    per event type. At scale the extraction is a narrow map fused into the
+    scan stage; only the 5-group aggregate shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        dround(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+SELECT user_id,
+  {", ".join(f"count_if(event_type = '{t}')::BIGINT AS {t}" for t in _EVENT_TYPES)}
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("pivot_event_counts", _PIVOT_ORACLE)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long -> wide reshape): per-user event-type counts as columns.
+    The pivot values are EXPLICIT — with them Spark plans a single
+    conditional-count aggregation (one shuffle); without them it must run a
+    distinct-values job first, a silent extra pass at 100 TB."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    wide = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES],
+    )
+
+
+_GROUPED_TOPK_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+@register("grouped_topk_orders", _GROUPED_TOPK_ORACLE)
+def q_grouped_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PER GROUP (vs topk_orders' global top-k): each customer's 3
+    largest orders via row_number over a per-key window. One hash-partition
+    shuffle on the group key; AQE handles stragglers. Deterministic
+    tie-break on o_orderkey so ranks are reproducible cross-engine."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )

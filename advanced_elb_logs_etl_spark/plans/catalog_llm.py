@@ -760,6 +760,214 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline_e2e_hourly)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Gopher-style repetition statistics (Rae et al. 2021 §A1.1-style gates)
+# ---------------------------------------------------------------------------
+
+from ..operators.text import DUP_TOKEN_MAX, TOP_BIGRAM_MAX  # noqa: E402
+
+_BIGRAMS = (
+    "CASE WHEN len(toks) >= 2 THEN list_transform("
+    "generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])"
+    " ELSE [] END"
+)
+
+_REPETITION_ORACLE = f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id, toks, {_BIGRAMS} AS bigrams FROM docs),
+uc AS (SELECT doc_id, tok, count(*) AS cnt
+       FROM (SELECT doc_id, unnest(toks) AS tok FROM base) GROUP BY 1, 2),
+uni AS (SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
+               count(*)::BIGINT AS n_distinct_tokens,
+               max(cnt)::BIGINT AS top_token_count
+        FROM uc GROUP BY doc_id),
+bc AS (SELECT doc_id, bg, count(*) AS cnt
+       FROM (SELECT doc_id, unnest(bigrams) AS bg FROM base) GROUP BY 1, 2),
+bi AS (SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
+               max(cnt)::BIGINT AS top_bigram_count
+       FROM bc GROUP BY doc_id),
+ratios AS (
+  SELECT u.doc_id, u.n_tokens, u.n_distinct_tokens,
+    {_DR.format(x='(u.n_tokens - u.n_distinct_tokens)::DOUBLE / u.n_tokens::DOUBLE')} AS dup_token_ratio,
+    {_DR.format(x='u.top_token_count::DOUBLE / u.n_tokens::DOUBLE')} AS top_token_ratio,
+    {_DR.format(x='coalesce(b.top_bigram_count::DOUBLE / b.n_bigrams::DOUBLE, 0.0)')} AS top_bigram_ratio
+  FROM uni u LEFT JOIN bi b USING (doc_id)
+)
+SELECT doc_id, n_tokens, n_distinct_tokens, dup_token_ratio, top_token_ratio,
+       top_bigram_ratio,
+       (dup_token_ratio <= {DUP_TOKEN_MAX} AND top_bigram_ratio <= {TOP_BIGRAM_MAX})
+         AS passes_repetition_gate
+FROM ratios
+"""
+
+
+@register("repetition_stats", _REPETITION_ORACLE)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition gates: duplicate-token fraction,
+    top-token fraction, top-bigram fraction, and the pass/fail flag. Two
+    (doc, term) hash aggregations with map-side combine — the wire carries
+    per-doc-distinct terms, not the raw token stream (operators/text.py)."""
+    return text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF characteristic terms per source
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH ex AS (SELECT source, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT source, term, count(*)::BIGINT AS tf FROM ex GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS n_g FROM tf GROUP BY term),
+tot AS (SELECT count(DISTINCT source)::DOUBLE AS n_groups FROM documents),
+scored AS (
+  SELECT source, term, tf,
+         {_DR.format(x='tf::DOUBLE * ln(n_groups / n_g::DOUBLE)')} AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN tot
+)
+SELECT source, term, tf, tfidf, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY tfidf DESC, term)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_ORACLE)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per source by TF-IDF. The doc-frequency
+    and group-count frames are broadcast back onto the (group, term) tf
+    aggregate; ranking uses the ROUNDED score so cross-engine ln() ulp
+    noise can't flip a rank (operators/text.py)."""
+    return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (emails / phones / IPv4 -> typed placeholder tokens)
+# ---------------------------------------------------------------------------
+
+from ..operators import redaction  # noqa: E402
+
+# The synthetic corpus contains no PII, so the catalog query INJECTS a
+# deterministic payload per doc (email always; phone on doc_id%3==0; IPv4 on
+# doc_id%2==0) and both engines redact the identical text. concat_ws skips
+# the NULL branches on both engines.
+_PII_INJECT_SQL = """
+concat_ws(' ', text,
+  'user' || doc_id::VARCHAR || '@example.com',
+  CASE WHEN doc_id % 3 = 0 THEN
+    '555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+    lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') END,
+  CASE WHEN doc_id % 2 = 0 THEN
+    '10.' || (doc_id % 256)::VARCHAR || '.0.' ||
+    ((doc_id * 13) % 256)::VARCHAR END)
+"""
+
+_REDACT_ORACLE = f"""
+WITH injected AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{redaction.EMAIL_RE}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(text, '{redaction.PHONE_RE}'))::BIGINT AS n_phones,
+  len(regexp_extract_all(text, '{redaction.IPV4_RE}'))::BIGINT AS n_ipv4,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{redaction.EMAIL_RE}', '{redaction.EMAIL_TOKEN}', 'g'),
+    '{redaction.PHONE_RE}', '{redaction.PHONE_TOKEN}', 'g'),
+    '{redaction.IPV4_RE}', '{redaction.IP_TOKEN}', 'g') AS redacted_text
+FROM injected
+"""
+
+
+def _inject_pii(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(F.lit("user"), d.cast("string"), F.lit("@example.com")),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit("555-"),
+                    F.lpad((d % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad(((d * 7) % 10000).cast("string"), 4, "0"),
+                ),
+            ),
+            F.when(
+                d % 2 == 0,
+                F.concat(
+                    F.lit("10."),
+                    (d % 256).cast("string"),
+                    F.lit(".0."),
+                    ((d * 13) % 256).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+
+
+@register("redact_pii", _REDACT_ORACLE)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counting + redaction over deterministically injected emails /
+    phones / IPv4s. Single narrow regexp projection, no shuffle; patterns
+    restricted to Java-regex/RE2-identical constructs and embedded in the
+    oracle from the same constants (operators/redaction.py)."""
+    docs = _inject_pii(_t(spark, sf_dir, "documents"))
+    return redaction.redact_pii(docs).select(
+        "doc_id", "n_emails", "n_phones", "n_ipv4", "redacted_text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split + stratified sampling
+# ---------------------------------------------------------------------------
+
+from ..operators import sampling  # noqa: E402
+
+_TRAIN_FRAC, _VAL_FRAC = 0.8, 0.1
+
+_SPLIT_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, source,
+    ('0x' || substr(md5('{sampling.SPLIT_SEED}:' || doc_id::VARCHAR), 1, 15))::BIGINT
+      / {float(1 << 60)!r} AS u_split,
+    ('0x' || substr(md5('{sampling.SAMPLE_SEED}:' || doc_id::VARCHAR), 1, 15))::BIGINT
+      / {float(1 << 60)!r} AS u_samp,
+    CASE (substr(source, 4)::INT % 4)
+      WHEN 0 THEN 0.25 WHEN 1 THEN 0.5 WHEN 2 THEN 0.75 ELSE 1.0
+    END AS rate
+  FROM documents
+)
+SELECT doc_id, source,
+  CASE WHEN u_split < {_TRAIN_FRAC!r}::DOUBLE THEN 'train'
+       WHEN u_split < {_TRAIN_FRAC + _VAL_FRAC!r}::DOUBLE THEN 'val'
+       ELSE 'test' END AS split
+FROM u WHERE u_samp < rate
+"""
+
+
+@register("hash_stratified_split", _SPLIT_ORACLE)
+def q_hash_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus assembly: md5-hash train/val/test assignment +
+    per-source downsampling (rates 0.25/0.5/0.75/1.0 by source suffix).
+    The uniform is an exact dyadic scaling of the shared 60-bit hash, so
+    every keep/split decision is bit-identical across engines — sampling
+    as a VALUE-exact operator, not a statistical one. Narrow projection +
+    filter: no shuffle, no Python (operators/sampling.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    suffix = F.substring("source", 4, 8).cast("int") % 4
+    rate = (
+        F.when(suffix == 0, 0.25)
+        .when(suffix == 1, 0.5)
+        .when(suffix == 2, 0.75)
+        .otherwise(1.0)
+    )
+    out = sampling.stratified_sample(
+        sampling.assign_split(docs, train=_TRAIN_FRAC, val=_VAL_FRAC), rate
+    )
+    return out.select("doc_id", "source", "split")
+
+
 _CURATE_ORACLE = f"""
 WITH RECURSIVE
 tstats AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
