@@ -69,3 +69,56 @@ def stratified_sample(
     reproducible everywhere."""
     u = hash_uniform(F.col(key_col), SAMPLE_SEED)
     return df.filter(u < rate)
+
+
+#: Seed for the fractional-epoch coin flip in epoch_mix.
+MIX_SEED = 303
+
+
+def epoch_mix(
+    df: DataFrame,
+    weight: Column,
+    key_col: str = "doc_id",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Dataset mixing by target epoch weight: emit floor(weight) copies of
+    every record, plus one more with probability frac(weight) — the standard
+    way LLM corpora realize 'source A at 2.5 epochs, source B at 0.25' in a
+    single pass. weight >= 1 upsamples, weight < 1 downsamples; both use the
+    same deterministic hash coin, so the mixed corpus is reproducible.
+
+    Emitted copies carry a 1-based `epoch` index so downstream shuffles
+    (e.g. a training-order sort on hash(key, epoch)) can decorrelate the
+    duplicates. Narrow generate+explode — no shuffle, no Python; output
+    volume is sum(weight_s * |stratum_s|) by construction."""
+    n_full = F.floor(weight).cast("int")
+    frac = weight - F.floor(weight)
+    extra = (hash_uniform(F.col(key_col), MIX_SEED) < frac).cast("int")
+    n_copies = n_full + extra
+    # Spark's sequence(1, 0) yields [1, 0] (descending), not [] — guard the
+    # zero-copy case explicitly so dropped records emit nothing.
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(epoch_col, F.explode(copies))
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Uniform-without-replacement k records per stratum: rank by the
+    sampling hash (then key, for full determinism) within each group and
+    keep rank <= k. Reservoir-sampling semantics with an auditable,
+    rerun-stable choice of survivors; one hash-partition shuffle on the
+    group key."""
+    from pyspark.sql import Window as W
+
+    u = hash_uniform(F.col(key_col), SAMPLE_SEED)
+    w = W.partitionBy(group_col).orderBy(u, F.col(key_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )

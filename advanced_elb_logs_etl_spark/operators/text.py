@@ -131,17 +131,29 @@ def ngram_array(text: Column, n: int) -> Column:
     statistics need occurrence counts. SQL twin:
     CASE WHEN len(toks) >= n THEN list_transform(
       generate_series(1, len(toks)-(n-1)), i -> toks[i] || ' ' || ...)
-    ELSE [] END"""
+    ELSE [] END
+
+    Built by zip_with-folding n shifted slices of the token array, NOT
+    transform(sequence, i -> element_at(toks, i+k)): array HOFs are
+    interpreted (CodegenFallback) with no common-subexpression elimination,
+    so the element_at form re-evaluates its operand per lambda call —
+    measured ~5x slower on the corpus (16s -> 3s for repetition_stats at
+    sf0.1). The slice inputs are evaluated once per ROW; the lambda only
+    concatenates."""
     from ..functions.hashing import tokens as _tokens
 
     toks = _tokens(text)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + F.lit(k)) for k in range(n)]
+    out_len = F.size(toks) - (n - 1)
+    grams = F.slice(toks, 1, out_len)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + k, out_len),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
-    ).otherwise(F.array().cast("array<string>"))
 
 
 #: Gopher-style repetition gate thresholds (Rae et al. 2021 table A1 uses

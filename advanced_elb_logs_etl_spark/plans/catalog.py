@@ -1265,3 +1265,61 @@ def q_grouped_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group percentile battery + CUBE grouping sets
+# ---------------------------------------------------------------------------
+
+_PCT = "CAST(round(CAST({x} AS DECIMAL(28,8)), 6) AS DOUBLE)"
+
+_PERCENTILE_ORACLE = f"""
+SELECT event_type,
+  {_PCT.format(x="quantile_cont(value, 0.25)")} AS p25,
+  {_PCT.format(x="quantile_cont(value, 0.50)")} AS p50,
+  {_PCT.format(x="quantile_cont(value, 0.75)")} AS p75,
+  {_PCT.format(x="quantile_cont(value, 0.95)")} AS p95,
+  count(value)::BIGINT AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("percentile_battery", _PERCENTILE_ORACLE)
+def q_percentile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles (p25/p50/p75/p95) per event type in
+    one aggregation — the distribution-profiling pass a pipeline runs before
+    choosing filter thresholds. Exact percentile is the one non-partial
+    aggregate in the repo: it collects per-group value lists, so it's the
+    small-group profiling tool; the 100 TB form is approx_percentile
+    (hourly_agg_approx), which sketches in one pass."""
+    ev = _t(spark, sf_dir, "events")
+    pcts = F.percentile("value", F.lit([0.25, 0.50, 0.75, 0.95]))
+    return ev.groupBy("event_type").agg(
+        *[
+            dround(F.element_at(pcts, i + 1), 6).alias(f"p{int(q * 100)}")
+            for i, q in enumerate([0.25, 0.50, 0.75, 0.95])
+        ],
+        F.count("value").cast("long").alias("n"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS revenue,
+       count(*)::BIGINT AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_pricing", _CUBE_ORACLE)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (completes the ROLLUP family): all four
+    combinations of (flag, status) subtotals in ONE Expand + single
+    shuffle — versus four separate scans+aggregations without it."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )

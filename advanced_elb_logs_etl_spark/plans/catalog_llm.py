@@ -968,6 +968,120 @@ def q_hash_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "split")
 
 
+# ---------------------------------------------------------------------------
+# Quality-score NTILE bucketing (curriculum / ablation strata)
+# ---------------------------------------------------------------------------
+
+_QS_SQL = (
+    "(least(len(toks)::DOUBLE / 64.0, 1.0)"
+    " + least(coalesce(CASE WHEN len(toks) > 0 THEN"
+    f" len(list_filter(toks, t -> list_contains({_STOPLIST}, t)))::DOUBLE"
+    " / len(toks)::DOUBLE END, 0.0) * 4, 1.0)"
+    " + (1.0 - least(CASE WHEN length(text) > 0 THEN"
+    " length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE"
+    " / length(text)::DOUBLE ELSE 0.0 END * 4, 1.0))) / 3.0"
+)
+
+_NTILE_ORACLE = f"""
+WITH d AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+q AS (SELECT doc_id, source, {_DR.format(x=_QS_SQL)} AS quality_score FROM d)
+SELECT doc_id, source, quality_score,
+       ntile(4) OVER (PARTITION BY source
+                      ORDER BY quality_score DESC, doc_id)::BIGINT AS quality_bucket
+FROM q
+"""
+
+
+@register("quality_ntile_buckets", _NTILE_ORACLE)
+def q_quality_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality quartiles via NTILE — the stratification step
+    behind curriculum ordering and quality-ablation subsets. Partitioned by
+    source so no single-partition global sort exists at scale; ordering uses
+    the ROUNDED score + doc_id so bucket boundaries are deterministic
+    cross-engine."""
+    from ..functions.scalars import dround
+    from ..operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", dround(quality_score(F.col("text")), 6).alias("quality_score")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    return scored.withColumn("quality_bucket", F.ntile(4).over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Epoch-weighted corpus mixing + uniform k-per-stratum sampling
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source,
+    CASE (substr(source, 4)::INT % 4)
+      WHEN 0 THEN 2.5 WHEN 1 THEN 1.0 WHEN 2 THEN 0.25 ELSE 1.5
+    END::DOUBLE AS wt,
+    ('0x' || substr(md5('{sampling.MIX_SEED}:' || doc_id::VARCHAR), 1, 15))::BIGINT
+      / {float(1 << 60)!r} AS u
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source,
+         floor(wt)::INT + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS n_copies
+  FROM w
+)
+SELECT doc_id, source, unnest(generate_series(1, n_copies))::BIGINT AS epoch
+FROM n WHERE n_copies >= 1
+"""
+
+
+@register("epoch_mix_corpus", _MIX_ORACLE)
+def q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing by target epoch weight (2.5 / 1.0 / 0.25 / 1.5 by
+    source suffix): floor(weight) copies of each doc plus one more when the
+    deterministic hash coin lands under frac(weight) — how LLM corpora
+    realize fractional-epoch source weights in one pass. Narrow
+    generate+explode, no shuffle; bit-identical copy sets across engines
+    (operators/sampling.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    suffix = F.substring("source", 4, 8).cast("int") % 4
+    weight = (
+        F.when(suffix == 0, 2.5)
+        .when(suffix == 1, 1.0)
+        .when(suffix == 2, 0.25)
+        .otherwise(1.5)
+    )
+    out = sampling.epoch_mix(docs, weight)
+    return out.select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+
+
+_KSAMPLE_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, source,
+    ('0x' || substr(md5('{sampling.SAMPLE_SEED}:' || doc_id::VARCHAR), 1, 15))::BIGINT
+      / {float(1 << 60)!r} AS u
+  FROM documents
+)
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY u, doc_id)::BIGINT
+           AS sample_rank
+  FROM u
+) WHERE sample_rank <= 10
+"""
+
+
+@register("sample_k_per_source", _KSAMPLE_ORACLE)
+def q_sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-without-replacement 10 docs per source: rank on the sampling
+    hash within each stratum — reservoir-sampling semantics with an
+    auditable, rerun-stable survivor set (unlike rand()-reservoirs). One
+    hash-partition shuffle on the stratum key (operators/sampling.py)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.sample_k_per_group(docs, "source", k=10)
+
+
 _CURATE_ORACLE = f"""
 WITH RECURSIVE
 tstats AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
