@@ -1323,3 +1323,57 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics: ordered funnel + cohort retention (events)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (SELECT e.user_id, min(ts) AS t1 FROM events e JOIN s0 USING (user_id)
+       WHERE event_type = 'click' AND ts >= t0 GROUP BY e.user_id),
+s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE event_type = 'purchase' AND ts >= t1 GROUP BY e.user_id)
+SELECT 0::BIGINT AS stage, 'view' AS event_type, count(*)::BIGINT AS users FROM s0
+UNION ALL
+SELECT 1::BIGINT, 'click', count(*)::BIGINT FROM s1
+UNION ALL
+SELECT 2::BIGINT, 'purchase', count(*)::BIGINT FROM s2
+"""
+
+
+@register("funnel_conversion", _FUNNEL_ORACLE)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel view -> click -> purchase: stage
+    k's per-user entry time is the earliest stage-k event at-or-after the
+    user's stage k-1 time; output counts users surviving each prefix.
+    Iterative conditional min-aggregation, every shuffle keyed on user_id
+    (operators/events.py)."""
+    from ..operators import events as ev_ops
+
+    ev = _t(spark, sf_dir, "events")
+    return ev_ops.funnel_counts(ev)
+
+
+_COHORT_ORACLE = """
+WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+first AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+SELECT cohort_day, date_diff('day', cohort_day, day)::BIGINT AS day_offset,
+       count(DISTINCT d.user_id)::BIGINT AS users
+FROM days d JOIN first USING (user_id)
+GROUP BY cohort_day, day_offset
+"""
+
+
+@register("cohort_retention", _COHORT_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention triangle: users bucketed by first-activity
+    day, counted per later activity day. The raw stream collapses to
+    distinct (user, day) BEFORE any join, so the cohort join touches a
+    dimension-sized frame (operators/events.py)."""
+    from ..operators import events as ev_ops
+
+    ev = _t(spark, sf_dir, "events")
+    return ev_ops.cohort_retention(ev)

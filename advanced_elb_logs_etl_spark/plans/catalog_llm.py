@@ -1179,3 +1179,46 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             clean.filter(~F.col("is_contaminated")).select("doc_id"), "doc_id"
         ).select("doc_id", "lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-document segment dedup (RefinedWeb/CCNet line-dedup analog)
+# ---------------------------------------------------------------------------
+
+from ..operators import lines  # noqa: E402
+
+_W = lines.DEFAULT_SEG_TOKENS
+_SEG_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+seg AS (
+  SELECT doc_id, s AS seg_no,
+         array_to_string(toks[(s*{_W}+1):(s*{_W}+{_W})], ' ') AS seg
+  FROM d, unnest(CASE WHEN len(toks) > 0
+                 THEN generate_series(0, (len(toks)-1)//{_W}) ELSE [] END) t(s)
+),
+hot AS (SELECT seg FROM seg GROUP BY seg
+        HAVING count(DISTINCT doc_id) >= {lines.DEFAULT_MIN_DOC_FREQ}),
+kept AS (SELECT * FROM seg WHERE seg NOT IN (SELECT seg FROM hot)),
+tot AS (SELECT doc_id,
+        CASE WHEN len(toks) = 0 THEN 0 ELSE (len(toks)-1)//{_W} + 1 END AS n_total
+        FROM d)
+SELECT t.doc_id,
+       coalesce(string_agg(k.seg, ' ' ORDER BY k.seg_no), '') AS text_deduped,
+       count(k.seg)::BIGINT AS n_kept,
+       (any_value(t.n_total) - count(k.seg))::BIGINT AS n_removed
+FROM tot t LEFT JOIN kept k USING (doc_id)
+GROUP BY t.doc_id
+"""
+
+
+@register("interdoc_segment_dedup", _SEG_ORACLE)
+def q_interdoc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet-style repeated-segment removal: any 10-token segment
+    occurring in >= 2 distinct docs (boilerplate) is dropped from every doc,
+    and docs are reassembled from the survivors in order. Document-level
+    dedup can't express this — it removes whole near-dup docs, not the
+    shared nav-bar/footer text INSIDE otherwise-distinct docs. Plan: explode
+    -> segment-key agg -> anti join (small hot set) -> per-doc reassembly
+    (operators/lines.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lines.interdoc_segment_dedup(docs)

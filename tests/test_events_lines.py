@@ -1,0 +1,106 @@
+"""Edge semantics for the segment-dedup (operators/lines.py) and the
+funnel/cohort analytics (operators/events.py) — the catalog oracles pin the
+bulk behavior; these pin the corners the synthetic corpus may not contain."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_elb_logs_etl_spark.operators import events as ev_ops
+from advanced_elb_logs_etl_spark.operators import lines
+
+
+def test_segment_docs_widths_and_order(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(25))), (2, "a b"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.doc_id, r.seg_no): r.seg
+        for r in lines.segment_docs(df, seg_tokens=10).collect()
+    }
+    assert rows[(1, 0)] == " ".join(f"w{i}" for i in range(10))
+    assert rows[(1, 1)] == " ".join(f"w{i}" for i in range(10, 20))
+    assert rows[(1, 2)] == " ".join(f"w{i}" for i in range(20, 25))  # short tail
+    assert rows[(2, 0)] == "a b"
+    # split(trim('')) yields [''] — one empty segment, same as the SQL twin.
+    assert rows[(3, 0)] == ""
+    assert len(rows) == 5
+
+
+def test_interdoc_segment_dedup_removes_shared_boilerplate(spark):
+    boiler = " ".join(f"b{i}" for i in range(10))
+    uniq1 = " ".join(f"x{i}" for i in range(10))
+    uniq2 = " ".join(f"y{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq1}"),
+            (2, f"{uniq2} {boiler}"),
+            (3, boiler),  # fully boilerplate -> empty survivor
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in lines.interdoc_segment_dedup(df).collect()}
+    assert out[1].text_deduped == uniq1 and out[1].n_kept == 1 and out[1].n_removed == 1
+    assert out[2].text_deduped == uniq2 and out[2].n_kept == 1
+    assert out[3].text_deduped == "" and out[3].n_kept == 0 and out[3].n_removed == 1
+    assert len(out) == 3  # the all-boilerplate doc is KEPT as a row
+
+
+def test_interdoc_segment_dedup_no_cartesian(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b c")], ["doc_id", "text"])
+    plan = lines.interdoc_segment_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_funnel_order_is_strict(spark):
+    rows = [
+        # u1: full ordered funnel
+        (1, _ts(0), "view"), (1, _ts(1), "click"), (1, _ts(2), "purchase"),
+        # u2: purchase BEFORE the first qualifying click -> stops at click
+        (2, _ts(0), "view"), (2, _ts(1), "purchase"), (2, _ts(2), "click"),
+        # u3: click before any view -> stops at view
+        (3, _ts(0), "click"), (3, _ts(1), "view"),
+        # u4: no view at all -> not in the funnel
+        (4, _ts(0), "click"), (4, _ts(1), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r.event_type: r.users for r in ev_ops.funnel_counts(ev).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_same_timestamp_counts(spark):
+    # >= (not >): a click at exactly the view instant qualifies.
+    ev = spark.createDataFrame(
+        [(1, _ts(0), "view"), (1, _ts(0), "click")],
+        ["user_id", "ts", "event_type"],
+    )
+    got = {r.event_type: r.users for r in ev_ops.funnel_counts(ev).collect()}
+    assert got["click"] == 1
+
+
+def test_cohort_retention_triangle(spark):
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1, 5)), (1, d(2024, 1, 1, 9)), (1, d(2024, 1, 3, 1)),
+        (2, d(2024, 1, 1, 2)),
+        (3, d(2024, 1, 2, 8)), (3, d(2024, 1, 3, 8)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (str(r.cohort_day), r.day_offset): r.users
+        for r in ev_ops.cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,   # u1, u2 day-0
+        ("2024-01-01", 2): 1,   # u1 returns on day 3 (dup same-day visits collapse)
+        ("2024-01-02", 0): 1,   # u3 cohort
+        ("2024-01-02", 1): 1,   # u3 returns
+    }
