@@ -30,9 +30,17 @@ DEFAULT_PACK_BUDGET = 128
 #: appear anywhere in the benchmark set.
 DEFAULT_CONTAMINATION_THRESHOLD = 0.2
 
+#: Shingle width for decontamination. Deliberately LONGER than the 3-gram
+#: LSH shingles: short n-grams collide by chance (on this synthetic
+#: small-vocabulary corpus, 3-gram benchmark coverage makes the median doc
+#: ~40% "contaminated" at sf0.1 — pure noise), so real pipelines test on
+#: long spans (GPT-3 used 13-grams). 8 keeps >= 20 shingles for the ~30-80
+#: token docs here while making chance collisions negligible.
+DECONTAM_N = 8
+
 
 def benchmark_shingle_hashes(
-    benchmark: DataFrame, text_col: str = "text", n: int = 3
+    benchmark: DataFrame, text_col: str = "text", n: int = DECONTAM_N
 ) -> DataFrame:
     """The benchmark suite's distinct shingle-hash set — one `h` long column.
     Benchmark suites are dimension-sized (thousands of eval documents), so
@@ -57,12 +65,14 @@ def decontaminate(
     benchmark: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n: int = 3,
+    n: int = DECONTAM_N,
     threshold: float = DEFAULT_CONTAMINATION_THRESHOLD,
 ) -> DataFrame:
     """Benchmark decontamination by n-gram overlap (the GPT-3/PaLM-style
     train-test leak check): a corpus doc is contaminated when >= `threshold`
     of its distinct n-gram shingles appear anywhere in the benchmark set.
+    The default width is DECONTAM_N (long spans — see that constant for why
+    3-grams produce chance-collision noise).
 
     Returns one row per corpus doc: (id, n_shingles, n_contaminated,
     contamination_ratio, is_contaminated). Docs with < n tokens have no

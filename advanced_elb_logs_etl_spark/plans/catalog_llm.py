@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, text
+from ..operators.curation import DECONTAM_N
 from ..functions.hashing import MINHASH_P, _minhash_coefficients
 from ..operators.dedup import NUM_BANDS, NUM_HASHES, ROWS_PER_BAND, SIMHASH_BITS
 from .catalog import _t, register
@@ -45,11 +46,17 @@ def _hashed_docs(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
-_SHINGLES = (
-    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform("
-    "generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
-    " ELSE [] END"
-)
+
+
+def _shingles_sql(n: int) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{k}]" if k else "toks[i]" for k in range(n))
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN list_distinct(list_transform("
+        f"generate_series(1, len(toks)-{n - 1}), i -> {gram})) ELSE [] END"
+    )
+
+
+_SHINGLES = _shingles_sql(3)
 
 
 def _h60(expr: str) -> str:
@@ -646,7 +653,9 @@ def q_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DECONTAM_ORACLE = f"""
-WITH {_DOCS_SHINGLED},
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, list_transform({_shingles_sql(DECONTAM_N)}, s -> {_H60_S}) AS hashes
+       FROM docs),
 bench AS (SELECT DISTINCT unnest(hashes) AS h FROM sh WHERE doc_id % 17 = 0),
 corp AS (SELECT doc_id, hashes FROM sh WHERE doc_id % 17 <> 0),
 ex AS (SELECT doc_id, unnest(hashes) AS h FROM corp),
@@ -672,7 +681,9 @@ FROM scored
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 17th doc plays the held-out eval
     set; the rest is the training corpus. A corpus doc is contaminated when
-    >= 20% of its distinct 3-gram shingles appear anywhere in the benchmark
+    >= 20% of its distinct 8-gram shingles appear anywhere in the benchmark
+    (long spans, GPT-3 style — 3-grams are chance-collision noise on this
+    small-vocabulary corpus; see curation.DECONTAM_N)
     (the planted near-dup pairs make this non-trivially populated). Corpus
     side: narrow shingle-hash map + per-doc distinct; benchmark hash set
     broadcast — linear, no cross join (operators/curation.py)."""
@@ -1122,10 +1133,12 @@ survivors AS (
   WHERE b.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
 ),
 benchdocs AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 17 = 0),
-benchsh AS (SELECT doc_id, list_transform({_SHINGLES}, s -> {_H60_S}) AS hashes
+benchsh AS (SELECT doc_id, list_transform({_shingles_sql(DECONTAM_N)}, s -> {_H60_S}) AS hashes
             FROM benchdocs),
 bench AS (SELECT DISTINCT unnest(hashes) AS h FROM benchsh),
-survsh AS (SELECT s.doc_id, sh.hashes FROM survivors s JOIN sh ON sh.doc_id = s.doc_id),
+sh8 AS (SELECT doc_id, list_transform({_shingles_sql(DECONTAM_N)}, s -> {_H60_S}) AS hashes
+        FROM tstats),
+survsh AS (SELECT s.doc_id, sh8.hashes FROM survivors s JOIN sh8 ON sh8.doc_id = s.doc_id),
 ex AS (SELECT doc_id, unnest(hashes) AS h FROM survsh),
 hit AS (SELECT e.doc_id, count(*) AS n_hit
         FROM ex e JOIN bench b USING (h) GROUP BY e.doc_id),

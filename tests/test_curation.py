@@ -25,13 +25,36 @@ def test_decontaminate_known_overlap(spark):
         [(100, "prefix the quick brown fox jumps suffix")],
         "doc_id long, text string",
     )
-    out = {r.doc_id: r for r in curation.decontaminate(corpus, benchmark).collect()}
+    out = {
+        r.doc_id: r for r in curation.decontaminate(corpus, benchmark, n=3).collect()
+    }
     assert out[1].n_shingles == 7
     assert out[1].n_contaminated == 3
     assert out[1].is_contaminated  # 3/7 >= 0.2
     assert out[2].n_contaminated == 0 and not out[2].is_contaminated
     assert out[3].n_shingles == 0 and out[3].contamination_ratio == 0.0
     assert not out[3].is_contaminated
+
+
+def test_decontaminate_default_long_grams(spark):
+    """Default width is DECONTAM_N=8: a copied 8-token span flags, but a
+    doc sharing every 3-gram-but-no-8-gram stays clean (the chance-collision
+    robustness 3-grams lack)."""
+    span = "one two three four five six seven eight"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"{span} tail"),               # contains the copied 8-gram
+            (2, "one two three nine one two three ten one two three"),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, f"head {span} more one two three")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in curation.decontaminate(corpus, benchmark).collect()}
+    assert out[1].is_contaminated and out[1].n_contaminated >= 1
+    assert out[2].n_contaminated == 0 and not out[2].is_contaminated
 
 
 def test_decontaminate_plan_shape(spark):
