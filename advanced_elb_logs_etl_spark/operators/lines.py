@@ -116,3 +116,47 @@ def interdoc_segment_dedup(
             .alias("n_removed"),
         )
     )
+
+
+#: Token window / stride for overlapping training-chunk generation.
+DEFAULT_CHUNK_WIDTH = 50
+DEFAULT_CHUNK_STRIDE = 40
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = DEFAULT_CHUNK_WIDTH,
+    stride: int = DEFAULT_CHUNK_STRIDE,
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-length-bounded
+    training prep step (stride < width keeps `width - stride` tokens of
+    overlap so no span is split across a chunk boundary unseen). Output:
+    (id, chunk_no, chunk_text, n_tokens); a doc with <= width tokens yields
+    exactly one chunk of itself.
+
+    Chunk count uses INTEGER arithmetic — 1 + (n - width + stride - 1) div
+    stride extra chunks when n > width — so Spark and SQL agree without
+    float-ceil edge cases. Narrow generate+explode over a materialized token
+    array (no re-tokenization per chunk), no shuffle."""
+    base = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    n = F.col("_n")
+    kmax = F.when(
+        n > width,
+        F.floor((n - width + (stride - 1)) / stride).cast("int"),
+    ).otherwise(F.lit(0))
+    t = F.col("_toks")
+    s = F.col("_s")
+    return (
+        base.withColumn("_s", F.explode(F.sequence(F.lit(0), kmax)))
+        .select(
+            id_col,
+            s.cast("long").alias("chunk_no"),
+            F.array_join(F.slice(t, s * stride + 1, width), " ").alias("chunk_text"),
+            F.least(F.lit(width), n - s * stride).cast("long").alias("n_tokens"),
+        )
+    )

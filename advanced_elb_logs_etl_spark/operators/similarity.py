@@ -615,3 +615,36 @@ def rp_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", F.col("cosine").alias("cosine_raw"), "rank")
     )
+
+
+def knn_classify(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    vectorized: bool = True,
+) -> DataFrame:
+    """k-NN majority-vote classification: each query takes the modal label
+    of its exact cosine top-k neighbors (ties -> smallest label, so the
+    prediction is deterministic). Output: (q_id, predicted_label, votes).
+
+    The label lookup joins the k*|Q| neighbor rows back to the corpus
+    id->label projection — dimension-shaped next to the scoring pass, so it
+    broadcasts; the vote count + argmax add one k*|Q|-row aggregation."""
+    topk = brute_force_topk(vectors, queries, k, id_col, vec_col, vectorized)
+    labels = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_lbl")
+    )
+    votes = (
+        topk.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("q_id", "_lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("votes").desc(), F.col("_lbl").asc())
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("q_id", F.col("_lbl").cast("long").alias("predicted_label"), "votes")
+    )

@@ -1235,3 +1235,68 @@ def q_interdoc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/lines.py)."""
     docs = _t(spark, sf_dir, "documents")
     return lines.interdoc_segment_dedup(docs)
+
+
+# ---------------------------------------------------------------------------
+# Overlapping chunking + kNN label vote
+# ---------------------------------------------------------------------------
+
+_CW, _CS = lines.DEFAULT_CHUNK_WIDTH, lines.DEFAULT_CHUNK_STRIDE
+_CHUNK_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+k AS (SELECT doc_id, toks, len(toks) AS n,
+      CASE WHEN len(toks) > {_CW}
+           THEN (len(toks) - {_CW} + {_CS} - 1) // {_CS} ELSE 0 END AS kmax
+      FROM d)
+SELECT doc_id, s::BIGINT AS chunk_no,
+       array_to_string(toks[(s*{_CS}+1):(s*{_CS}+{_CW})], ' ') AS chunk_text,
+       least({_CW}, n - s*{_CS})::BIGINT AS n_tokens
+FROM k, unnest(generate_series(0, kmax)) t(s)
+"""
+
+
+@register("chunk_documents", _CHUNK_ORACLE)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking with overlap (width 50, stride 40): the prep
+    step that bounds training sequences while keeping 10 tokens of overlap
+    across boundaries. Integer chunk-count arithmetic keeps both engines
+    bit-aligned; narrow generate+explode, no shuffle, no re-tokenization
+    per chunk (operators/lines.py)."""
+    return lines.chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.q_id, v.vec_id AS neighbor_id, v.label,
+         {_cos('q.q_vec', 'v.embedding')} AS cosine
+  FROM q JOIN embeddings v ON v.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, label, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT q_id, label, count(*) AS votes FROM ranked WHERE rank <= 5
+  GROUP BY q_id, label
+),
+best AS (
+  SELECT q_id, label, votes,
+         row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS rn
+  FROM votes
+)
+SELECT q_id, label::BIGINT AS predicted_label, votes::BIGINT AS votes
+FROM best WHERE rn = 1
+"""
+
+
+@register("knn_label_vote", _KNN_ORACLE)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote labeling over the embedding corpus (k=5, the 8
+    query vectors from ann_cosine_topk): modal neighbor label, ties to the
+    smallest label. The scoring pass is the audited brute-force top-k
+    (bit-identical fold dots); labels broadcast-join onto k*|Q| rows
+    (operators/similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_classify(emb, emb.filter(F.col("vec_id") < 8))

@@ -104,3 +104,49 @@ def test_cohort_retention_triangle(spark):
         ("2024-01-02", 0): 1,   # u3 cohort
         ("2024-01-02", 1): 1,   # u3 returns
     }
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100))), (2, "a b c")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.doc_id, r.chunk_no): r
+        for r in lines.chunk_documents(df, width=50, stride=40).collect()
+    }
+    # 100 tokens, width 50, stride 40 -> chunks at 0, 40, 80
+    assert {c for d, c in rows if d == 1} == {0, 1, 2}
+    assert rows[(1, 0)].chunk_text.split()[:2] == ["w0", "w1"]
+    assert rows[(1, 1)].chunk_text.split()[0] == "w40"   # 10-token overlap
+    assert rows[(1, 0)].chunk_text.split()[40] == "w40"
+    assert rows[(1, 2)].n_tokens == 20                   # short tail chunk
+    assert rows[(2, 0)].chunk_text == "a b c" and rows[(2, 0)].n_tokens == 3
+
+
+def test_chunk_documents_exact_boundary(spark):
+    # n == width -> exactly one chunk, not an empty trailing one.
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(50)))], ["doc_id", "text"]
+    )
+    out = lines.chunk_documents(df, width=50, stride=40).collect()
+    assert len(out) == 1 and out[0].n_tokens == 50
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from advanced_elb_logs_etl_spark.operators import similarity
+
+    # query 0 at origin-ish; neighbors engineered by cosine to [1,0]:
+    # ids 1,2 label 7 (cos 1.0), ids 3,4 label 3 (cos ~0.97), id 5 label 9.
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [2.0, 0.0], 7), (2, [3.0, 0.0], 7),
+        (3, [4.0, 1.0], 3), (4, [8.0, 2.0], 3),
+        (5, [1.0, 1.0], 9),
+        (6, [-1.0, 0.5], 1),  # far; excluded from top-5? k=5 takes it too
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.knn_classify(df, df.filter("vec_id = 0"), k=4).collect()
+    assert len(out) == 1
+    # top-4 = ids 1,2 (label 7) and 3,4 (label 3): 2-2 tie -> smaller label 3
+    assert out[0].predicted_label == 3 and out[0].votes == 2
