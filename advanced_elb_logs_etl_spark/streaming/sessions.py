@@ -127,3 +127,32 @@ def rolling_counts_stateful(
             update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts: str = "time",
+    watermark: str = "1 hour",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup — the incremental form of the batch exact-dedup
+    operator (operators/dedup.py): the first arrival of each key survives,
+    replays/retransmissions within the watermark horizon drop.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes the FIRST sighting plus the delay — bounded state, the
+    only form that survives an unbounded stream. ``within_watermark=False``
+    falls back to plain ``dropDuplicates`` (exact across the whole stream,
+    state grows forever — batch-backfill use only). Dedup state partitions
+    by the key hash exactly like the batch groupBy.
+
+    The event-time column must NOT be part of the dedup key in the
+    within-watermark form: two replays of one logical record typically carry
+    different arrival timestamps, which is precisely what this form
+    tolerates and plain dropDuplicates([key, ts]) would not."""
+    keyed = events.withWatermark(ts, watermark)
+    cols = keys if keys is not None else ["client_ip"]
+    if within_watermark:
+        return keyed.dropDuplicatesWithinWatermark(cols)
+    return keyed.dropDuplicates(cols)

@@ -240,3 +240,35 @@ def test_stream_alb_pipeline_end_to_end(spark, tmp_path):
     de = rows[("Germany", "Berlin")]
     assert de.request_count == 2 and de.count_2xx == 2
     assert de.sum_received_bytes == 2 * 74 and de.sum_sent_bytes == 2 * 1013
+
+
+def test_dedup_stream_drops_replays(spark, tmp_path):
+    import json as _json
+
+    from advanced_elb_logs_etl_spark.streaming.sessions import dedup_stream
+
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+    rows = [
+        {"msg_id": "a", "client_ip": "1.1.1.1", "time": "2024-01-01T00:00:00Z"},
+        {"msg_id": "a", "client_ip": "1.1.1.1", "time": "2024-01-01T00:00:05Z"},  # replay
+        {"msg_id": "b", "client_ip": "1.1.1.1", "time": "2024-01-01T00:01:00Z"},
+        {"msg_id": "a", "client_ip": "2.2.2.2", "time": "2024-01-01T00:02:00Z"},  # replay again
+    ]
+    (d / "b0.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(
+        "msg_id string, client_ip string, time timestamp"
+    ).json(str(d))
+    out = dedup_stream(stream, keys=["msg_id"], watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT msg_id FROM dedup_out").collect()
+    assert sorted(r.msg_id for r in got) == ["a", "b"]
