@@ -1185,7 +1185,11 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     benchmark = docs.filter(F.col("doc_id") % 17 == 0)
 
-    survivors = dedup.dedup_corpus(corpus)
+    # survivors feeds decontamination AND the output join — without a
+    # persist the whole LSH -> CC -> anti-join DAG executes twice
+    # (measured: 7.7 -> 5.9 s warm at sf0.1). Same session-scoped
+    # lifecycle stance as the corpus persist above.
+    survivors = dedup.dedup_corpus(corpus).persist()
     clean = curation.decontaminate(survivors, benchmark, threshold=0.2)
     return (
         survivors.join(
