@@ -1304,3 +1304,38 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.knn_classify(emb, emb.filter(F.col("vec_id") < 8))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary induction: exact global top-K tokens
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+SELECT tok, count(*)::BIGINT AS term_freq, count(DISTINCT doc_id)::BIGINT AS doc_freq
+FROM t GROUP BY tok
+ORDER BY term_freq DESC, tok
+LIMIT 50
+"""
+
+
+@register("vocab_top_tokens", _VOCAB_ORACLE)
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training vocabulary induction: exact global top-50 tokens
+    with corpus and document frequencies. Explode -> ONE partial+final hash
+    aggregation -> TakeOrderedAndProject (per-partition heaps, no global
+    sort); the deterministic (freq desc, token) tie-break makes the cut
+    line value-exact cross-engine."""
+    from ..functions.hashing import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    return (
+        tok.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("term_freq"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), F.asc("tok"))
+        .limit(50)
+    )

@@ -143,3 +143,30 @@ def test_blocked_neardup_no_cross_join(spark):
     # side), so exactly TWO 16-row centroid-broadcast BNLJs are expected;
     # any more would mean a vector-pair nested loop crept in
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:3000]
+
+
+def test_chunk_and_mix_are_shuffle_free(spark):
+    """chunk_documents and epoch_mix are narrow generate+explode passes —
+    ANY Exchange in their plans means a reshaping operator started paying a
+    shuffle it never needed."""
+    from advanced_elb_logs_etl_spark.plans.catalog_llm import (
+        q_chunk_documents,
+        q_epoch_mix,
+    )
+
+    for q in (q_chunk_documents, q_epoch_mix):
+        plan = _plan(q(spark, SF))
+        assert "Exchange" not in plan, plan[:2000]
+
+
+def test_funnel_shuffles_only_on_user(spark):
+    """Every Exchange in the funnel plan must hash on user_id — a shuffle on
+    any other key would mean a stage re-partitions the stream needlessly."""
+    import re
+
+    from advanced_elb_logs_etl_spark.plans.catalog import q_funnel
+
+    plan = _plan(q_funnel(spark, SF))
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
+        assert "user_id" in m.group(1), m.group(0)
