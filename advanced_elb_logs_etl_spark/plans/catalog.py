@@ -1377,3 +1377,48 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return ev_ops.cohort_retention(ev)
+
+
+# ---------------------------------------------------------------------------
+# Distribution-based outlier flagging (data-quality gate on events)
+# ---------------------------------------------------------------------------
+
+_OUTLIER_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         avg(value) AS mu,
+         stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CAST(round(CAST((e.value - s.mu) / s.sigma AS DECIMAL(28,8)), 6) AS DOUBLE)
+         AS zscore
+FROM events e JOIN s USING (event_type)
+WHERE s.sigma > 0
+  AND abs(CAST(round(CAST((e.value - s.mu) / s.sigma AS DECIMAL(28,8)), 6)
+          AS DOUBLE)) > 2.5
+"""
+
+
+@register("value_outliers_z", _OUTLIER_ORACLE)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier flagging (|z| > 2.5) — the distributional
+    data-quality gate run before aggregates are trusted. Two passes over
+    the stream: one partial+final moments aggregation (5 groups), then the
+    group stats broadcast back onto the scan — no window over the full
+    stream, no second shuffle of the events.
+
+    Spark's stddev_samp and DuckDB's both use numerically-stable one-pass
+    updates; the 2.5 cut compares the DECIMAL(28,8)-ROUNDED z on both
+    engines so partition-order ulp drift in the moments cannot flip a
+    boundary row between runs."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(dround(z, 6)) > 2.5))
+        .select("event_id", "event_type", dround(z, 6).alias("zscore"))
+    )

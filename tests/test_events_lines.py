@@ -150,3 +150,37 @@ def test_knn_classify_majority_and_tiebreak(spark):
     assert len(out) == 1
     # top-4 = ids 1,2 (label 7) and 3,4 (label 3): 2-2 tie -> smaller label 3
     assert out[0].predicted_label == 3 and out[0].votes == 2
+
+
+def test_chunk_documents_property_differential(spark):
+    """Differential vs a plain-Python reference chunker over a sweep of
+    (n_tokens, width, stride) including every boundary class: n < width,
+    n == width, (n - width) % stride == 0, and a 1-token tail."""
+
+    def py_chunks(toks, width, stride):
+        n = len(toks)
+        if n <= width:
+            return [(0, " ".join(toks), n)]
+        kmax = (n - width + stride - 1) // stride
+        return [
+            (s, " ".join(toks[s * stride : s * stride + width]),
+             min(width, n - s * stride))
+            for s in range(kmax + 1)
+        ]
+
+    cases = [(n, w, s) for n in (1, 5, 39, 40, 41, 49, 50, 51, 80, 90, 130)
+             for (w, s) in ((50, 40), (10, 5), (8, 8))]
+    rows = [(i, " ".join(f"t{j}" for j in range(n))) for i, (n, _, _) in enumerate(cases)]
+    for (w, s) in {(w, s) for _, w, s in cases}:
+        ids = [i for i, (n, cw, cs) in enumerate(cases) if (cw, cs) == (w, s)]
+        df = spark.createDataFrame([rows[i] for i in ids], ["doc_id", "text"])
+        got = {
+            (r.doc_id, r.chunk_no): (r.chunk_text, r.n_tokens)
+            for r in lines.chunk_documents(df, width=w, stride=s).collect()
+        }
+        for i in ids:
+            n = cases[i][0]
+            toks = rows[i][1].split()
+            for cn, txt, nt in py_chunks(toks, w, s):
+                assert got[(i, cn)] == (txt, nt), (i, n, w, s, cn)
+            assert len([1 for (d, _) in got if d == i]) == len(py_chunks(toks, w, s))
