@@ -272,3 +272,48 @@ def test_dedup_stream_drops_replays(spark, tmp_path):
         q.stop()
     got = spark.sql("SELECT msg_id FROM dedup_out").collect()
     assert sorted(r.msg_id for r in got) == ["a", "b"]
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart with a checkpointLocation: batch 1's rows are not
+    re-emitted after restart, and batch 2's rows arrive exactly once — the
+    recovery contract a production stream relies on."""
+    import json as _json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+    schema = "msg_id string, time timestamp"
+    rows1 = [
+        {"msg_id": "a", "time": "2024-01-01T00:00:00Z"},
+        {"msg_id": "b", "time": "2024-01-01T00:01:00Z"},
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows1))
+
+    def start():
+        stream = spark.readStream.schema(schema).json(str(src))
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(r.msg_id for r in spark.read.parquet(sink).collect()) == ["a", "b"]
+
+    rows2 = [{"msg_id": "c", "time": "2024-01-01T00:02:00Z"}]
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.msg_id for r in spark.read.parquet(sink).collect())
+    assert got == ["a", "b", "c"]  # no duplicates of batch 1, c exactly once
