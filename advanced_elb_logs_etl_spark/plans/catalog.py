@@ -1422,3 +1422,98 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("sigma") > 0) & (F.abs(dround(z, 6)) > 2.5))
         .select("event_id", "event_type", dround(z, 6).alias("zscore"))
     )
+
+
+_Q7_ORACLE = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate)::BIGINT AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("volume_shipping_q7", _Q7_ORACLE)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7 shape: bidirectional nation-pair trade volume by year. The
+    disjunctive nation predicate CANNOT push into either single-nation scan
+    — it's a pair constraint — so the right plan broadcasts both tiny
+    nation dims and applies the OR after both joins, keeping lineitem
+    (the 100 TB side) shuffle-free until the 4-group aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 250
+)
+SELECT c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate_str,
+       round(o.o_totalprice, 2) AS totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM orders o
+JOIN big ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+
+
+@register("large_orders_q18", _Q18_ORACLE)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape: a HAVING-gated self-semi-join — find orders whose
+    total quantity exceeds the threshold, then re-join the order lines for
+    the report. The `big` frame is the aggregation's own output (tiny after
+    the HAVING cut), so it broadcasts back onto lineitem; lineitem itself
+    shuffles ONCE on l_orderkey and AQE reuses that exchange for both the
+    gate aggregation and the final per-order rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select(F.col("l_orderkey").alias("big_okey"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == F.col("big_okey"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_str"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+    )
