@@ -156,3 +156,37 @@ def dedup_stream(
     if within_watermark:
         return keyed.dropDuplicatesWithinWatermark(cols)
     return keyed.dropDuplicates(cols)
+
+
+def attribution_join_stream(
+    views: DataFrame,
+    clicks: DataFrame,
+    key: str = "client_ip",
+    view_ts: str = "view_time",
+    click_ts: str = "click_time",
+    horizon: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — click attribution: each
+    click pairs with the view(s) by the same key in the preceding
+    `horizon`. The event-time range predicate is what lets Spark bound the
+    join state: a buffered view can be dropped once the click-side
+    watermark passes view_time + horizon, so state is O(key-rate x horizon)
+    instead of unbounded. Both sides MUST carry a watermark and the join
+    condition MUST constrain both event-time columns, or the state store
+    grows forever (Spark enforces neither on inner joins — it just leaks).
+    """
+    v = views.withWatermark(view_ts, watermark)
+    c = clicks.withWatermark(click_ts, watermark)
+    return v.alias("v").join(
+        c.alias("c"),
+        F.expr(
+            f"v.{key} = c.{key} AND "
+            f"c.{click_ts} >= v.{view_ts} AND "
+            f"c.{click_ts} <= v.{view_ts} + interval {horizon}"
+        ),
+    ).select(
+        F.col(f"v.{key}").alias(key),
+        F.col(f"v.{view_ts}").alias(view_ts),
+        F.col(f"c.{click_ts}").alias(click_ts),
+    )

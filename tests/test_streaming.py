@@ -317,3 +317,34 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
         q.stop()
     got = sorted(r.msg_id for r in spark.read.parquet(sink).collect())
     assert got == ["a", "b", "c"]  # no duplicates of batch 1, c exactly once
+
+
+def test_attribution_join_stream_horizon(spark, tmp_path):
+    """Stream-stream interval join: a click within the 10-min horizon
+    attributes to the view; one outside it (or on another key) does not."""
+    import json as _json
+
+    from advanced_elb_logs_etl_spark.streaming.sessions import attribution_join_stream
+
+    vd = tmp_path / "views"; cd = tmp_path / "clicks"
+    vd.mkdir(); cd.mkdir()
+    (vd / "v.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"client_ip": "1.1.1.1", "view_time": "2024-01-01T00:00:00Z"},
+        {"client_ip": "2.2.2.2", "view_time": "2024-01-01T00:00:00Z"},
+    ]))
+    (cd / "c.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"client_ip": "1.1.1.1", "click_time": "2024-01-01T00:05:00Z"},  # in horizon
+        {"client_ip": "1.1.1.1", "click_time": "2024-01-01T00:30:00Z"},  # too late
+        {"client_ip": "3.3.3.3", "click_time": "2024-01-01T00:01:00Z"},  # no view
+    ]))
+    views = spark.readStream.schema("client_ip string, view_time timestamp").json(str(vd))
+    clicks = spark.readStream.schema("client_ip string, click_time timestamp").json(str(cd))
+    out = attribution_join_stream(views, clicks)
+    q = out.writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM attr_out").collect()
+    assert len(rows) == 1
+    assert rows[0].client_ip == "1.1.1.1" and str(rows[0].click_time).endswith("00:05:00")
