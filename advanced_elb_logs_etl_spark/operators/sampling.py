@@ -122,3 +122,37 @@ def sample_k_per_group(
         df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    order_col: str | None = None,
+) -> None:
+    """Materialize a curated corpus as exactly `n_shards` shard files with
+    deterministic membership: shard = pmod(xxhash64(key), n_shards) — the
+    layout a training dataloader consumes (stable across reruns, unlike
+    round-robin repartition, so resumed runs and distributed loaders agree
+    on which shard holds which doc).
+
+    One repartition on the shard id (the unavoidable placement shuffle);
+    rows sort within each shard by the sampling hash (or `order_col`) so
+    iteration order is reproducible too. Writes
+    path/shard=<k>/part-*.parquet via partitionBy for pruning-friendly
+    reads."""
+    shard = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
+    order = (
+        F.col(order_col)
+        if order_col is not None
+        else hash_uniform(F.col(key_col), SAMPLE_SEED)
+    )
+    (
+        df.withColumn("shard", shard.cast("int"))
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", order)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

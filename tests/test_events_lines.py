@@ -184,3 +184,31 @@ def test_chunk_documents_property_differential(spark):
             for cn, txt, nt in py_chunks(toks, w, s):
                 assert got[(i, cn)] == (txt, nt), (i, n, w, s, cn)
             assert len([1 for (d, _) in got if d == i]) == len(py_chunks(toks, w, s))
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from advanced_elb_logs_etl_spark.operators.sampling import write_training_shards
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(200)], ["doc_id", "text"])
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(df, p1, n_shards=4)
+    write_training_shards(df, p2, n_shards=4)
+    a = spark.read.parquet(p1)
+    b = spark.read.parquet(p2)
+    assert a.count() == 200
+    # every shard present, membership identical across reruns
+    sa = {(r.doc_id, r.shard) for r in a.select("doc_id", "shard").collect()}
+    sb = {(r.doc_id, r.shard) for r in b.select("doc_id", "shard").collect()}
+    assert sa == sb
+    assert {r.shard for r in a.select("shard").distinct().collect()} == {0, 1, 2, 3}
+    # membership matches the documented formula
+    expected = {
+        (r.doc_id, r.exp)
+        for r in df.select(
+            "doc_id",
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(4)).cast("int").alias("exp"),
+        ).collect()
+    }
+    assert sa == expected
