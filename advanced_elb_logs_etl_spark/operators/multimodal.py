@@ -92,15 +92,54 @@ def decode_bmp(payload: bytes) -> dict:
             "pixels": rgb.tobytes()}
 
 
+def decode_ppm(payload: bytes) -> dict:
+    """Dependency-free decoder for binary PPM (P6) — the second natively
+    decodable format next to BMP: magic + whitespace/comment-separated
+    width/height/maxval header, then raw row-major RGB. maxval must be 255
+    (the 16-bit form is rejected, not silently truncated)."""
+    if payload[:2] != b"P6":
+        raise ImageDecodeError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ImageDecodeError("truncated PPM header")
+        try:
+            fields.append(int(payload[start:pos]))
+        except ValueError as exc:
+            raise ImageDecodeError("malformed PPM header field") from exc
+    pos += 1  # single whitespace byte after maxval, then raster
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ImageDecodeError(f"unsupported PPM maxval {maxval}")
+    if not (0 < width <= 1 << 20 and 0 < height <= 1 << 20):
+        raise ImageDecodeError(f"implausible dimensions {width}x{height}")
+    need = width * height * 3
+    raster = payload[pos : pos + need]
+    if len(raster) < need:
+        raise ImageDecodeError(f"truncated pixel raster: {len(raster)} < {need}")
+    return {"width": width, "height": height, "mode": "RGB", "pixels": raster}
+
+
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload to {"width", "height", "mode", "pixels"}.
 
-    BMP decodes natively (decode_bmp, no dependencies). Other formats use
-    PIL when importable; in this container PIL is absent, so they raise
-    ImageDecodeError — the mapInPandas kernels translate that to null
-    metadata rather than failing the stage."""
+    BMP and binary PPM decode natively (decode_bmp / decode_ppm, no
+    dependencies). Other formats use PIL when importable; in this container
+    PIL is absent, so they raise ImageDecodeError — the mapInPandas kernels
+    translate that to null metadata rather than failing the stage."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     try:
         from PIL import Image  # noqa: PLC0415 — optional dependency
     except ImportError as exc:

@@ -152,6 +152,7 @@ def parse_alb_lines(
     df: DataFrame,
     value_col: str = "value",
     source_col: str = "log_source_file",
+    observation=None,
 ) -> DataFrame:
     """Raw lines -> typed parsed table (the Spark form of parse_log_entry).
 
@@ -159,6 +160,13 @@ def parse_alb_lines(
     lines whose timestamp fails both formats are removed. Output: the 29 raw
     string columns + time (UTC instant) + derived columns, matching
     FIXTURES.md §F2.
+
+    Pass a ``pyspark.sql.Observation`` as ``observation`` to get the
+    reference's malformed-line accounting (its per-entry warning log,
+    reference :95-97) without a second pass: after any action on the result,
+    ``observation.get`` holds ``lines_in`` and ``lines_rejected`` (tokenizer
+    arity/whitespace gate), collected by the executors during the SAME scan
+    — the distributed replacement for driver-side log counting.
     """
     value = F.trim(F.col(value_col))
     has_source = source_col in df.columns
@@ -168,7 +176,14 @@ def parse_alb_lines(
         value.alias("_raw"),
         line_ok(value).alias("_line_ok"),
         F.from_csv(value, _CSV_SCHEMA, _CSV_OPTIONS).alias("_t"),
-    ).filter(F.col("_line_ok"))
+    )
+    if observation is not None:
+        tokenized = tokenized.observe(
+            observation,
+            F.count(F.lit(1)).alias("lines_in"),
+            F.count_if(~F.col("_line_ok")).alias("lines_rejected"),
+        )
+    tokenized = tokenized.filter(F.col("_line_ok"))
 
     raw_cols = [
         F.col(f"_t.c{i}").alias(name) for i, name in enumerate(ELB_LOG_COLUMNS) if name != "time"

@@ -99,3 +99,37 @@ def test_resize_images_real_resample(spark):
     assert resized["pixels"] == expect.tobytes()
     # undecodable payload falls back to the deterministic fake
     assert bytes(out[2].resized_payload)[:16] == hashlib.md5(b"garbage bytes").digest()
+
+
+def test_decode_ppm_roundtrip_and_comments():
+    from advanced_elb_logs_etl_spark.operators.multimodal import decode_image, decode_ppm
+
+    pixels = bytes(
+        [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120, 130, 140, 150, 160, 170, 180]
+    )  # 3x2 RGB
+    ppm = b"P6\n# a comment\n3 2\n255\n" + pixels
+    out = decode_ppm(ppm)
+    assert (out["width"], out["height"], out["mode"]) == (3, 2, "RGB")
+    assert out["pixels"] == pixels
+    # dispatch through decode_image
+    assert decode_image(ppm)["pixels"] == pixels
+
+
+def test_decode_ppm_rejects_bad_payloads():
+    import pytest as _pytest
+
+    from advanced_elb_logs_etl_spark.operators.multimodal import (
+        ImageDecodeError,
+        decode_ppm,
+    )
+
+    good = b"P6\n3 2\n255\n" + bytes(18)
+    for bad in [
+        b"P5\n3 2\n255\n" + bytes(18),          # wrong magic (PGM)
+        b"P6\n3 2\n65535\n" + bytes(36),        # 16-bit maxval
+        b"P6\n3 2\n255\n" + bytes(17),          # truncated raster
+        b"P6\n3 x\n255\n" + bytes(18),          # malformed field
+    ]:
+        with _pytest.raises(ImageDecodeError):
+            decode_ppm(bad)
+    assert decode_ppm(good)["width"] == 3

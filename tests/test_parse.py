@@ -189,3 +189,25 @@ def test_userinfo_url_hostname(spark):
     assert r.port == 8080
     assert r.path == "/probe"
     assert r.protocol == "http"
+
+
+def test_parse_observation_counts_rejects(spark):
+    """Observation-based malformed-line accounting: the reference's
+    per-entry warning log (:95-97) becomes executor-collected metrics on
+    the same scan — no second pass, no driver loop."""
+    from pyspark.sql import Observation
+
+    from datetime import datetime
+
+    from tests.elb_fixtures import make_line
+
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    lines = [make_line(base) for _ in range(3)] + ["too short line", "x y z"]
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    obs = Observation("parse_metrics")
+    out = parse_alb_lines(df, observation=obs)
+    n = out.count()
+    got = obs.get
+    assert got["lines_in"] == 5
+    assert got["lines_rejected"] == 2
+    assert n <= 3  # parsed rows never exceed gate survivors
