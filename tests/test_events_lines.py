@@ -212,3 +212,43 @@ def test_write_training_shards_deterministic(spark, tmp_path):
         ).collect()
     }
     assert sa == expected
+
+
+def test_funnel_random_differential(spark):
+    """Seeded random event streams vs a plain-Python funnel walker —
+    exercises interleavings (repeats, pre-view clicks, equal timestamps,
+    missing stages) that the hand-built cases can't enumerate."""
+    import random
+
+    rng = random.Random(20240813)
+    stages = ["view", "click", "purchase"]
+    types = stages + ["signup", "error"]
+    rows = []
+    for u in range(40):
+        for _ in range(rng.randint(0, 12)):
+            rows.append(
+                (u, _ts(rng.randint(0, 59)), types[rng.randrange(len(types))])
+            )
+    # plain-Python reference: earliest stage-k event at-or-after stage k-1
+    def walk(evts):
+        t_prev, reached = None, 0
+        for st in stages:
+            cand = [t for (t, ty) in evts if ty == st and (t_prev is None or t >= t_prev)]
+            if not cand:
+                break
+            t_prev = min(cand)
+            reached += 1
+        return reached
+
+    by_user = {}
+    for u, t, ty in rows:
+        by_user.setdefault(u, []).append((t, ty))
+    expected = {s: 0 for s in stages}
+    for evts in by_user.values():
+        r = walk(evts)
+        for i in range(r):
+            expected[stages[i]] += 1
+
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r.event_type: r.users for r in ev_ops.funnel_counts(ev, stages).collect()}
+    assert got == expected
