@@ -153,3 +153,35 @@ def write_bot_traffic_reports(df: DataFrame, parquet_path: str, csv_path: str) -
 def sample_json(df: DataFrame, n: int = 5) -> list[str]:
     """S10 (reference :417-418): first n rows as JSON lines."""
     return df.limit(n).toJSON().collect()
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the maintenance pass every long-running
+    100 TB ingest needs: streaming/hourly sinks accrete thousands of tiny
+    part files, and scan cost becomes file-open-bound. Rewrites `src` to
+    `dst` as ceil(total_bytes / target) files and returns the file count.
+
+    Sizing comes from the actual on-disk bytes (not row counts), so heavily
+    compressed columns don't over-coalesce. Plain repartition (round-robin)
+    is the right shuffle here: compaction has no key, and round-robin gives
+    uniform file sizes. Writing to a NEW location then swapping is
+    deliberate — overwriting a dataset while reading it is undefined; on a
+    real lake the swap is the catalog/table-format's job (RENAME or
+    REPLACE TABLE), documented rather than hidden here."""
+    import math
+    import os
+
+    total = 0
+    for root, _, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    df.repartition(n).write.mode("overwrite").parquet(dst)
+    return n

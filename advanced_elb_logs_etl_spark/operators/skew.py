@@ -65,3 +65,37 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[merge_fn[fn](name).alias(name) for name, (col, fn) in aggs.items()]
     )
+
+
+def replicated_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salt-replicate equi-join for a skewed fact key when the build side is
+    too big to broadcast: every dim row is replicated once per salt (cost
+    S x |dim| rows — the explicit price of de-skewing without broadcast),
+    and each fact row picks ONE salt from a hash of its full row, so a hot
+    key's rows spread over S reducers instead of one.
+
+    The salt choice cannot change the join RESULT (every (key, salt) bucket
+    sees the full dim row set for that key), so result identity with the
+    plain join holds by construction — pinned in tests with a planted
+    100:1 hot key. Use when AQE's skew split doesn't fire (e.g. the skew is
+    inside one huge row-group, or a downstream op pins the partitioning).
+
+    Only inner/left joins are offered: right/full would need the dim-side
+    duplicates de-duplicated after the join, which reintroduces a skewed
+    shuffle."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"replicated_skew_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(num_salts))
+    f = fact.withColumn("_salt", salt.cast("int"))
+    # the cast cannot wrap the generator (Spark rejects nested generators);
+    # sequence(lit, lit) already yields ints, matching the fact side's cast
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return f.join(d, on=[key, "_salt"], how=how).drop("_salt")

@@ -252,3 +252,57 @@ def test_funnel_random_differential(spark):
     ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
     got = {r.event_type: r.users for r in ev_ops.funnel_counts(ev, stages).collect()}
     assert got == expected
+
+
+def test_replicated_skew_join_result_identity(spark):
+    import random
+
+    from advanced_elb_logs_etl_spark.operators.skew import replicated_skew_join
+
+    rng = random.Random(7)
+    # 100:1 hot key + a fact key with no dim match (exercises inner drop)
+    fact_rows = [("hot", rng.randint(0, 99)) for _ in range(500)] + [
+        (f"k{i}", i) for i in range(50)
+    ] + [("orphan", -1)] * 3
+    dim_rows = [("hot", "HOT")] + [(f"k{i}", f"V{i}") for i in range(50)]
+    fact = spark.createDataFrame(fact_rows, ["key", "v"])
+    dim = spark.createDataFrame(dim_rows, ["key", "label"])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = sorted(map(tuple, fact.join(dim, "key").collect()))
+        salted = sorted(map(tuple, replicated_skew_join(fact, dim, "key").collect()))
+        assert salted == plain
+        left_p = sorted(map(tuple, fact.join(dim, "key", "left").collect()))
+        left_s = sorted(
+            map(tuple, replicated_skew_join(fact, dim, "key", how="left").collect())
+        )
+        assert left_s == left_p
+        # the join really keys on (key, salt): hot rows spread over >1 salt
+        from pyspark.sql import functions as F  # noqa: F811
+
+        salts = (
+            fact.filter("key = 'hot'")
+            .select(F.pmod(F.xxhash64("key", "v"), F.lit(16)).alias("s"))
+            .distinct()
+            .count()
+        )
+        assert salts > 4
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    import os
+
+    from advanced_elb_logs_etl_spark.operators.reports import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(10000).selectExpr("id", "id * 2 AS v")
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    n_src = sum(f.endswith(".parquet") for _, _, fs in os.walk(src) for f in fs)
+    assert n_src == 64
+    n = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1
+    n_dst = sum(f.endswith(".parquet") for _, _, fs in os.walk(dst) for f in fs)
+    assert n_dst == 1
+    assert spark.read.parquet(dst).count() == 10000
