@@ -29,23 +29,25 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles. Guarded: fewer than n tokens -> empty
-    array (Spark sequence(1,0) yields [1,0], unlike SQL generate_series).
+def ngram_fold(toks: Column, n: int) -> Column:
+    """All word n-grams of a token-array column, position order, WITH
+    multiplicity; < n tokens -> empty array (guarded: Spark sequence(1,0)
+    yields [1,0], unlike SQL generate_series). THE shared n-gram kernel —
+    shingles() and text.ngram_array are thin wrappers, so the subtle form
+    below has exactly one home.
 
     SQL twin:
-    CASE WHEN len(toks) >= n THEN list_distinct(list_transform(
-      generate_series(1, len(toks)-(n-1)), i -> toks[i] || ' ' || ... ))
+    CASE WHEN len(toks) >= n THEN list_transform(
+      generate_series(1, len(toks)-(n-1)), i -> toks[i] || ' ' || ...)
     ELSE [] END
 
-    Built by zip_with-folding n shifted slices (position order preserved,
-    so array_distinct keeps the same first occurrences as the transform
-    form): array HOFs are interpreted with no common-subexpression
-    elimination, and the transform(sequence, i -> element_at(toks, i+k))
-    form re-evaluates its operand per lambda call — measured ~5x slower
-    (see operators/text.ngram_array).
+    Built by zip_with-folding n shifted slices of the token array, NOT
+    transform(sequence, i -> element_at(toks, i+k)): array HOFs are
+    interpreted (CodegenFallback) with no common-subexpression elimination,
+    so the element_at form re-evaluates its operand per lambda call —
+    measured ~5x slower (16s -> 3s for repetition_stats at sf0.1). The
+    slice inputs are evaluated once per ROW; the lambda only concatenates.
     """
-    toks = tokens(col)
     out_len = F.size(toks) - (n - 1)
     grams = F.slice(toks, 1, out_len)
     for k in range(1, n):
@@ -54,9 +56,17 @@ def shingles(col: Column, n: int = 3) -> Column:
             F.slice(toks, 1 + k, out_len),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (set semantics for Jaccard/MinHash):
+    array_distinct over ngram_fold, which preserves position order, so
+    first occurrences match the transform form's (and its <n-token guard
+    already yields the empty array)."""
+    return F.array_distinct(ngram_fold(tokens(col), n))
 
 
 #: Mersenne prime for the universal-hash minhash permutations.

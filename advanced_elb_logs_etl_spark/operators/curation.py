@@ -18,6 +18,7 @@ from __future__ import annotations
 import re
 import unicodedata
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -145,7 +146,11 @@ def pack_sequences(
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         packs, acc, cur = [], 0, 0
         for t in pdf[tokens_col]:
-            t = int(t)
+            # a null token count (null text upstream) must not kill the
+            # stage: treat it as 0 — the doc rides in the current pack
+            # without consuming budget, mirroring the sibling operators'
+            # degrade-per-row stance
+            t = 0 if pd.isna(t) else int(t)
             if acc > 0 and acc + t > budget:
                 cur += 1
                 acc = 0

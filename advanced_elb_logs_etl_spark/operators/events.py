@@ -68,12 +68,19 @@ def funnel_counts(
     counts = times.agg(
         *[F.count(f"t{i}").cast("long").alias(f"c{i}") for i in range(len(stages))]
     )
-    stack_args = ", ".join(
-        f"CAST({i} AS BIGINT), '{s}', c{i}" for i, s in enumerate(stages)
+    # explode an array of structs rather than a selectExpr stack(): stage
+    # names are caller data and must never be spliced into SQL text
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("stage"),
+                F.lit(s).alias("event_type"),
+                F.col(f"c{i}").alias("users"),
+            )
+            for i, s in enumerate(stages)
+        ]
     )
-    return counts.selectExpr(
-        f"stack({len(stages)}, {stack_args}) AS (stage, event_type, users)"
-    )
+    return counts.select(F.explode(rows).alias("_r")).select("_r.*")
 
 
 def cohort_retention(

@@ -97,7 +97,7 @@ def decode_ppm(payload: bytes) -> dict:
     decodable format next to BMP: magic + whitespace/comment-separated
     width/height/maxval header, then raw row-major RGB. maxval must be 255
     (the 16-bit form is rejected, not silently truncated)."""
-    if payload[:2] != b"P6":
+    if payload[:2] != b"P6" or not payload[2:3].isspace():
         raise ImageDecodeError("not a P6 PPM payload")
     pos, fields = 2, []
     while len(fields) < 3:
@@ -164,20 +164,21 @@ def encode_bmp(width: int, height: int, rgb_pixels: bytes) -> bytes:
     synthesize real image payloads without an imaging library."""
     import struct as _struct
 
+    import numpy as np
+
     if len(rgb_pixels) != width * height * 3:
         raise ImageDecodeError(
             f"pixel buffer {len(rgb_pixels)} != {width}x{height}x3"
         )
     row_stride = (width * 3 + 3) & ~3
-    pad = b"\x00" * (row_stride - width * 3)
-    rows = []
-    for r in range(height - 1, -1, -1):  # BMP rows are bottom-up
-        row = rgb_pixels[r * width * 3: (r + 1) * width * 3]
-        # RGB -> BGR
-        rows.append(bytes(v for px in range(width)
-                          for v in (row[px * 3 + 2], row[px * 3 + 1], row[px * 3])))
-        rows.append(pad)
-    pixel_data = b"".join(rows)
+    # vectorized flip+swizzle: [::-1] makes rows bottom-up, [..., ::-1]
+    # swaps RGB->BGR; a per-pixel Python loop here would cost O(w*h)
+    # interpreter work per image on the resize hot path
+    arr = np.frombuffer(rgb_pixels, dtype=np.uint8).reshape(height, width, 3)
+    bgr = arr[::-1, :, ::-1]
+    padded = np.zeros((height, row_stride), dtype=np.uint8)
+    padded[:, : width * 3] = bgr.reshape(height, width * 3)
+    pixel_data = padded.tobytes()
     header = _struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
     dib = _struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
                        len(pixel_data), 2835, 2835, 0, 0)

@@ -167,20 +167,27 @@ def compact_parquet(
     `dst` as ceil(total_bytes / target) files and returns the file count.
 
     Sizing comes from the actual on-disk bytes (not row counts), so heavily
-    compressed columns don't over-coalesce. Plain repartition (round-robin)
-    is the right shuffle here: compaction has no key, and round-robin gives
-    uniform file sizes. Writing to a NEW location then swapping is
-    deliberate — overwriting a dataset while reading it is undefined; on a
-    real lake the swap is the catalog/table-format's job (RENAME or
-    REPLACE TABLE), documented rather than hidden here."""
+    compressed columns don't over-coalesce — measured through the Hadoop
+    FileSystem API, so s3a://-style remote paths size correctly (an
+    os.walk would silently report 0 there and coalesce everything into one
+    task). Plain repartition (round-robin) is the right shuffle here:
+    compaction has no key, and round-robin gives uniform file sizes.
+    Writing to a NEW location then swapping is deliberate — overwriting a
+    dataset while reading it is undefined; on a real lake the swap is the
+    catalog/table-format's job (RENAME or REPLACE TABLE), documented
+    rather than hidden here."""
     import math
-    import os
 
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
     total = 0
-    for root, _, files in os.walk(src):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total += st.getLen()
     n = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(src)
     df.repartition(n).write.mode("overwrite").parquet(dst)

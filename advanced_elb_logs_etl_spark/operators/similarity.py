@@ -106,19 +106,26 @@ def _masked_out(out: np.ndarray, mask: np.ndarray) -> pd.Series:
     return pd.Series([out[i] if mask[i] else None for i in range(len(out))], dtype=object)
 
 
-@pandas_udf(T.DoubleType())
-def _dot_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+def _joint_stack(a: pd.Series, b: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Joint-valid mask + the two (n_valid, d) matrices aligned to it.
+    Shared by every two-argument kernel so the subtle different-null-rows
+    re-stack lives in exactly one place."""
     mask_a, mat_a = _stack_valid(a)
     mask_b, mat_b = _stack_valid(b)
     mask = mask_a & mask_b
-    out = np.full(len(a), np.nan)
-    if mask.all() and len(mask):
-        out = _fold_dot_np(mat_a * mat_b)
-    elif mask.any():
+    if mask.any() and not mask.all():
         # sides had different null rows: re-stack against the joint mask
         idx = np.flatnonzero(mask)
         mat_a = np.stack([np.asarray(a.iloc[i], dtype=np.float64) for i in idx])
         mat_b = np.stack([np.asarray(b.iloc[i], dtype=np.float64) for i in idx])
+    return mask, mat_a, mat_b
+
+
+@pandas_udf(T.DoubleType())
+def _dot_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+    mask, mat_a, mat_b = _joint_stack(a, b)
+    out = np.full(len(a), np.nan)
+    if mask.any():
         out[mask] = _fold_dot_np(mat_a * mat_b)
     return _masked_out(out, mask)
 
@@ -139,18 +146,9 @@ def _cosine_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
     (three separate kernels would each pay an ArrowEval stage's scheduling
     overhead). Identical IEEE op sequence to dot/(sqrt(aa)*sqrt(bb)), so
     still bit-exact vs the fold form and the SQL twin."""
-    mask_a, mat_a = _stack_valid(a)
-    mask_b, mat_b = _stack_valid(b)
-    mask = mask_a & mask_b
+    mask, mat_a, mat_b = _joint_stack(a, b)
     out = np.full(len(a), np.nan)
-    if mask.all() and len(mask):
-        out = _fold_dot_np(mat_a * mat_b) / (
-            np.sqrt(_fold_dot_np(mat_a * mat_a)) * np.sqrt(_fold_dot_np(mat_b * mat_b))
-        )
-    elif mask.any():
-        idx = np.flatnonzero(mask)
-        mat_a = np.stack([np.asarray(a.iloc[i], dtype=np.float64) for i in idx])
-        mat_b = np.stack([np.asarray(b.iloc[i], dtype=np.float64) for i in idx])
+    if mask.any():
         out[mask] = _fold_dot_np(mat_a * mat_b) / (
             np.sqrt(_fold_dot_np(mat_a * mat_a)) * np.sqrt(_fold_dot_np(mat_b * mat_b))
         )
@@ -245,8 +243,11 @@ def assign_clusters(
             key=lambda t: t[0],
         )
         if not cent_rows:
+            # cluster is LongType to match the non-empty path (which emits
+            # array<long> from the kernel), not the centroid id's own type —
+            # otherwise the output schema would flip on an empty frame
             schema = vectors.select(F.col(id_col), F.col(vec_col)).schema.add(
-                "cluster", centroids.schema[id_col].dataType
+                "cluster", T.LongType()
             )
             return vectors.sparkSession.createDataFrame([], schema)
         cent_ids = np.array([t[0] for t in cent_rows], dtype=np.int64)

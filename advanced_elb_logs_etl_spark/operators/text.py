@@ -128,32 +128,12 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
 def ngram_array(text: Column, n: int) -> Column:
     """All word n-grams in position order WITH multiplicity — unlike
     hashing.shingles() (which distincts for set similarity), repetition
-    statistics need occurrence counts. SQL twin:
-    CASE WHEN len(toks) >= n THEN list_transform(
-      generate_series(1, len(toks)-(n-1)), i -> toks[i] || ' ' || ...)
-    ELSE [] END
+    statistics need occurrence counts. Thin wrapper over the shared
+    zip_with kernel (functions/hashing.ngram_fold — see there for the SQL
+    twin and the CSE-avoidance rationale)."""
+    from ..functions.hashing import ngram_fold, tokens as _tokens
 
-    Built by zip_with-folding n shifted slices of the token array, NOT
-    transform(sequence, i -> element_at(toks, i+k)): array HOFs are
-    interpreted (CodegenFallback) with no common-subexpression elimination,
-    so the element_at form re-evaluates its operand per lambda call —
-    measured ~5x slower on the corpus (16s -> 3s for repetition_stats at
-    sf0.1). The slice inputs are evaluated once per ROW; the lambda only
-    concatenates."""
-    from ..functions.hashing import tokens as _tokens
-
-    toks = _tokens(text)
-    out_len = F.size(toks) - (n - 1)
-    grams = F.slice(toks, 1, out_len)
-    for k in range(1, n):
-        grams = F.zip_with(
-            grams,
-            F.slice(toks, 1 + k, out_len),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    return ngram_fold(_tokens(text), n)
 
 
 #: Gopher-style repetition gate thresholds (Rae et al. 2021 table A1 uses

@@ -1445,8 +1445,9 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q7 shape: bidirectional nation-pair trade volume by year. The
     disjunctive nation predicate CANNOT push into either single-nation scan
     — it's a pair constraint — so the right plan broadcasts both tiny
-    nation dims and applies the OR after both joins, keeping lineitem
-    (the 100 TB side) shuffle-free until the 4-group aggregate."""
+    nation dims (and supplier/customer here) and applies the OR after the
+    joins; lineitem's only hash shuffles are the orders join key and the
+    final 4-group aggregate."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")

@@ -131,7 +131,7 @@ def rolling_counts_stateful(
 
 def dedup_stream(
     events: DataFrame,
-    keys: list[str] | None = None,
+    keys: list[str],
     ts: str = "time",
     watermark: str = "1 hour",
     within_watermark: bool = True,
@@ -150,12 +150,17 @@ def dedup_stream(
     The event-time column must NOT be part of the dedup key in the
     within-watermark form: two replays of one logical record typically carry
     different arrival timestamps, which is precisely what this form
-    tolerates and plain dropDuplicates([key, ts]) would not."""
+    tolerates and plain dropDuplicates([key, ts]) would not.
+
+    `keys` is deliberately REQUIRED: there is no safe default — deduping on
+    a non-identity column (say client_ip) would silently discard every
+    subsequent record sharing it within the horizon."""
+    if not keys:
+        raise ValueError("dedup_stream requires an explicit record-identity key list")
     keyed = events.withWatermark(ts, watermark)
-    cols = keys if keys is not None else ["client_ip"]
     if within_watermark:
-        return keyed.dropDuplicatesWithinWatermark(cols)
-    return keyed.dropDuplicates(cols)
+        return keyed.dropDuplicatesWithinWatermark(keys)
+    return keyed.dropDuplicates(keys)
 
 
 def attribution_join_stream(

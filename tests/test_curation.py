@@ -122,3 +122,15 @@ def test_normalize_text_unicode(spark):
     assert out[1] == "caf\u00e9 du monde"            # composed + casefolded + collapsed
     assert out[2] == "a b c"
     assert out[3] is None
+
+
+def test_pack_sequences_null_token_count_degrades(spark):
+    """A null token count (null text upstream) rides in the current pack
+    at zero cost instead of killing the stage."""
+    docs = spark.createDataFrame(
+        [("g", 1, 60), ("g", 2, None), ("g", 3, 60)],
+        "group_key string, doc_id long, n_tokens long",
+    )
+    out = {r.doc_id: r.pack_id for r in curation.pack_sequences(docs, budget=100).collect()}
+    assert out[1] == 0 and out[2] == 0  # null doc joins doc 1's pack
+    assert out[3] == 1                  # 60 + 60 > 100 -> new pack
