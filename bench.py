@@ -42,6 +42,7 @@ _WIDE_OUTPUT = {
     "multimodal_meta",
     "winnow_fingerprints",
     "alb_parse_roundtrip",
+    "scd2_intervals",
 }
 
 
