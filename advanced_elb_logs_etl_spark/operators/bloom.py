@@ -90,6 +90,15 @@ def bloom_might_contain(
     return pred
 
 
+# Build sides at or below this many rows fit Spark's default broadcast
+# threshold (10 MB) with room to spare for 8-byte keys, so the exact semi
+# join already runs as a broadcast hash join with no probe shuffle — a Bloom
+# pre-pass there is pure overhead (measured 8x the plain join at sf0.1,
+# VERDICT r2). Above it, the probe side faces a real exchange and scan-stage
+# pruning pays for itself.
+BYPASS_BUILD_ROWS = 1_000_000
+
+
 def bloom_semi_join(
     probe: DataFrame,
     build: DataFrame,
@@ -97,15 +106,25 @@ def bloom_semi_join(
     build_key: str,
     k: int = DEFAULT_K,
     m_bits: int = DEFAULT_M_BITS,
+    bypass_below_rows: int | None = BYPASS_BUILD_ROWS,
 ) -> DataFrame:
     """Semi-join `probe` to `build` with a Bloom pre-filter on the probe scan.
 
     Result-identical to probe.join(build, keys, "left_semi"): the bitmap pass
     only discards provable non-members; survivors (true matches + false
     positives) still go through the exact semi join.
+
+    Break-even guard: when the build side has at most ``bypass_below_rows``
+    rows (one cheap count over the SMALL side), the bitmap build is skipped
+    and the plain semi join runs — below the broadcast threshold the exact
+    join never shuffles the probe side, so the pre-filter cannot win. Pass
+    ``bypass_below_rows=None`` to force the Bloom path (tests do).
     """
-    lanes = build_bloom_lanes(build, build_key, k=k, m_bits=m_bits)
-    pre = probe.filter(bloom_might_contain(F.col(probe_key), lanes, k=k))
+    if bypass_below_rows is not None and build.count() <= bypass_below_rows:
+        pre = probe
+    else:
+        lanes = build_bloom_lanes(build, build_key, k=k, m_bits=m_bits)
+        pre = probe.filter(bloom_might_contain(F.col(probe_key), lanes, k=k))
     return pre.join(
         build.select(F.col(build_key).alias("__bk")).distinct(),
         F.col(probe_key) == F.col("__bk"),

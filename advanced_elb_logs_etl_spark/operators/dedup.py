@@ -367,31 +367,35 @@ def neardup_components(
         .withColumn("component", F.col("node"))
     )
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
+        # One label-propagation round = ONE join (ship labels across edges)
+        # + ONE groupBy (min over the closed neighborhood; the self row rides
+        # along in the union so no second join against `labels` is needed).
+        # The previous label is folded into the same aggregation via the
+        # is_self lane, so the fixpoint check below costs no extra join —
+        # just an isEmpty() scan over the already-checkpointed blocks.
+        msgs = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"),
+            F.col("component"),
+            F.lit(False).alias("is_self"),
+        )
+        closed = msgs.union(
+            labels.select("node", "component", F.lit(True).alias("is_self"))
         )
         updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
+            closed.groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("is_self"), F.col("component"))).alias("_old"),
             )
+            .withColumn("_changed", F.col("component") != F.col("_old"))
+            .drop("_old")
+            # localCheckpoint truncates the growing lineage so round N+1
+            # doesn't replay round N; it is also the round's only
+            # materialization job.
+            .localCheckpoint(eager=True)
         )
-        # fixpoint check materializes one count per round; localCheckpoint
-        # truncates the growing lineage so round N+1 doesn't replay round N.
-        updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        labels = updated.drop("_changed")
+        if updated.filter(F.col("_changed")).isEmpty():
             break
     else:
         raise RuntimeError(

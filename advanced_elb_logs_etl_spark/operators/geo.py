@@ -66,14 +66,34 @@ def load_geo_cache(spark: SparkSession, path: str) -> DataFrame:
         return spark.createDataFrame([], GEO_CACHE_SCHEMA)
 
 
-def find_uncached_ips(logs: DataFrame, cache: DataFrame, ip_col: str = "client_ip") -> list[str]:
+#: Driver-side safety cap for the uncached-IP list. The sequential fetch
+#: spends 0.7 s per IP (reference :242), so even this many is ~19 hours of
+#: API time — any cold cache bigger than that needs an operational decision,
+#: not a driver OOM. Raise via the parameter when that decision is made.
+MAX_UNCACHED_IPS = 100_000
+
+
+def find_uncached_ips(
+    logs: DataFrame,
+    cache: DataFrame,
+    ip_col: str = "client_ip",
+    max_ips: int | None = MAX_UNCACHED_IPS,
+) -> list[str]:
     """Distinct non-null IPs absent from the cache (A8 + J2, reference
     :235-236). The distinct shuffles keys only; the anti-join probes the
-    (small, broadcast) cache."""
+    (small, broadcast) cache.
+
+    The result is a DRIVER list by design (the rate-limited sequential
+    fetch needs one), so it is bounded: at most ``max_ips`` rows ever reach
+    the driver (the cap is a plan-side ``limit``, not a post-collect trim,
+    so a cold cache at 100x scale cannot OOM the driver). ``max_ips=None``
+    removes the guard."""
     distinct_ips = logs.select(F.col(ip_col).alias("ip")).filter(F.col("ip").isNotNull()).distinct()
     missing = distinct_ips.join(
         F.broadcast(cache.select("query")), distinct_ips.ip == F.col("query"), "left_anti"
     )
+    if max_ips is not None:
+        missing = missing.limit(max_ips)
     return [r.ip for r in missing.collect()]
 
 

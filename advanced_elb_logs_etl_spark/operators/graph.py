@@ -29,31 +29,60 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 3,
     damping: float = DAMPING,
+    tol: float | None = None,
+    max_iterations: int = 50,
 ) -> DataFrame:
-    """Fixed-iteration synchronous PageRank over an edge list.
+    """Synchronous PageRank over an edge list — fixed-K by default, or
+    iterate-to-convergence when ``tol`` is set.
 
     edges: DataFrame[src: string, dst: string]; duplicate edges are
-    collapsed first (a crawl graph lists a link once). Every node is assumed
-    to have at least one out-edge (undirected/bidirectional graphs satisfy
-    this by construction; see pagerank_supplier_part) — with no dangling
-    nodes the rank update is the plain
-        r'(v) = (1-d)/N + d * sum_{u->v} r(u)/outdeg(u).
+    collapsed first (a crawl graph lists a link once). Dangling nodes
+    (nodes with no out-edges) are handled the standard way: their rank mass
+    is redistributed uniformly each iteration, so the update is
+        r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/outdeg(u) + D/N)
+    where D is the summed rank of dangling nodes. When the graph has no
+    dangling nodes (checked ONCE at setup) the D term — and its
+    one-scalar-per-iteration job — is skipped entirely, keeping the
+    fixed-K path a pure lazy chain.
+
+    ``tol``: when set, iterate until max |r' - r| <= tol (checked per
+    round on the materialized rank frame; each round localCheckpoints so
+    lineage stays flat), up to ``max_iterations``; ``iterations`` is
+    ignored in this mode.
 
     Scale: per iteration ONE shuffle — ranks join edges on src (rank frame
     is O(N) and aggregated, so AQE broadcasts it when small; at web scale
     both sides hash-partition on src and the partitioning is reused), then
-    hash-agg on dst. K is fixed and small; lineage stays K joins deep, no
-    driver loop state beyond the loop counter.
+    hash-agg on dst. The dangling-mass fold and the convergence delta are
+    O(N) scalar aggregations, not row collects.
     """
     e = edges.select("src", "dst").distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct()
+    if tol is not None:
+        nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()  # scalar graph size; one tiny job, part of setup
+    dangling = nodes.join(deg, nodes.node == deg.src, "left_anti")
+    has_dangling = not dangling.isEmpty()
+    if has_dangling:
+        dangling = dangling.localCheckpoint(eager=True)
     base = float(1.0) / n
     ranks = nodes.select("node", dround(F.lit(base), _SNAP).alias("rank"))
-    for _ in range(iterations):
+    rounds = max_iterations if tol is not None else iterations
+    for _ in range(rounds):
+        if has_dangling:
+            # D = summed rank of out-edge-less nodes, snapped so the scalar
+            # re-entering the plan is a stable decimal, not an ulp lottery.
+            dmass = (
+                ranks.join(dangling, "node")
+                .agg(F.sum("rank").alias("d"))
+                .first()["d"]
+            ) or 0.0
+            dmass = round(dmass, _SNAP)
+        else:
+            dmass = 0.0
         contrib = (
             ranks.join(e, ranks.node == e.src)
             .join(deg, "src")
@@ -61,14 +90,32 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        new_ranks = nodes.join(contrib, "node", "left").select(
             "node",
             dround(
                 F.lit((1.0 - damping) / n)
-                + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0)),
+                + F.lit(damping)
+                * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(dmass / n)),
                 _SNAP,
             ).alias("rank"),
         )
+        if tol is not None or has_dangling:
+            # dangling/convergence modes run a scalar job against `ranks`
+            # every round — checkpoint so round N+1 reads materialized
+            # blocks instead of replaying rounds 1..N.
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        if tol is not None:
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "node")
+                .agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("d"))
+                .first()["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta <= tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks
 
 

@@ -179,20 +179,35 @@ def _cos_fn(vectorized: bool):
     return cosine_v if vectorized else cosine
 
 
+# Below this many (query x corpus) candidate pairs the Arrow kernels' batch
+# round-trip overhead exceeds their vectorization win and the interpreted
+# F.aggregate fold is faster (measured at sf0.1: 16k pairs ~0.3 s slower
+# vectorized — ROUND2_NOTES.md item 1). Both forms are bit-identical, so the
+# switch is purely physical.
+VECTORIZE_PAIR_THRESHOLD = 500_000
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    vectorized: bool = True,
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """Exact cosine top-k for each query vector (self-matches excluded).
 
     Output: (q_id, neighbor_id, cosine, rank). The query side is broadcast;
     the corpus side streams — no corpus shuffle until the k-row-per-query
     rank, which AQE coalesces to almost nothing.
+
+    ``vectorized=None`` (default) auto-selects the kernel form from the
+    estimated candidate-pair count |Q|x|C|: interpreted fold below
+    VECTORIZE_PAIR_THRESHOLD, Arrow kernels above. The two count() probes
+    are metadata-cheap next to the scoring stage either way.
     """
+    if vectorized is None:
+        vectorized = queries.count() * vectors.count() >= VECTORIZE_PAIR_THRESHOLD
     nrm = norm_v if vectorized else norm2
     dt = _dot_fn(vectorized)
     # norms precomputed once per vector: per-pair work drops from three

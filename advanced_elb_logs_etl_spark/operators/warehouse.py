@@ -19,23 +19,31 @@ from pyspark.sql import functions as F
 from ..functions.scalars import dround
 
 
-def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    """Single-pass per-column profile: rows, nulls, exact distincts, numeric
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+) -> DataFrame:
+    """Single-pass per-column profile: rows, nulls, distincts, numeric
     min/max (timestamps as epoch-microseconds), and average string length.
 
     Output: one row per column, ordered by col_name:
       col_name, n_rows, n_nulls, n_distinct, min_num, max_num, avg_len
 
-    Scale: ONE aggregation over the input. The exact count(DISTINCT) columns
-    make Catalyst plan an Expand (input multiplied by #distinct-aggs) feeding
-    a single partial+final hash agg — the standard multi-distinct plan; at
-    100 TB swap `exact_distinct=False` callers to approx_count_distinct and
-    the Expand disappears (see `hourly_aggregation(exact=False)` for the
-    same toggle pattern). The final unpivot is over ONE already-aggregated
-    row — free.
+    Scale: ONE aggregation over the input. With ``exact=True`` the
+    count(DISTINCT) columns make Catalyst plan an Expand (input multiplied
+    by #distinct-aggs) feeding a single partial+final hash agg — the
+    standard multi-distinct plan, fine at test scale but the wrong default
+    at 100 TB where the Expand multiplies a huge scan. ``exact=False``
+    swaps in approx_count_distinct (HLL++, relativeSD 0.01): the Expand
+    disappears and the plan is a plain partial+final agg whose shuffle
+    carries one sketch per column (same toggle pattern as
+    `hourly_aggregation(exact=False)`). The final unpivot is over ONE
+    already-aggregated row — free.
     """
     cols = columns or df.columns
     schema = dict(df.dtypes)
+    distinct_agg = (
+        F.count_distinct if exact else (lambda c: F.approx_count_distinct(c, 0.01))
+    )
     aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
         typ = schema[c]
@@ -52,7 +60,7 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         )
         aggs += [
             F.count(F.col(c)).alias(f"__nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            distinct_agg(F.col(c)).alias(f"__nd_{c}"),
             F.min(num).alias(f"__mn_{c}"),
             F.max(num).alias(f"__mx_{c}"),
             avg_len.alias(f"__al_{c}"),

@@ -35,12 +35,87 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# The driver's per-round correctness gate covers a bounded prefix of the
+# catalog (round 2 recorded rows for the first 50 of 76 entries).  Queries
+# listed here are emitted FIRST by queries()/oracle_sql() so that entries
+# that have never received a driver correctness row — the warehouse wave,
+# the curation/sampling wave, and anything newly added this round — land
+# inside that window.  Long-green §2 entries (all hash-matched in
+# CORRECTNESS_r01/r02) follow.  Names not present in CATALOG are ignored,
+# so this list may safely lead registration.
+FRONT_OF_CATALOG: list[str] = [
+    # warehouse wave (catalog_wh.py) — never driver-checked through r2
+    "profile_table",
+    "table_diff",
+    "scd2_intervals",
+    "per_key_trend",
+    "bloom_semi_join",
+    "pagerank_supplier_part",
+    # curation / sampling / LLM wave (catalog_llm.py) — never driver-checked
+    "embedding_neardup_blocked",
+    "winnow_fingerprints",
+    "neardup_components",
+    "dedup_corpus",
+    "rp_lsh_topk",
+    "decontaminate_corpus",
+    "pack_sequences_greedy",
+    "normalize_text_nfc",
+    "repetition_stats",
+    "tfidf_top_terms",
+    "redact_pii",
+    "hash_stratified_split",
+    "quality_ntile_buckets",
+    "epoch_mix_corpus",
+    "sample_k_per_source",
+    "curate_corpus",
+    "interdoc_segment_dedup",
+    "chunk_documents",
+    "knn_label_vote",
+    "vocab_top_tokens",
+    # round-3 additions — no prior driver signal either
+    "profile_table_approx",
+    "order_priority_q4",
+    "promo_revenue_q14",
+    "shipmode_priority_q12",
+    "parts_supplier_q16",
+    "returned_item_q10",
+    "window_lead_gap",
+    "first_last_by_key",
+    "ntile_latency_buckets",
+    "stats_moments_battery",
+    "min_max_by_battery",
+    "mode_per_group",
+    "histogram_latency",
+    "language_id_heuristic",
+    "token_bpe_counts",
+    "levenshtein_block_pairs",
+    "sequential_dedup_runs",
+    "sessionize_window_equiv",
+    "conditional_ratio_report",
+    "distinct_url_paths",
+    "collect_set_sorted",
+    "array_zip_cosine",
+    "map_from_entries_pivot",
+    "regex_extract_all_battery",
+]
+
+
+def _ordered_names() -> list[str]:
+    front = [n for n in FRONT_OF_CATALOG if n in CATALOG]
+    seen = set(front)
+    return front + [n for n in CATALOG if n not in seen]
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in CATALOG.items()}
+    return {name: CATALOG[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in CATALOG.items() if sql is not None}
+    return {
+        name: CATALOG[name][1]
+        for name in _ordered_names()
+        if CATALOG[name][1] is not None
+    }
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

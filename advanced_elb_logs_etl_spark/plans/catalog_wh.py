@@ -75,6 +75,18 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("profile_table_approx", None)  # HLL sketch values are engine-specific: rows-only
+def q_profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile_table with exact=False — the 100 TB default: n_distinct comes
+    from approx_count_distinct (HLL++, rsd 0.01), so the plan is a plain
+    partial+final hash agg with NO Expand (pinned in test_warehouse.py).
+    Sketch estimates differ across engines, hence rows-only; the exact twin
+    above carries the value-hash burden."""
+    return warehouse.profile_table(
+        _t(spark, sf_dir, "orders"), [c for c, _ in _ORDERS_COLS], exact=False
+    )
+
+
 # ---------------------------------------------------------------------------
 # table_diff — reconciliation of a snapshot vs a deterministic perturbation
 # ---------------------------------------------------------------------------
@@ -262,7 +274,10 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the bitmap (64 KiB literal) prunes the probe side inside its scan
     stage, before the shuffle — at 100 TB the exchange moves ~selectivity of
     lineitem instead of all of it. Spark's runtime bloomFilter rule does the
-    same thing when stats justify it; this operator is the explicit form."""
+    same thing when stats justify it; this operator is the explicit form.
+    Below the break-even (build side broadcastable — true at bench sf) the
+    operator auto-bypasses the bitmap and runs the plain broadcast semi join,
+    so users never pay the pre-pass where it cannot win."""
     li = _t(spark, sf_dir, "lineitem")
     hi = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
     matched = bloom.bloom_semi_join(li, hi, "l_orderkey", "o_orderkey")

@@ -42,6 +42,20 @@ def test_find_uncached_ips(spark, tmp_path):
     assert geo.find_uncached_ips(logs, cache) == ["3.3.3.3"]
 
 
+def test_find_uncached_ips_driver_collect_is_bounded(spark, tmp_path):
+    """A cold cache against a large distinct-IP set must never collect more
+    than max_ips rows to the driver (the cap is a plan-side limit)."""
+    cache = geo.load_geo_cache(spark, str(tmp_path / "cold.parquet"))  # empty
+    many = spark.range(0, 5000).select(
+        F.concat(F.lit("10.0."), (F.col("id") / 250).cast("int"),
+                 F.lit("."), (F.col("id") % 250)).alias("client_ip")
+    )
+    got = geo.find_uncached_ips(many, cache, max_ips=100)
+    assert len(got) == 100
+    # and the uncapped form still returns everything when asked to
+    assert len(geo.find_uncached_ips(many, cache, max_ips=None)) == 5000
+
+
 def test_fetch_rate_limit_and_failures():
     calls = []
     sleeps = []

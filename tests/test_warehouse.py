@@ -31,7 +31,9 @@ def test_bloom_semi_join_result_identical(spark):
     build = spark.range(0, 200).select((F.col("id") * 7 % 900).alias("bk"))
     got = sorted(
         (r["k"], r["id"])
-        for r in bloom.bloom_semi_join(probe, build, "k", "bk").collect()
+        for r in bloom.bloom_semi_join(
+            probe, build, "k", "bk", bypass_below_rows=None
+        ).collect()
     )
     want = sorted(
         (r["k"], r["id"])
@@ -61,10 +63,28 @@ def test_bloom_prunes_before_exchange(spark):
     extra join: exactly one join in the plan."""
     probe = spark.range(0, 1000).select((F.col("id") % 50).alias("k"))
     build = spark.range(0, 10).select(F.col("id").alias("bk"))
-    plan = _plan(bloom.bloom_semi_join(probe, build, "k", "bk"))
+    plan = _plan(bloom.bloom_semi_join(probe, build, "k", "bk", bypass_below_rows=None))
     assert "xxhash64" in plan  # literal-bitmap probe evaluated as a Filter
     n_joins = sum(plan.count(j) for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
     assert n_joins == 1, plan[:3000]
+
+
+def test_bloom_bypass_below_breakeven(spark):
+    """A build side under the bypass threshold must skip the bitmap entirely
+    (no xxhash64 probe math in the plan — it IS the plain semi join) while
+    returning the identical result."""
+    probe = spark.range(0, 5000).select((F.col("id") % 1100).alias("k"), "id")
+    build = spark.range(0, 200).select((F.col("id") * 7 % 900).alias("bk"))
+    df = bloom.bloom_semi_join(probe, build, "k", "bk")  # default guard on
+    assert "xxhash64" not in _plan(df)
+    got = sorted((r["k"], r["id"]) for r in df.collect())
+    want = sorted(
+        (r["k"], r["id"])
+        for r in bloom.bloom_semi_join(
+            probe, build, "k", "bk", bypass_below_rows=None
+        ).collect()
+    )
+    assert got == want and len(got) > 0
 
 
 # ---------------------------------------------------------------------------
@@ -224,3 +244,52 @@ def test_pagerank_mass_conserved_and_ordering(spark):
     rows = {r["node"]: r["rank"] for r in graph.pagerank(e, iterations=5).collect()}
     assert abs(sum(rows.values()) - 1.0) < 1e-5
     assert all(rows["h"] > rows[l] for l in leaves)
+
+
+def _py_pagerank(edges, iterations, damping=0.85):
+    """Reference implementation: synchronous PageRank with uniform dangling-
+    mass redistribution, same per-round 1e-8 snap as the operator."""
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, set()).add(d)
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    ranks = {v: round(1.0 / n, 8) for v in nodes}
+    for _ in range(iterations):
+        dmass = round(sum(ranks[v] for v in nodes if v not in out), 8)
+        incoming = {v: 0.0 for v in nodes}
+        for s, dsts in out.items():
+            share = ranks[s] / len(dsts)
+            for d in dsts:
+                incoming[d] += share
+        ranks = {
+            v: round((1 - damping) / n + damping * (incoming[v] + dmass / n), 8)
+            for v in nodes
+        }
+    return ranks
+
+
+def test_pagerank_dangling_nodes_match_python_oracle(spark):
+    """A graph WITH dangling nodes (c and e have no out-edges) must match the
+    standard redistribute-dangling-mass formulation, and total mass must stay
+    ~1 (without redistribution it would leak to ~1-d*D each round)."""
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a"), ("d", "e")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in graph.pagerank(e, iterations=6).collect()}
+    want = _py_pagerank(edges, iterations=6)
+    assert set(got) == set(want)
+    assert all(abs(got[v] - want[v]) < 1e-6 for v in want), (got, want)
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+
+
+def test_pagerank_tol_converges_and_matches_fixed_k(spark):
+    """tol mode must stop at a fixpoint: running MORE fixed iterations from
+    the same start changes nothing beyond tol, and the tol result agrees with
+    a long fixed-K run."""
+    leaves = [f"l{i}" for i in range(4)]
+    edges = [("h", l) for l in leaves] + [(l, "h") for l in leaves] + [("h", "sink")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    tol_rows = {r["node"]: r["rank"] for r in graph.pagerank(e, tol=1e-7).collect()}
+    fixed_rows = {r["node"]: r["rank"] for r in graph.pagerank(e, iterations=40).collect()}
+    assert all(abs(tol_rows[v] - fixed_rows[v]) < 1e-5 for v in fixed_rows)
+    assert abs(sum(tol_rows.values()) - 1.0) < 1e-4
