@@ -72,31 +72,32 @@ FRONT_OF_CATALOG: list[str] = [
     "chunk_documents",
     "knn_label_vote",
     "vocab_top_tokens",
-    # round-3 additions — no prior driver signal either
+    # round-3 additions (catalog_r3.py + profile_table_approx) — no prior
+    # driver signal either; 26 + 24 = exactly the 50-entry window
     "profile_table_approx",
     "order_priority_q4",
     "promo_revenue_q14",
-    "shipmode_priority_q12",
+    "linestatus_priority_q12",
     "parts_supplier_q16",
     "returned_item_q10",
+    "small_quantity_revenue_q17",
     "window_lead_gap",
     "first_last_by_key",
     "ntile_latency_buckets",
+    "rank_battery",
     "stats_moments_battery",
     "min_max_by_battery",
     "mode_per_group",
     "histogram_latency",
+    "grouping_sets_events",
     "language_id_heuristic",
     "token_bpe_counts",
     "levenshtein_block_pairs",
     "sequential_dedup_runs",
-    "sessionize_window_equiv",
+    "tumbling_window_agg",
     "conditional_ratio_report",
-    "distinct_url_paths",
     "collect_set_sorted",
     "array_zip_cosine",
-    "map_from_entries_pivot",
-    "regex_extract_all_battery",
 ]
 
 

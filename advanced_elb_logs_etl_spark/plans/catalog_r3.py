@@ -1,0 +1,990 @@
+"""Round-3 catalog wave: adapted TPC-H analytics (Q4/Q10/Q12/Q14/Q16/Q17 on
+the available columns), a window-function battery (lead gaps, first/last,
+ntile, percent_rank/cume_dist), statistics aggregates (moments, arg-min/max,
+mode, histogram), grouping sets, and text/array operators (language-ID
+confusion, BPE token counts, blocked Levenshtein pairs, run-length dedup,
+tumbling windows, sorted collect_set, zip_with cosine).
+
+Same contract as plans.catalog: every Spark query has a DuckDB oracle twin
+computing byte-identical values (integer time math via epoch-microseconds,
+DECIMAL-snapped floats via functions.scalars.dround, deterministic
+tiebreaks on every ordering). Scale notes inline per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dround
+from ..operators import similarity, text
+from .catalog import _t, _us, register
+from .catalog_llm import _cos, _lang_sql, _TOKS
+
+_DR6 = "CAST(round(CAST({x} AS DECIMAL(28,8)), 6) AS DOUBLE)"
+_DR4 = "CAST(round(CAST({x} AS DECIMAL(28,8)), 4) AS DOUBLE)"
+_DR2 = "CAST(round(CAST({x} AS DECIMAL(28,8)), 2) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Adapted TPC-H: Q4 — order-priority count with EXISTS semi join
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1995-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("order_priority_q4", _Q4_ORACLE)
+def q_order_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted to this schema (no commit/receipt dates): orders in
+    a 6-month window having at least one lineitem shipped >60 days after
+    the order date, counted by priority.
+
+    Scale: LEFT SEMI join — the non-equi ship-late predicate rides on the
+    equi orderkey join, so this stays a hash semi join (no NL join); the
+    date filter prunes the probe side before the exchange, and the agg is a
+    5-row hash agg."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (li["l_orderkey"] == o["o_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adapted TPC-H: Q14 — promo revenue share per ship-month
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = f"""
+SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+       {_DR4.format(x='''100.0 * sum(CASE WHEN p_type = 'PROMO'
+             THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+           / sum(l_extendedprice * (1 - l_discount))''')} AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("promo_revenue_q14", _Q14_ORACLE)
+def q_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 adapted (p_type is a single word here): monthly % of
+    revenue from PROMO parts over one year.
+
+    Scale: part is dimension-shaped -> broadcast onto the lineitem scan
+    (no lineitem shuffle until the 12-row month agg); the conditional sum
+    is one pass, map-side combinable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            dround(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+        .orderBy("ship_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adapted TPC-H: Q12 — late-line share by linestatus x priority class
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@register("linestatus_priority_q12", _Q12_ORACLE)
+def q_linestatus_priority_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (no shipmode column — linestatus plays the grouping
+    role): very-late lines (shipped >=90 days after ordering) split into
+    high/low order-priority counts.
+
+    Scale: the one real join in the query shuffles both fact sides on
+    orderkey (orders is not broadcastable at 100 TB); the late filter is
+    join-conditional so it evaluates during the join, and the output agg is
+    2 rows. Conditional counts are single-pass count_if."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adapted TPC-H: Q16 — supplier counts per part attribute group
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("parts_supplier_q16", _Q16_ORACLE)
+def q_parts_supplier_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (lineitem stands in for partsupp): distinct
+    supplier count per (brand, type, size) for selected sizes, one brand
+    excluded.
+
+    Scale: part broadcasts onto lineitem with the brand/size filters pushed
+    into the part scan; count(DISTINCT suppkey) plans the standard
+    two-phase distinct agg keyed by the group — no Expand (single distinct
+    column)."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adapted TPC-H: Q10 — top-20 customers by returned revenue
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, n_name,
+       {_DR2.format(x='sum(l_extendedprice * (1 - l_discount))')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("returned_item_q10", _Q10_ORACLE)
+def q_returned_item_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers ranked by revenue lost to returns, top 20 with
+    their nation.
+
+    Scale: returnflag filter prunes lineitem in-scan; orderkey join is the
+    one big exchange; customer and nation broadcast. The top-20 runs as
+    TakeOrderedAndProject (no global sort), deterministic via the custkey
+    tiebreak. Revenue is DECIMAL-snapped BEFORE ordering so the boundary
+    row matches the oracle."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adapted TPC-H: Q17 — small-quantity revenue vs per-part average
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = f"""
+SELECT {_DR2.format(x='coalesce(sum(l_extendedprice), 0.0) / 7.0')} AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (
+  SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+  FROM lineitem GROUP BY l_partkey
+) a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3' AND l.l_quantity < a.half_avg_qty
+"""
+
+
+@register("small_quantity_revenue_q17", _Q17_ORACLE)
+def q_small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (threshold 0.5x to suit this data's quantity range):
+    revenue of below-half-average-quantity lines for one brand, scaled to a
+    yearly figure.
+
+    Scale: the correlated scalar subquery is decorrelated by hand into a
+    per-part aggregate joined back on partkey — the same rewrite Catalyst
+    would produce, but explicit. Both lineitem passes shuffle on partkey;
+    AQE can reuse the exchange. part broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_q = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(avg_q, li["l_partkey"] == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            dround(
+                F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / F.lit(7.0), 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window battery: lead gaps
+# ---------------------------------------------------------------------------
+
+_LEAD_ORACLE = """
+SELECT event_id, user_id,
+       epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts)
+         AS next_gap_us
+FROM events
+"""
+
+
+@register("window_lead_gap", _LEAD_ORACLE)
+def q_window_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() twin of the sessionize lag pattern: microseconds until each
+    user's NEXT event (null for their last) — the forward-looking gap used
+    for churn/abandonment features.
+
+    Scale: one window = one hash partition by user_id + in-partition sort;
+    integer epoch-microsecond math end to end; event_id tiebreak makes
+    colliding timestamps deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (_us(F.lead("ts").over(w)) - _us(F.col("ts"))).alias("next_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window battery: per-key first/last
+# ---------------------------------------------------------------------------
+
+_FIRST_LAST_ORACLE = """
+WITH r AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_z
+  FROM events
+)
+SELECT user_id,
+       min(CASE WHEN rn_a = 1 THEN event_type END) AS first_event_type,
+       min(CASE WHEN rn_z = 1 THEN event_type END) AS last_event_type,
+       min(epoch_us(ts))::BIGINT AS first_ts_us,
+       max(epoch_us(ts))::BIGINT AS last_ts_us,
+       count(*)::BIGINT AS n_events
+FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("first_last_by_key", _FIRST_LAST_ORACLE)
+def q_first_last_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user first/last event type + first/last timestamp + count — the
+    entry/exit-page primitive.
+
+    Scale: expressed as min_by/max_by over a (ts, event_id) struct key, so
+    it is ONE hash aggregation (map-side combinable) — not a window sort
+    followed by a distinct, which is the naive two-shuffle formulation. The
+    oracle uses the row_number form; results are identical because the
+    struct order equals the (ts, event_id) sort order."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min_by(F.col("event_type"), key).alias("first_event_type"),
+            F.max_by(F.col("event_type"), key).alias("last_event_type"),
+            F.min(_us(F.col("ts"))).alias("first_ts_us"),
+            F.max(_us(F.col("ts"))).alias("last_ts_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window battery: ntile deciles
+# ---------------------------------------------------------------------------
+
+_NTILE_ORACLE = f"""
+WITH t AS (
+  SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS decile
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT decile::BIGINT AS decile, count(*)::BIGINT AS cnt,
+       {_DR6.format(x='min(value)')} AS min_value,
+       {_DR6.format(x='max(value)')} AS max_value
+FROM t GROUP BY decile ORDER BY decile
+"""
+
+
+@register("ntile_latency_buckets", _NTILE_ORACLE)
+def q_ntile_latency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth deciles of purchase values via ntile(10): bucket
+    boundaries + counts — the quantile-bucketing primitive.
+
+    Scale note (honest): an unpartitioned ntile needs a global sort into
+    ONE task, so the input is pre-filtered to a single event class; the
+    scalable form for full tables is quality_ntile_buckets'
+    approx-percentile cut or a range-partitioned rank. Deterministic via
+    the event_id tiebreak."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dround(F.min("value"), 6).alias("min_value"),
+            dround(F.max("value"), 6).alias("max_value"),
+        )
+        .withColumn("decile", F.col("decile").cast("long"))
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window battery: percent_rank / cume_dist / dense_rank
+# ---------------------------------------------------------------------------
+
+_RANK_ORACLE = f"""
+SELECT event_id, event_type,
+       {_DR6.format(x='percent_rank() OVER w')} AS pct_rank,
+       {_DR6.format(x='cume_dist() OVER w')} AS cume,
+       dense_rank() OVER w AS dense_rk
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
+@register("rank_battery", _RANK_ORACLE)
+def q_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function battery per event type: percent_rank, cume_dist,
+    dense_rank over (value, event_id) — the remaining SQL rank family in
+    one pass.
+
+    Scale: all three share ONE window spec -> one Exchange+Sort; the
+    user_id filter bounds the demo output, not the plan shape."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        dround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        dround(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).cast("long").alias("dense_rk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistics: moment battery
+# ---------------------------------------------------------------------------
+
+_MOMENTS_ORACLE = f"""
+WITH t AS (
+  SELECT event_type, value,
+         CAST(epoch_us(ts) // 86400000000 AS DOUBLE) AS x_day
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       {_DR6.format(x='avg(value)')} AS mean_v,
+       {_DR6.format(x='stddev_samp(value)')} AS sd_v,
+       {_DR6.format(x='var_pop(value)')} AS var_v,
+       {_DR6.format(x='corr(value, x_day)')} AS corr_vd,
+       {_DR6.format(x='covar_samp(value, x_day)')} AS covar_vd
+FROM t GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("stats_moments_battery", _MOMENTS_ORACLE)
+def q_stats_moments_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per event type: stddev, variance,
+    correlation and covariance of value against event day.
+
+    Scale: one partial+final hash agg; the shuffle carries moment tuples
+    only. The x axis is integer epoch-DAYS (not microseconds) so covariance
+    magnitudes stay ~1e2 and the 1e-6 DECIMAL snap dominates partition-
+    order accumulation noise by many orders."""
+    ev = _t(spark, sf_dir, "events")
+    x_day = (_us(F.col("ts")) / F.lit(86_400_000_000)).cast("long").cast("double")
+    return (
+        ev.select("event_type", "value", x_day.alias("x_day"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.avg("value"), 6).alias("mean_v"),
+            dround(F.stddev_samp("value"), 6).alias("sd_v"),
+            dround(F.var_pop("value"), 6).alias("var_v"),
+            dround(F.corr("value", "x_day"), 6).alias("corr_vd"),
+            dround(F.covar_samp("value", "x_day"), 6).alias("covar_vd"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistics: deterministic arg-min / arg-max
+# ---------------------------------------------------------------------------
+
+_ARG_ORACLE = f"""
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn_min,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rn_max
+  FROM events
+)
+SELECT event_type,
+       min(CASE WHEN rn_min = 1 THEN event_id END) AS argmin_event_id,
+       min(CASE WHEN rn_max = 1 THEN event_id END) AS argmax_event_id,
+       {_DR6.format(x='min(value)')} AS min_value,
+       {_DR6.format(x='max(value)')} AS max_value
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("min_max_by_battery", _ARG_ORACLE)
+def q_min_max_by_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic arg-min/arg-max per event type: WHICH event had the
+    extreme value, with a (value, event_id) struct key so duplicate values
+    can't make the answer run-dependent (events.value has ~34% duplicates
+    at sf0.01 — bare min_by would be a lottery there).
+
+    Scale: min_by/max_by over a struct is still ONE hash aggregation; the
+    oracle's row_number formulation needs a window sort — the agg form is
+    the one that survives 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("value"), F.col("event_id"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.min_by(F.col("event_id"), key).alias("argmin_event_id"),
+            F.max_by(F.col("event_id"), key).alias("argmax_event_id"),
+            dround(F.min("value"), 6).alias("min_value"),
+            dround(F.max("value"), 6).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistics: deterministic mode
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT source, lang, count(*)::BIGINT AS cnt FROM documents GROUP BY source, lang
+),
+r AS (
+  SELECT source, lang, cnt,
+         row_number() OVER (PARTITION BY source ORDER BY cnt DESC, lang) AS rn
+  FROM c
+)
+SELECT source, lang AS modal_lang, cnt AS modal_cnt FROM r WHERE rn = 1 ORDER BY source
+"""
+
+
+@register("mode_per_group", _MODE_ORACLE)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent language per source
+    (ties broken by language code — built-in mode() leaves ties
+    implementation-defined in both engines, so neither side uses it).
+
+    Scale: count agg keyed (source, lang), then a max_by struct agg keyed
+    source — two shuffles, both on aggregated (small) data; no window
+    sort."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    # max_by over (cnt, reversed-lang) == order by cnt desc, lang asc.
+    # Reversal trick avoided: use min_by over (-cnt, lang) — integer negate
+    # keeps the struct orderable with the lang ASC tiebreak.
+    key = F.struct((-F.col("cnt")).alias("neg"), F.col("lang"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.min_by(F.col("lang"), key).alias("modal_lang"),
+            F.min_by(F.col("cnt"), key).alias("modal_cnt"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistics: fixed-width histogram
+# ---------------------------------------------------------------------------
+
+_HIST_ORACLE = f"""
+WITH b AS (
+  SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin, value
+  FROM events
+)
+SELECT bin,
+       CAST(bin * 50.0 AS DOUBLE) AS bin_lo,
+       count(*)::BIGINT AS cnt,
+       {_DR6.format(x='avg(value)')} AS mean_in_bin
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+@register("histogram_latency", _HIST_ORACLE)
+def q_histogram_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values: 50-unit bins, top bin open
+    (width_bucket semantics without the builtin, so both engines share the
+    exact integer floor arithmetic).
+
+    Scale: binning is a pure projection; the agg output is <= 10 rows.
+    This is the O(1)-memory histogram — contrast ntile deciles, which need
+    a global sort."""
+    ev = _t(spark, sf_dir, "events")
+    bin_ = F.least(F.floor(F.col("value") / F.lit(50.0)).cast("long"), F.lit(9))
+    return (
+        ev.select(bin_.alias("bin"), "value")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"), dround(F.avg("value"), 6).alias("mean_in_bin"))
+        .select("bin", (F.col("bin") * F.lit(50.0)).alias("bin_lo"), "cnt", "mean_in_bin")
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets (beyond rollup/cube)
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = f"""
+WITH e AS (
+  -- DuckDB dayofweek is 0=Sunday; Spark's is 1=Sunday — align to Spark's
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, value FROM events
+)
+SELECT event_type, dow,
+       GROUPING(event_type)::BIGINT AS g_type, GROUPING(dow)::BIGINT AS g_dow,
+       count(*)::BIGINT AS cnt, {_DR2.format(x='sum(value)')} AS sum_value
+FROM e
+GROUP BY GROUPING SETS ((event_type), (dow), ())
+ORDER BY g_type, g_dow, event_type, dow
+"""
+
+
+@register("grouping_sets_events", _GSETS_ORACLE)
+def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((event_type), (dow), ()) — two disjoint
+    single-column breakdowns plus the grand total in ONE pass; not
+    expressible as a single rollup or cube (those add the cross term).
+
+    Scale: one Expand (3 lanes) + one hash agg — same shape Spark plans
+    for rollup_pricing; the GROUPING() flags disambiguate a NULL group key
+    from the all-rows lane."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        "value",
+    )
+    ev.createOrReplaceTempView("__events_r3_gsets")
+    return ev.sparkSession.sql(
+        """
+        SELECT event_type, dow,
+               CAST(grouping(event_type) AS BIGINT) AS g_type,
+               CAST(grouping(dow) AS BIGINT) AS g_dow,
+               count(1) AS cnt,
+               CAST(round(CAST(sum(value) AS DECIMAL(28,8)), 2) AS DOUBLE) AS sum_value
+        FROM __events_r3_gsets
+        GROUP BY GROUPING SETS ((event_type), (dow), ())
+        ORDER BY g_type, g_dow, event_type, dow
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text: language-ID confusion matrix
+# ---------------------------------------------------------------------------
+
+_LANGID_ORACLE = f"""
+WITH toks_t AS (
+  SELECT lang, {_TOKS} AS toks FROM documents
+),
+pred AS (
+  SELECT lang, {_lang_sql()} AS lang_pred FROM toks_t
+)
+SELECT lang, lang_pred, count(*)::BIGINT AS cnt
+FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+
+@register("language_id_heuristic", _LANGID_ORACLE)
+def q_language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language-ID confusion matrix: labeled lang x predicted
+    lang counts — the eval view of the lang_id heuristic (text_stats emits
+    the per-doc prediction; this is its accuracy rollup).
+
+    Scale: pure-Column scoring (array_intersect on the distinct token set,
+    no UDF) + one small hash agg."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text: BPE-ish token accounting per source
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = f"""
+WITH d AS (
+  SELECT source,
+         len({_TOKS})::BIGINT AS n_tok,
+         len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}'))::BIGINT AS n_wp
+  FROM documents
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS total_tokens,
+       sum(n_wp)::BIGINT AS total_wordpieces,
+       {_DR4.format(x='avg(n_wp)')} AS mean_wordpieces
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+@register("token_bpe_counts", _BPE_ORACLE)
+def q_token_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting per source: whitespace tokens and BPE-ish
+    wordpieces (letter runs / digit runs / single symbols) — the "how many
+    training tokens does this corpus buy" rollup.
+
+    Scale: regex counting is JVM codegen in the scan projection; the agg
+    output is one row per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            text.token_count(F.col("text")).alias("n_tok"),
+            text.bpe_ish_token_count(F.col("text")).alias("n_wp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_wp").alias("total_wordpieces"),
+            dround(F.avg("n_wp"), 4).alias("mean_wordpieces"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text: blocked Levenshtein near-match pairs
+# ---------------------------------------------------------------------------
+
+_LEV_ORACLE = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))::BIGINT AS lev40
+FROM documents a JOIN documents b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20
+ORDER BY id_a, id_b
+"""
+
+
+@register("levenshtein_block_pairs", _LEV_ORACLE)
+def q_levenshtein_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match pairs on 40-char prefixes, BLOCKED by
+    source so the self-join is an equi-join on the blocking key — the
+    string-similarity-join pattern (block, then verify expensive metric
+    inside blocks only).
+
+    Scale: never all-pairs — candidate count is sum over blocks of
+    |block|^2, controlled by the blocking key's granularity; levenshtein is
+    JVM built-in (no UDF). 40-char prefix caps the DP cost per pair."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.substring("text", 1, 40).alias("prefix40")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    lev = F.levenshtein(F.col("a.prefix40"), F.col("b.prefix40"))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            lev.cast("long").alias("lev40"),
+        )
+        .filter(F.col("lev40") <= 20)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: run-length encoding of consecutive duplicates
+# ---------------------------------------------------------------------------
+
+_RUNS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS new_run
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, event_type,
+         sum(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+),
+per_run AS (
+  SELECT user_id, run_id, count(*)::BIGINT AS run_len FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id,
+       sum(run_len)::BIGINT AS n_events,
+       count(*)::BIGINT AS n_runs,
+       max(run_len)::BIGINT AS max_run_len
+FROM per_run GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("sequential_dedup_runs", _RUNS_ORACLE)
+def q_sequential_dedup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length view of each user's event stream: consecutive repeats of
+    the same event type collapse into runs (the keep-first-of-run dedup
+    primitive for double-fire/bot-burst cleanup); reports per-user event,
+    run, and longest-run counts.
+
+    Scale: lag + running sum share ONE (user_id, ts, event_id)
+    Exchange+Sort; the two downstream aggs run on already-partitioned
+    keys. Same single-shuffle discipline as sessionize (W1-W5)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_run = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    runs = ev.select(
+        "user_id",
+        new_run.alias("new_run"),
+        F.sum(new_run).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run_id"),
+    )
+    per_run = runs.groupBy("user_id", "run_id").agg(F.count(F.lit(1)).alias("run_len"))
+    return (
+        per_run.groupBy("user_id")
+        .agg(
+            F.sum("run_len").alias("n_events"),
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_len").alias("max_run_len"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: tumbling-window aggregation (batch twin of streaming windows)
+# ---------------------------------------------------------------------------
+
+_TUMBLE_ORACLE = f"""
+SELECT user_id,
+       (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       count(*)::BIGINT AS n_events,
+       {_DR4.format(x='sum(value)')} AS sum_value
+FROM events
+GROUP BY user_id, (epoch_us(ts) // 3600000000) * 3600000000
+ORDER BY user_id, window_start_us
+"""
+
+
+@register("tumbling_window_agg", _TUMBLE_ORACLE)
+def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly tumbling windows as integer epoch-bucket math — the
+    batch twin of streaming's window(ts, '1 hour') group (streaming/ has
+    the readStream form; this one is oracle-checkable).
+
+    Scale: bucketing is a projection; ONE hash agg on (user, bucket). The
+    integer floor-divide keeps window boundaries bit-identical across
+    engines (no timezone/timestamp-truncation semantics in play)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (_us(F.col("ts")) / F.lit(3_600_000_000)).cast("long") * F.lit(
+        3_600_000_000
+    )
+    return (
+        ev.groupBy("user_id", bucket.alias("window_start_us"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("user_id", "window_start_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: conditional ratios + share-of-total
+# ---------------------------------------------------------------------------
+
+_RATIO_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, count(*)::BIGINT AS cnt,
+         sum(CASE WHEN value > 400.0 THEN 1 ELSE 0 END)::BIGINT AS hi_cnt
+  FROM events GROUP BY event_type
+)
+SELECT event_type, cnt, hi_cnt,
+       {_DR6.format(x='hi_cnt::DOUBLE / cnt::DOUBLE')} AS hi_ratio,
+       {_DR6.format(x='cnt::DOUBLE / (sum(cnt) OVER ())::DOUBLE')} AS share_of_total
+FROM g ORDER BY event_type
+"""
+
+
+@register("conditional_ratio_report", _RATIO_ORACLE)
+def q_conditional_ratio_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type conditional ratio (share of high-value events) plus
+    share-of-total via a window over the AGGREGATED frame — the standard
+    'percent of column total' report shape.
+
+    Scale: the unpartitioned sum-over window runs on 5 aggregated rows,
+    not the input — the only safe place for a global window."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("value") > 400.0, 1).otherwise(0)).alias("hi_cnt"),
+    )
+    w_all = Window.partitionBy()
+    return g.select(
+        "event_type",
+        "cnt",
+        "hi_cnt",
+        dround(F.col("hi_cnt").cast("double") / F.col("cnt").cast("double"), 6).alias(
+            "hi_ratio"
+        ),
+        dround(
+            F.col("cnt").cast("double") / F.sum("cnt").over(w_all).cast("double"), 6
+        ).alias("share_of_total"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Arrays: sorted collect_set
+# ---------------------------------------------------------------------------
+
+_COLLECT_ORACLE = """
+SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS event_types,
+       len(list(DISTINCT event_type))::BIGINT AS n_types
+FROM events WHERE user_id < 50
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("collect_set_sorted", _COLLECT_ORACLE)
+def q_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user distinct event-type vocabulary as a SORTED array —
+    collect_set is partition-order-nondeterministic, so array_sort is what
+    makes set aggregation oracle-comparable (and joinable/groupable).
+
+    Scale: collect_set state is bounded by the event-type vocabulary (5
+    here), not the row count — safe; sorting happens on the tiny final
+    arrays."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_set("event_type")).alias("event_types"),
+            F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrays: zip_with cosine between adjacent embeddings
+# ---------------------------------------------------------------------------
+
+_ZIPCOS_ORACLE = f"""
+SELECT a.vec_id AS vec_id,
+       CAST(round(CAST({_cos('a.embedding', 'b.embedding')} AS DECIMAL(28,8)), 8) AS DOUBLE)
+         AS cos_next
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+WHERE a.vec_id < 200
+ORDER BY vec_id
+"""
+
+
+@register("array_zip_cosine", _ZIPCOS_ORACLE)
+def q_array_zip_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine between each embedding and its successor, entirely in JVM
+    Column algebra (zip_with product + aggregate fold — the interpreted
+    kernel from operators/similarity, no Python, no UDF): the drift/
+    continuity check for ordered embedding streams.
+
+    Scale: self-join on an integer key (broadcastable range filter), then
+    a narrow projection; the fold is index-ordered so results are
+    bit-identical to the SQL list_reduce twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 200).alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            dround(
+                similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 8
+            ).alias("cos_next"),
+        )
+        .orderBy("vec_id")
+    )

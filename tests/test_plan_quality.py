@@ -170,3 +170,67 @@ def test_funnel_shuffles_only_on_user(spark):
     assert "CartesianProduct" not in plan
     for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
         assert "user_id" in m.group(1), m.group(0)
+
+
+# ---------------------------------------------------------------------------
+# round-3 wave plan pins
+# ---------------------------------------------------------------------------
+
+
+def test_q16_broadcasts_part_dim(spark):
+    """parts_supplier_q16: part is dimension-shaped — must broadcast onto
+    the lineitem scan, never sort-merge (which would shuffle the fact)."""
+    plan = _plan(CATALOG["parts_supplier_q16"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q10_topk_no_global_sort(spark):
+    """returned_item_q10's top-20 must run as TakeOrderedAndProject —
+    a global Sort before a limit is the scale bug this test forbids."""
+    plan = _plan(CATALOG["returned_item_q10"][0](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_semi_join_no_nested_loop(spark):
+    """order_priority_q4's EXISTS with a non-equi ship-late predicate must
+    still plan a hash LeftSemi on the equi orderkey (extra condition rides
+    the join) — not BroadcastNestedLoopJoin."""
+    plan = _plan(CATALOG["order_priority_q4"][0](spark, SF))
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_levenshtein_pairs_are_blocked(spark):
+    """levenshtein_block_pairs must self-join via the source equi key —
+    no cartesian/nested-loop all-pairs form."""
+    plan = _plan(CATALOG["levenshtein_block_pairs"][0](spark, SF))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_first_last_is_single_aggregation(spark):
+    """first_last_by_key must be ONE hash agg (min_by/max_by struct form),
+    not a window sort: no Window operator, one exchange on user_id."""
+    plan = _plan(CATALOG["first_last_by_key"][0](spark, SF))
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:3000]
+
+
+def test_run_length_single_exchange_sort(spark):
+    """sequential_dedup_runs: the lag + running-sum windows must share one
+    (user_id, ts, event_id) Exchange+Sort; downstream aggs reuse the
+    partitioning, so exactly one hashpartitioning on raw rows."""
+    plan = _plan(CATALOG["sequential_dedup_runs"][0](spark, SF))
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len([e for e in exchanges if "user_id" in e and "run_id" not in e]) <= 1, plan[:3000]
+
+
+def test_profile_approx_has_no_expand(spark):
+    """profile_table(exact=False) must drop the multi-distinct Expand —
+    the whole point of the approx path at 100 TB."""
+    exact_plan = _plan(CATALOG["profile_table"][0](spark, SF))
+    approx_plan = _plan(CATALOG["profile_table_approx"][0](spark, SF))
+    assert "Expand" in exact_plan  # sanity: exact path does expand
+    assert "Expand" not in approx_plan
