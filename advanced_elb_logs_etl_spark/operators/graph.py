@@ -31,6 +31,7 @@ def pagerank(
     damping: float = DAMPING,
     tol: float | None = None,
     max_iterations: int = 50,
+    dangling: str = "auto",
 ) -> DataFrame:
     """Synchronous PageRank over an edge list — fixed-K by default, or
     iterate-to-convergence when ``tol`` is set.
@@ -50,6 +51,13 @@ def pagerank(
     lineage stays flat), up to ``max_iterations``; ``iterations`` is
     ignored in this mode.
 
+    ``dangling``: "auto" (default) probes the graph once for out-edge-less
+    nodes — correct for arbitrary input, but the probe materializes the
+    edge pipeline an extra time at setup. Pass "none" when the caller
+    guarantees every node has an out-edge (e.g. bidirectional graphs built
+    by construction, like supplier_part_edges) to keep the fixed-K path a
+    single lazy DAG with zero setup jobs beyond the node count.
+
     Scale: per iteration ONE shuffle — ranks join edges on src (rank frame
     is O(N) and aggregated, so AQE broadcasts it when small; at web scale
     both sides hash-partition on src and the partitioning is reused), then
@@ -64,10 +72,14 @@ def pagerank(
     if tol is not None:
         nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()  # scalar graph size; one tiny job, part of setup
-    dangling = nodes.join(deg, nodes.node == deg.src, "left_anti")
-    has_dangling = not dangling.isEmpty()
-    if has_dangling:
-        dangling = dangling.localCheckpoint(eager=True)
+    if dangling == "none":
+        has_dangling = False
+        dangling_nodes = None
+    else:
+        dangling_nodes = nodes.join(deg, nodes.node == deg.src, "left_anti")
+        has_dangling = not dangling_nodes.isEmpty()
+        if has_dangling:
+            dangling_nodes = dangling_nodes.localCheckpoint(eager=True)
     base = float(1.0) / n
     ranks = nodes.select("node", dround(F.lit(base), _SNAP).alias("rank"))
     rounds = max_iterations if tol is not None else iterations
@@ -76,7 +88,7 @@ def pagerank(
             # D = summed rank of out-edge-less nodes, snapped so the scalar
             # re-entering the plan is a stable decimal, not an ulp lottery.
             dmass = (
-                ranks.join(dangling, "node")
+                ranks.join(dangling_nodes, "node")
                 .agg(F.sum("rank").alias("d"))
                 .first()["d"]
             ) or 0.0

@@ -353,5 +353,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage depth fixed at K. No driver loop beyond the counter; node count
     is the only scalar fold."""
     li = _t(spark, sf_dir, "lineitem")
-    ranks = graph.pagerank(graph.supplier_part_edges(li), iterations=3)
+    # dangling="none": supplier_part_edges emits both directions, so every
+    # node has an out-edge by construction — skip the setup probe job.
+    ranks = graph.pagerank(
+        graph.supplier_part_edges(li), iterations=3, dangling="none"
+    )
     return ranks.select("node", dround(F.col("rank"), 6).alias("rank"))
