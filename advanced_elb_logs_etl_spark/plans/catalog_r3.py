@@ -988,3 +988,121 @@ def q_array_zip_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session_window in BATCH mode (Spark-first sessionization)
+# ---------------------------------------------------------------------------
+
+_SESSION_WINDOW_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_nr
+  FROM marked
+)
+SELECT user_id,
+       min(epoch_us(ts))::BIGINT AS session_start_us,
+       (max(epoch_us(ts)) + 1800000000)::BIGINT AS session_end_us,
+       count(*)::BIGINT AS n_events,
+       {_DR4.format(x='sum(value)')} AS sum_value
+FROM sess GROUP BY user_id, session_nr
+ORDER BY user_id, session_start_us
+"""
+
+
+@register("session_window_batch", _SESSION_WINDOW_ORACLE)
+def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window aggregation in batch
+    mode — the engine merges overlapping [ts, ts+gap) intervals itself, so
+    there is no lag/cumsum plumbing at all (contrast `sessionize`, which
+    implements the reference's manual W3-W5 pipeline; the streaming twin in
+    streaming/sessions.py shares this exact expression).
+
+    Session semantics: a 30-minute gap CLOSES a session (Spark merges an
+    event iff it starts strictly before previous-end = prev_ts + gap); the
+    window end is last_ts + gap. The oracle replicates that with the
+    >= 30-min new-session rule in plain window SQL.
+
+    Scale: one hash partition by user + in-partition interval merge — the
+    same single-shuffle cost as the manual form, with the merge loop in JVM
+    code instead of three window expressions."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    return out.select(
+        "user_id",
+        _us(F.col("sw.start")).alias("session_start_us"),
+        _us(F.col("sw.end")).alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "session_start_us")
+
+
+# ---------------------------------------------------------------------------
+# Partial-aggregate re-merge (incremental pipeline composability)
+# ---------------------------------------------------------------------------
+
+_INCR_ORACLE = f"""
+SELECT event_type,
+       count(*)::BIGINT AS cnt,
+       {_DR4.format(x='sum(value)')} AS sum_value,
+       {_DR6.format(x='sum(value) / count(*)')} AS mean_value,
+       {_DR6.format(x='min(value)')} AS min_value,
+       {_DR6.format(x='max(value)')} AS max_value
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("incremental_agg_merge", _INCR_ORACLE)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregable partial states, merged: the input is split into two
+    disjoint chunks (as an incremental pipeline would see per-day
+    partitions), each chunk is pre-aggregated to (count, sum, min, max)
+    partial states, and the states are UNIONed and merged — producing
+    byte-identical results to a direct aggregation (the oracle IS the
+    direct form). The mean is derived sum/count at the END, never averaged
+    across partials — the classic incremental-agg correctness trap, done
+    right.
+
+    Scale: this is the algebraic property that lets 100 TB backfills run
+    as per-partition aggs + a tiny merge instead of one global pass; the
+    demo plans two partial hash aggs + a 5-row merge agg."""
+    ev = _t(spark, sf_dir, "events")
+
+    def partial(chunk: DataFrame) -> DataFrame:
+        return chunk.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("p_cnt"),
+            F.sum("value").alias("p_sum"),
+            F.min("value").alias("p_min"),
+            F.max("value").alias("p_max"),
+        )
+
+    half = F.col("event_id") % 2 == 0
+    states = partial(ev.filter(half)).unionByName(partial(ev.filter(~half)))
+    return (
+        states.groupBy("event_type")
+        .agg(
+            F.sum("p_cnt").alias("cnt"),
+            dround(F.sum("p_sum"), 4).alias("sum_value"),
+            dround(F.sum("p_sum") / F.sum("p_cnt"), 6).alias("mean_value"),
+            dround(F.min("p_min"), 6).alias("min_value"),
+            dround(F.max("p_max"), 6).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
