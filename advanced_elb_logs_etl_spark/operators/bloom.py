@@ -115,12 +115,19 @@ def bloom_semi_join(
     positives) still go through the exact semi join.
 
     Break-even guard: when the build side has at most ``bypass_below_rows``
-    rows (one cheap count over the SMALL side), the bitmap build is skipped
-    and the plain semi join runs — below the broadcast threshold the exact
-    join never shuffles the probe side, so the pre-filter cannot win. Pass
-    ``bypass_below_rows=None`` to force the Bloom path (tests do).
+    rows, the bitmap build is skipped and the plain semi join runs — below
+    the broadcast threshold the exact join never shuffles the probe side,
+    so the pre-filter cannot win. The probe is a LIMIT-bounded count (key
+    column only), so deciding "more than the threshold?" scans at most
+    threshold+1 rows — it never materializes a huge build pipeline just to
+    learn it is huge. Pass ``bypass_below_rows=None`` to force the Bloom
+    path (tests do).
     """
-    if bypass_below_rows is not None and build.count() <= bypass_below_rows:
+    if (
+        bypass_below_rows is not None
+        and build.select(build_key).limit(bypass_below_rows + 1).count()
+        <= bypass_below_rows
+    ):
         pre = probe
     else:
         lanes = build_bloom_lanes(build, build_key, k=k, m_bits=m_bits)

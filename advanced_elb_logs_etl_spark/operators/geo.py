@@ -21,12 +21,15 @@ dim join. Tests never touch the network (transport is injected).
 
 from __future__ import annotations
 
+import logging
 import time as _time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_logger = logging.getLogger(__name__)
 
 #: F4 cache schema (reference :203-206); `query` is the IP key.
 GEO_CACHE_SCHEMA = T.StructType(
@@ -85,16 +88,31 @@ def find_uncached_ips(
 
     The result is a DRIVER list by design (the rate-limited sequential
     fetch needs one), so it is bounded: at most ``max_ips`` rows ever reach
-    the driver (the cap is a plan-side ``limit``, not a post-collect trim,
-    so a cold cache at 100x scale cannot OOM the driver). ``max_ips=None``
-    removes the guard."""
+    the driver (the cap is plan-side, not a post-collect trim, so a cold
+    cache at 100x scale cannot OOM the driver). The cap is DETERMINISTIC —
+    the plan takes the first ``max_ips`` IPs in sort order (a per-partition
+    heap TakeOrdered, not a global sort), so repeated runs drain the miss
+    backlog in a stable order instead of fetching a different arbitrary
+    subset each time — and truncation is logged loudly, never silent.
+    ``max_ips=None`` removes the guard."""
     distinct_ips = logs.select(F.col(ip_col).alias("ip")).filter(F.col("ip").isNotNull()).distinct()
     missing = distinct_ips.join(
         F.broadcast(cache.select("query")), distinct_ips.ip == F.col("query"), "left_anti"
     )
-    if max_ips is not None:
-        missing = missing.limit(max_ips)
-    return [r.ip for r in missing.collect()]
+    if max_ips is None:
+        return [r.ip for r in missing.collect()]
+    # Fetch one extra row so truncation is detectable without a count() job.
+    rows = [r.ip for r in missing.orderBy("ip").limit(max_ips + 1).collect()]
+    if len(rows) > max_ips:
+        _logger.warning(
+            "find_uncached_ips: more than %d uncached IPs; truncating to the "
+            "first %d in sort order (the rest remain un-enriched this run — "
+            "raise max_ips or re-run to drain the backlog)",
+            max_ips,
+            max_ips,
+        )
+        rows = rows[:max_ips]
+    return rows
 
 
 def default_http_transport(timeout_s: float = 5.0) -> Transport:

@@ -64,6 +64,11 @@ def pagerank(
     hash-agg on dst. The dangling-mass fold and the convergence delta are
     O(N) scalar aggregations, not row collects.
     """
+    if dangling not in ("auto", "none"):
+        raise ValueError(
+            f"dangling must be 'auto' or 'none', got {dangling!r} — a typo "
+            "here would silently re-enable the setup probe"
+        )
     e = edges.select("src", "dst").distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = e.select(F.col("src").alias("node")).union(

@@ -202,12 +202,18 @@ def brute_force_topk(
     rank, which AQE coalesces to almost nothing.
 
     ``vectorized=None`` (default) auto-selects the kernel form from the
-    estimated candidate-pair count |Q|x|C|: interpreted fold below
-    VECTORIZE_PAIR_THRESHOLD, Arrow kernels above. The two count() probes
-    are metadata-cheap next to the scoring stage either way.
+    estimated candidate-pair count |Q|x|C|. Both probes are LIMIT-bounded
+    counts on the id column alone, so each scans at most
+    VECTORIZE_PAIR_THRESHOLD+1 rows however large (or however derived) the
+    inputs are; the capped product still decides >= threshold exactly,
+    because a side hitting its cap makes the product exceed the threshold
+    whenever the other side is non-empty.
     """
     if vectorized is None:
-        vectorized = queries.count() * vectors.count() >= VECTORIZE_PAIR_THRESHOLD
+        cap = VECTORIZE_PAIR_THRESHOLD + 1
+        n_q = queries.select(id_col).limit(cap).count()
+        n_c = vectors.select(id_col).limit(cap).count()
+        vectorized = n_q * n_c >= VECTORIZE_PAIR_THRESHOLD
     nrm = norm_v if vectorized else norm2
     dt = _dot_fn(vectorized)
     # norms precomputed once per vector: per-pair work drops from three

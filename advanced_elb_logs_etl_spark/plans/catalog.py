@@ -53,7 +53,6 @@ FRONT_OF_CATALOG: list[str] = [
     "pagerank_supplier_part",
     # curation / sampling / LLM wave (catalog_llm.py) — never driver-checked
     "embedding_neardup_blocked",
-    "winnow_fingerprints",
     "neardup_components",
     "dedup_corpus",
     "rp_lsh_topk",
@@ -72,9 +71,12 @@ FRONT_OF_CATALOG: list[str] = [
     "chunk_documents",
     "knn_label_vote",
     "vocab_top_tokens",
-    # round-3 additions (catalog_r3.py + profile_table_approx) — no prior
-    # driver signal either; 26 + 24 = exactly the 50-entry window
-    "profile_table_approx",
+    # round-3 additions (catalog_r3.py) — no prior driver signal either;
+    # 25 + 25 = exactly the 50-entry window. Two demotions to make the two
+    # late additions fit: winnow_fingerprints had an r1 driver pass before
+    # the catalog grew, and profile_table_approx is rows-only (the driver
+    # hash adds nothing a rows check doesn't); both sit at 51+ so they
+    # still lead the long-green tail if the window is larger than 50.
     "order_priority_q4",
     "promo_revenue_q14",
     "linestatus_priority_q12",
@@ -98,6 +100,11 @@ FRONT_OF_CATALOG: list[str] = [
     "conditional_ratio_report",
     "collect_set_sorted",
     "array_zip_cosine",
+    "session_window_batch",
+    "incremental_agg_merge",
+    # ---- position 51+ (inside the window only if it exceeds 50) ----
+    "winnow_fingerprints",
+    "profile_table_approx",
 ]
 
 

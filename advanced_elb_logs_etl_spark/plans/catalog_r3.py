@@ -630,24 +630,26 @@ def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one Expand (3 lanes) + one hash agg — same shape Spark plans
     for rollup_pricing; the GROUPING() flags disambiguate a NULL group key
-    from the all-rows lane."""
+    from the all-rows lane. Uses the native DataFrame.groupingSets API —
+    no temp-view side effect on the shared session catalog."""
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
         F.dayofweek("ts").cast("long").alias("dow"),
         "value",
     )
-    ev.createOrReplaceTempView("__events_r3_gsets")
-    return ev.sparkSession.sql(
-        """
-        SELECT event_type, dow,
-               CAST(grouping(event_type) AS BIGINT) AS g_type,
-               CAST(grouping(dow) AS BIGINT) AS g_dow,
-               count(1) AS cnt,
-               CAST(round(CAST(sum(value) AS DECIMAL(28,8)), 2) AS DOUBLE) AS sum_value
-        FROM __events_r3_gsets
-        GROUP BY GROUPING SETS ((event_type), (dow), ())
-        ORDER BY g_type, g_dow, event_type, dow
-        """
+    return (
+        ev.groupingSets(
+            [[F.col("event_type")], [F.col("dow")], []],
+            F.col("event_type"),
+            F.col("dow"),
+        )
+        .agg(
+            F.grouping("event_type").cast("bigint").alias("g_type"),
+            F.grouping("dow").cast("bigint").alias("g_dow"),
+            F.count(F.lit(1)).alias("cnt"),
+            dround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("g_type", "g_dow", "event_type", "dow")
     )
 
 
@@ -943,9 +945,13 @@ def q_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     return (
         ev.groupBy("user_id")
-        .agg(
-            F.array_sort(F.collect_set("event_type")).alias("event_types"),
-            F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
+        .agg(F.array_sort(F.collect_set("event_type")).alias("event_types"))
+        # n_types derives from the one aggregated array — a second
+        # collect_set would maintain a duplicate accumulator per group
+        .select(
+            "user_id",
+            "event_types",
+            F.size("event_types").cast("long").alias("n_types"),
         )
         .orderBy("user_id")
     )
