@@ -646,7 +646,7 @@ def knn_classify(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
-    vectorized: bool = True,
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """k-NN majority-vote classification: each query takes the modal label
     of its exact cosine top-k neighbors (ties -> smallest label, so the
