@@ -20,7 +20,10 @@ from ..functions.scalars import dround
 
 
 def profile_table(
-    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = True,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """Single-pass per-column profile: rows, nulls, distincts, numeric
     min/max (timestamps as epoch-microseconds), and average string length.
@@ -33,16 +36,19 @@ def profile_table(
     by #distinct-aggs) feeding a single partial+final hash agg — the
     standard multi-distinct plan, fine at test scale but the wrong default
     at 100 TB where the Expand multiplies a huge scan. ``exact=False``
-    swaps in approx_count_distinct (HLL++, relativeSD 0.01): the Expand
+    swaps in approx_count_distinct (HLL++, relativeSD ``rsd``): the Expand
     disappears and the plan is a plain partial+final agg whose shuffle
     carries one sketch per column (same toggle pattern as
-    `hourly_aggregation(exact=False)`). The final unpivot is over ONE
-    already-aggregated row — free.
+    `hourly_aggregation(exact=False)`). Keep ``rsd`` at Spark's 0.05
+    default unless profiling truly needs tighter estimates — measured at
+    sf0.1, rsd=0.01's larger register arrays cost ~12x the rsd=0.05 agg
+    (4.6 s vs 0.4 s for the bare six-column battery). The final unpivot is
+    over ONE already-aggregated row — free.
     """
     cols = columns or df.columns
     schema = dict(df.dtypes)
     distinct_agg = (
-        F.count_distinct if exact else (lambda c: F.approx_count_distinct(c, 0.01))
+        F.count_distinct if exact else (lambda c: F.approx_count_distinct(c, rsd))
     )
     aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:

@@ -78,7 +78,7 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("profile_table_approx", None)  # HLL sketch values are engine-specific: rows-only
 def q_profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile_table with exact=False — the 100 TB default: n_distinct comes
-    from approx_count_distinct (HLL++, rsd 0.01), so the plan is a plain
+    from approx_count_distinct (HLL++, rsd 0.05), so the plan is a plain
     partial+final hash agg with NO Expand (pinned in test_warehouse.py).
     Sketch estimates differ across engines, hence rows-only; the exact twin
     above carries the value-hash burden."""
