@@ -1122,3 +1122,164 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: percentile-clipped aggregates (outlier-robust reporting)
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = f"""
+WITH pct AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       {_DR6.format(x='avg(e.value)')} AS mean_raw,
+       {_DR6.format(x='avg(least(greatest(e.value, p.lo), p.hi))')} AS mean_winsorized,
+       sum(CASE WHEN e.value < p.lo OR e.value > p.hi THEN 1 ELSE 0 END)::BIGINT
+         AS n_clipped,
+       count(*)::BIGINT AS n
+FROM events e JOIN pct p ON e.event_type = p.event_type
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+@register("winsorize_values", _WINSOR_ORACLE)
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) means per event type — the
+    outlier-robust aggregate a pipeline reports next to the raw mean, plus
+    how many rows the clip touched.
+
+    Exactness note: the percentile bounds feed comparisons BEFORE any
+    rounding; that is safe because an interpolated percentile either equals
+    a data value exactly (no arithmetic in both engines) or sits strictly
+    between two data values — ulp noise cannot flip a `value < lo` test.
+
+    Scale: percentile pass (groups are small: 5 types) -> broadcast the
+    5-row bounds frame back -> one clipped aggregation. At 100 TB swap the
+    exact percentile for approx_percentile; the join-back shape is
+    unchanged."""
+    ev = _t(spark, sf_dir, "events")
+    pcts = F.percentile("value", F.lit([0.05, 0.95]))
+    bounds = ev.groupBy(F.col("event_type").alias("p_type")).agg(
+        F.element_at(pcts, 1).alias("lo"), F.element_at(pcts, 2).alias("hi")
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), ev["event_type"] == F.col("p_type"))
+        .groupBy("event_type")
+        .agg(
+            dround(F.avg("value"), 6).alias("mean_raw"),
+            dround(F.avg(clipped), 6).alias("mean_winsorized"),
+            F.sum(
+                F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+                .otherwise(0)
+            ).alias("n_clipped"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis, hash-random)
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_SEED = 303
+
+_WSAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         ln(('0x' || substr(md5('{_WSAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            / 1152921504606846976.0) / n_chars AS es_key
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT source, doc_id, n_chars, rk FROM ranked WHERE rk <= 5
+ORDER BY source, rk
+"""
+
+
+@register("weighted_sample_es", _WSAMPLE_ORACLE)
+def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, 5 docs per source, weight =
+    n_chars (longer docs proportionally likelier): the Efraimidis-Spirakis
+    one-pass scheme, es_key = ln(u)/w with the repo's deterministic md5
+    uniform instead of rand() — so the sample is reproducible and the SQL
+    twin is value-exact (same lesson as hash_stratified_split).
+
+    Scale: one narrow projection (hash + ln) and one per-group top-k
+    window — no global sort, no second pass over the data; this is THE
+    distributed weighted-reservoir algorithm (each partition can keep a
+    local top-k heap and merge)."""
+    from ..operators.sampling import hash_uniform
+
+    docs = _t(spark, sf_dir, "documents")
+    u = hash_uniform(F.col("doc_id"), seed=_WSAMPLE_SEED)
+    keyed = docs.select(
+        "source", "doc_id", "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("es_key"), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "n_chars", F.col("rk").cast("long").alias("rk"))
+        .orderBy("source", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (irregular event-time series)
+# ---------------------------------------------------------------------------
+
+_TWA_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id, value,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       {_DR6.format(x='sum(value * gap_us) / sum(gap_us)')} AS twa_value,
+       count(gap_us)::BIGINT AS n_intervals,
+       sum(gap_us)::BIGINT AS span_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("time_weighted_avg", _TWA_ORACLE)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted mean of an irregularly-sampled series: each
+    value is held until the next event and weighted by its holding time
+    (step-function integral / total span) — the correct average for
+    sensor/price/gauge data, where the arithmetic mean over-weights bursts.
+
+    Scale: one window pass (lead, integer-µs gaps) sharing its partitioning
+    with the final per-user agg — single Exchange+Sort, same discipline as
+    sessionize; weights stay integers until the final division."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "value",
+        (_us(F.lead("ts").over(w)) - _us(F.col("ts"))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            dround(
+                F.sum(F.col("value") * F.col("gap_us")) / F.sum("gap_us"), 6
+            ).alias("twa_value"),
+            F.count("gap_us").alias("n_intervals"),
+            F.sum("gap_us").alias("span_us"),
+        )
+        .orderBy("user_id")
+    )
