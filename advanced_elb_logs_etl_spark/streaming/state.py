@@ -1,0 +1,124 @@
+"""Custom stateful streaming operators on the Spark 4 transformWithState
+API (the arbitrary-state successor to applyInPandasWithState — typed
+per-key state handles, timers, RocksDB-backed).
+
+First operator: streaming run-length dedup ("debounce") — emit only the
+first event of each consecutive run of identical values per key, the
+streaming twin of the batch run-length collapse in
+plans/catalog_r3.q_sequential_dedup_runs. A device double-firing, a bot
+hammering one endpoint, or a sensor repeating an unchanged reading
+collapses to one emitted row per run.
+
+Semantics note (inherent to streaming): "consecutive" is judged in event-
+time order WITHIN each micro-batch (rows are sorted before the walk) and
+by the carried last-seen value ACROSS batches; an out-of-order event
+arriving in a later batch than its successor is compared against the
+newest value seen, not its event-time neighbor. Batch remains the ground
+truth for exact run statistics; tests pin single-batch equivalence.
+
+Requires the RocksDB state store provider (transformWithState's backing
+store): set spark.sql.streaming.stateStore.providerClass to
+...state.RocksDBStateStoreProvider (rocksdb_confs() below). ALSO requires
+the `protobuf` Python package (the transformWithState driver worker speaks
+protobuf to the JVM; pip-installable everywhere, absent in this build
+sandbox) — tests/test_streaming_state.py runs the processor logic
+hermetically and skips the live-query integration when protobuf is
+missing; applyInPandasWithState (streaming/sessions.py) is the fully
+tested custom-state path here.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+from pyspark.sql.types import StringType, StructField, StructType
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_confs() -> dict[str, str]:
+    """Session confs transformWithState needs; apply before starting the
+    query (spark.conf.set per entry)."""
+    return {"spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER}
+
+
+class _DebounceProcessor(StatefulProcessor):
+    """Per-key ValueState holding the last emitted value; a micro-batch's
+    rows are sorted by (ts, tiebreak) and walked once, Arrow-batched."""
+
+    def __init__(self, ts: str, tiebreak: str, value_col: str, out_fields: list[str]):
+        self._ts = ts
+        self._tiebreak = tiebreak
+        self._value_col = value_col
+        self._out_fields = out_fields
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._last = handle.getValueState(
+            "last_value", StructType([StructField("v", StringType())])
+        )
+
+    def handleInputRows(self, key, rows, timer_values) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.sort_values([self._ts, self._tiebreak], kind="mergesort")
+        last = self._last.get()[0] if self._last.exists() else None
+        keep = []
+        for i, v in enumerate(pdf[self._value_col]):
+            if v != last:
+                keep.append(i)
+                last = v
+        if last is not None:
+            self._last.update((last,))
+        yield pdf.iloc[keep][self._out_fields]
+
+    def close(self) -> None:
+        pass
+
+
+def debounce_stream(
+    events: DataFrame,
+    key: str = "client_ip",
+    ts: str = "time",
+    value_col: str = "event_type",
+    tiebreak: str = "event_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Keep only the first event of each consecutive same-value run per key.
+
+    Output schema: (key, ts, value_col, tiebreak) for the kept rows.
+
+    Scale: state per key is ONE string (the last value) in RocksDB — bounded
+    regardless of stream length; each micro-batch does one hash exchange on
+    the key then an Arrow-batched per-key walk. Contrast the batch form
+    (catalog_r3.q_sequential_dedup_runs), which gets exact global run
+    statistics from a window sort."""
+    out_schema = StructType(
+        [
+            events.schema[key],
+            events.schema[ts],
+            events.schema[value_col],
+            events.schema[tiebreak],
+        ]
+    )
+    out_fields = [key, ts, value_col, tiebreak]
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(key)
+        .transformWithStateInPandas(
+            statefulProcessor=_DebounceProcessor(ts, tiebreak, value_col, out_fields),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
