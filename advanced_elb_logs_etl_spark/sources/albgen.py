@@ -29,7 +29,12 @@ from __future__ import annotations
 import random
 from datetime import datetime, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _UAS = [
     "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
@@ -46,8 +51,12 @@ _STATUSES = [200, 200, 200, 200, 301, 404, 500, 503]
 _BASE_TS = datetime(2025, 5, 26, 0, 0, 0)
 
 
-def _make_line(rng: random.Random) -> str:
-    ts = _BASE_TS + timedelta(seconds=rng.randrange(86_400), microseconds=rng.randrange(1_000_000))
+def _make_line(
+    rng: random.Random,
+    ts_base: datetime = _BASE_TS,
+    ts_span_s: int = 86_400,
+) -> str:
+    ts = ts_base + timedelta(seconds=rng.randrange(ts_span_s), microseconds=rng.randrange(1_000_000))
     t = ts.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
     ip = f"10.{rng.randrange(256)}.{rng.randrange(256)}.{rng.randrange(250)}"
     status = rng.choice(_STATUSES)
@@ -112,10 +121,51 @@ class _AlbGenReader(DataSourceReader):
                 yield (_make_line(rng),)
 
 
+class _AlbGenStreamReader(SimpleDataSourceStreamReader):
+    """Rate-source-style streaming variant: each micro-batch emits
+    `rows_per_batch` lines whose event times advance by `batch_interval_s`
+    per batch (so downstream watermarks progress). Offsets are plain batch
+    counters; any offset range regenerates identically from (seed, batch),
+    which is exactly the replayability contract exactly-once recovery needs
+    (readBetweenOffsets after a restart re-yields the same rows)."""
+
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.seed = int(options.get("seed", 42))
+        self.batch_interval_s = int(options.get("batch_interval_s", 60))
+        self.malformed_rate = float(options.get("malformed_rate", 0.0))
+
+    def initialOffset(self) -> dict:
+        return {"batch": 0}
+
+    def _batch_rows(self, batch: int):
+        rng = random.Random(f"{self.seed}:stream:{batch}")
+        base = _BASE_TS + timedelta(seconds=batch * self.batch_interval_s)
+        for _ in range(self.rows_per_batch):
+            if rng.random() < self.malformed_rate:
+                yield ("h2 too short line",)
+            else:
+                yield (_make_line(rng, ts_base=base, ts_span_s=self.batch_interval_s),)
+
+    def read(self, start: dict):
+        b = start["batch"]
+        # list-backed iterator: Spark's prefetch cache copy.copy()s the
+        # iterator, which a generator cannot survive
+        return iter(list(self._batch_rows(b))), {"batch": b + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows: list[tuple] = []
+        for b in range(start["batch"], end["batch"]):
+            rows.extend(self._batch_rows(b))
+        return iter(rows)
+
+
 class AlbGenDataSource(DataSource):
     """`format("albgen")` — deterministic synthetic ALB access-log lines.
 
-    Options: rows (total), partitions, seed, malformed_rate.
+    Batch options: rows (total), partitions, seed, malformed_rate.
+    Streaming options: rows_per_batch, batch_interval_s, seed,
+    malformed_rate (event time advances batch_interval_s per micro-batch).
     Schema: value string (same shape as `spark.read.text`)."""
 
     @classmethod
@@ -127,3 +177,6 @@ class AlbGenDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _AlbGenReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _AlbGenStreamReader(self.options)

@@ -49,3 +49,40 @@ def test_albgen_lines_survive_the_real_parser(spark):
     assert methods <= {"GET", "POST", "PUT"}
     # the -1 timeout sentinel parses as a valid -1.0 (P4 semantics)
     assert parsed.filter(F.col("request_processing_time") == -1.0).count() > 0
+
+
+def test_albgen_stream_reader_replay_is_deterministic():
+    """Offset-range replay (the exactly-once recovery path) must regenerate
+    identical rows — no Spark needed, the reader is plain Python."""
+    from advanced_elb_logs_etl_spark.sources.albgen import _AlbGenStreamReader
+
+    r = _AlbGenStreamReader({"rows_per_batch": "20", "seed": "7"})
+    first, off1 = r.read({"batch": 0})
+    first = list(first)
+    assert off1 == {"batch": 1} and len(first) == 20
+    replay = list(r.readBetweenOffsets({"batch": 0}, {"batch": 1}))
+    assert first == replay
+    # distinct batches differ
+    second = list(r.readBetweenOffsets({"batch": 1}, {"batch": 2}))
+    assert second != first and len(second) == 20
+
+
+def test_albgen_stream_end_to_end_through_parser(spark):
+    """One availableNow micro-batch through the real parser: event times
+    fall inside the batch's interval window."""
+    spark.dataSource.register(AlbGenDataSource)
+    stream = (spark.readStream.format("albgen")
+              .option("rows_per_batch", 50).option("seed", 11)
+              .option("batch_interval_s", 60).load())
+    parsed = parse_alb_lines(stream)
+    q = (parsed.writeStream.format("memory").queryName("albgen_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT count(*) AS n, min(time) AS lo, max(time) AS hi FROM albgen_stream"
+    ).collect()[0]
+    assert rows["n"] == 50
+    assert (rows["hi"] - rows["lo"]).total_seconds() < 61
