@@ -1283,3 +1283,194 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of the token distribution per source
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS}) AS token FROM documents
+),
+cnts AS (
+  SELECT source, token, count(*)::DOUBLE AS c FROM tok GROUP BY source, token
+),
+tot AS (
+  SELECT source, sum(c) AS n FROM cnts GROUP BY source
+)
+SELECT cnts.source,
+       {_DR6.format(x='-sum((c / n) * log2(c / n))')} AS entropy_bits,
+       count(*)::BIGINT AS vocab_size
+FROM cnts JOIN tot ON cnts.source = tot.source
+GROUP BY cnts.source ORDER BY cnts.source
+"""
+
+
+@register("entropy_per_source", _ENTROPY_ORACLE)
+def q_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each source's token distribution plus its
+    vocabulary size — the corpus-diversity screen (near-zero entropy means
+    templated/spam text; the Gopher-style repetition gates catch the
+    per-document version, this is the per-slice one).
+
+    Scale: explode -> two keyed hash aggs -> a per-source join of one row
+    per (source, token). The token-count frame is the same shape TF-IDF
+    builds; log2 terms sum per source with the DECIMAL snap absorbing
+    accumulation-order ulps."""
+    docs = _t(spark, sf_dir, "documents")
+    from ..functions.hashing import tokens as _tokens
+
+    cnts = (
+        docs.select("source", F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    tot = cnts.groupBy(F.col("source").alias("t_source")).agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        cnts.join(tot, cnts["source"] == F.col("t_source"))
+        .groupBy("source")
+        .agg(
+            dround(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+            F.count(F.lit(1)).alias("vocab_size"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation per key (is the series trending or noise?)
+# ---------------------------------------------------------------------------
+
+_AUTOCORR_ORACLE = f"""
+WITH lagged AS (
+  SELECT user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+  FROM events
+)
+SELECT user_id,
+       {_DR6.format(x='corr(value, prev_value)')} AS autocorr_lag1,
+       count(prev_value)::BIGINT AS n_pairs
+FROM lagged WHERE prev_value IS NOT NULL
+GROUP BY user_id HAVING count(prev_value) >= 3 ORDER BY user_id
+"""
+
+
+@register("autocorr_lag1", _AUTOCORR_ORACLE)
+def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's value series — the
+    "is this metric trending or white noise" screen (near 0 for iid
+    values, near 1 for drifting gauges).
+
+    Scale: the lag window and the per-user corr aggregation share one
+    (user_id, ts, event_id) Exchange+Sort; corr ships moment tuples only."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "value", F.lag("value").over(w).alias("prev_value")
+    ).filter(F.col("prev_value").isNotNull())
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            dround(F.corr("value", "prev_value"), 6).alias("autocorr_lag1"),
+            F.count("prev_value").alias("n_pairs"),
+        )
+        .filter(F.col("n_pairs") >= 3)
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue deltas (lag over the AGGREGATED frame)
+# ---------------------------------------------------------------------------
+
+_MOM_ORACLE = f"""
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         {_DR2.format(x='sum(o_totalprice)')} AS revenue
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1
+)
+SELECT month, revenue,
+       {_DR2.format(x='revenue - lag(revenue) OVER (ORDER BY month)')} AS delta,
+       {_DR6.format(x='(revenue - lag(revenue) OVER (ORDER BY month)) / lag(revenue) OVER (ORDER BY month)')}
+         AS pct_change
+FROM monthly ORDER BY month
+"""
+
+
+@register("month_over_month_revenue", _MOM_ORACLE)
+def q_month_over_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month absolute and percentage change
+    — the standard reporting delta, with the lag window running over the
+    ALREADY-AGGREGATED 24-row frame (revenue is DECIMAL-snapped BEFORE the
+    delta so both engines difference identical inputs).
+
+    Scale: the unpartitioned lag window is safe precisely because it runs
+    on the aggregate, not the fact table — same rule as
+    conditional_ratio_report's share-of-total."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(dround(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        dround(F.col("revenue") - prev, 2).alias("delta"),
+        dround((F.col("revenue") - prev) / prev, 6).alias("pct_change"),
+    ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit distribution (fraud/data-quality screen)
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = f"""
+WITH d AS (
+  SELECT substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+           AS first_digit
+  FROM orders WHERE o_totalprice > 0
+)
+SELECT first_digit, count(*)::BIGINT AS cnt,
+       {_DR6.format(x='count(*)::DOUBLE / (sum(count(*)) OVER ())::DOUBLE')} AS share,
+       {_DR6.format(x="log2(1.0 + 1.0 / CAST(first_digit AS DOUBLE)) / log2(10.0)")} AS benford_expected
+FROM d GROUP BY first_digit ORDER BY first_digit
+"""
+
+
+@register("benford_first_digit", _BENFORD_ORACLE)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law expectation — the classic fabricated-numbers screen.
+
+    Exactness: the first digit comes from integer-cents string prefixes
+    (floor to BIGINT prints identically in both engines), NOT from
+    floor(log10(x)) — log10 of exact powers of ten lands one ulp below the
+    integer and mis-digits them.
+
+    Scale: pure projection + 9-row agg; the share window runs over the
+    9-row aggregate."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    )
+    g = o.select(digit.alias("first_digit")).groupBy("first_digit").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_all = Window.partitionBy()
+    return g.select(
+        "first_digit",
+        "cnt",
+        dround(F.col("cnt").cast("double") / F.sum("cnt").over(w_all).cast("double"), 6).alias("share"),
+        dround(
+            F.log2(1.0 + 1.0 / F.col("first_digit").cast("double")) / F.log2(F.lit(10.0)),
+            6,
+        ).alias("benford_expected"),
+    ).orderBy("first_digit")
