@@ -227,6 +227,24 @@ def test_run_length_single_exchange_sort(spark):
     assert len([e for e in exchanges if "user_id" in e and "run_id" not in e]) <= 1, plan[:3000]
 
 
+def test_single_exchange_window_agg_queries(spark):
+    """autocorr_lag1 and time_weighted_avg: the lag/lead window and the
+    per-key aggregation must share ONE hashpartitioning on the key."""
+    import re
+
+    for name in ("autocorr_lag1", "time_weighted_avg"):
+        plan = _plan(CATALOG[name][0](spark, SF))
+        exchanges = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+        assert len(exchanges) == 1 and "user_id" in exchanges[0], (name, exchanges)
+
+
+def test_winsorize_broadcasts_bounds(spark):
+    """winsorize_values: the 5-row percentile-bounds frame must broadcast
+    back onto the fact scan, never sort-merge."""
+    plan = _plan(CATALOG["winsorize_values"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_profile_approx_has_no_expand(spark):
     """profile_table(exact=False) must drop the multi-distinct Expand —
     the whole point of the approx path at 100 TB."""
