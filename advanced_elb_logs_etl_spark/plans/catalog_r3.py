@@ -1474,3 +1474,73 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("benford_expected"),
     ).orderBy("first_digit")
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of revenue concentration per market segment
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = f"""
+WITH spend AS (
+  SELECT c.c_mktsegment, o.o_custkey, sum(o.o_totalprice) AS s
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, o.o_custkey
+),
+ranked AS (
+  SELECT c_mktsegment, s,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY s, o_custkey) AS i,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n,
+         sum(s) OVER (PARTITION BY c_mktsegment) AS tot
+  FROM spend
+)
+SELECT c_mktsegment,
+       {_DR6.format(x='sum((2.0 * i - n - 1) * s) / (max(n) * max(tot))')} AS gini,
+       max(n)::BIGINT AS n_customers
+FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@register("gini_revenue_concentration", _GINI_ORACLE)
+def q_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer spend inside each market segment —
+    the inequality/concentration metric (0 = every customer spends the
+    same, ->1 = one whale), via the rank formulation
+    G = sum((2i - n - 1) * s_i) / (n * sum(s)) over spend sorted ascending.
+
+    Determinism: the rank's tiebreak is the customer key, but the formula
+    is tie-insensitive anyway (equal s values contribute symmetric rank
+    weights within a tie group... the tiebreak just pins identical plans).
+
+    Scale: per-customer agg (broadcast customer dim), ONE window sort per
+    segment for the ranks, then a per-segment fold — no all-pairs |s_i -
+    s_j| form, which is the naive O(n^2) Gini."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    spend = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("s", "o_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = spend.select(
+        "c_mktsegment",
+        "s",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("s").over(wn).alias("tot"),
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            # n and tot are group constants: max() just lifts them into the
+            # aggregation context
+            dround(
+                F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("s"))
+                / (F.max("n") * F.max("tot")),
+                6,
+            ).alias("gini"),
+            F.max("n").alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
