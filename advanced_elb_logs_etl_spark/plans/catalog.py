@@ -44,67 +44,71 @@ def register(name: str, oracle: str | None):
 # CORRECTNESS_r01/r02) follow.  Names not present in CATALOG are ignored,
 # so this list may safely lead registration.
 FRONT_OF_CATALOG: list[str] = [
-    # warehouse wave (catalog_wh.py) — never driver-checked through r2
-    "profile_table",
-    "table_diff",
-    "scd2_intervals",
-    "per_key_trend",
-    "bloom_semi_join",
-    "pagerank_supplier_part",
-    # curation / sampling / LLM wave (catalog_llm.py) — never driver-checked
-    "embedding_neardup_blocked",
-    "neardup_components",
-    "dedup_corpus",
-    "rp_lsh_topk",
-    "decontaminate_corpus",
-    "pack_sequences_greedy",
-    "normalize_text_nfc",
-    "repetition_stats",
-    "tfidf_top_terms",
-    "redact_pii",
-    "hash_stratified_split",
-    "quality_ntile_buckets",
-    "epoch_mix_corpus",
-    "sample_k_per_source",
-    "curate_corpus",
-    "interdoc_segment_dedup",
-    "chunk_documents",
-    "knn_label_vote",
-    "vocab_top_tokens",
-    # round-3 additions (catalog_r3.py) — no prior driver signal either;
-    # 25 + 25 = exactly the 50-entry window. Two demotions to make the two
-    # late additions fit: winnow_fingerprints had an r1 driver pass before
-    # the catalog grew, and profile_table_approx is rows-only (the driver
-    # hash adds nothing a rows check doesn't); both sit at 51+ so they
-    # still lead the long-green tail if the window is larger than 50.
-    "order_priority_q4",
-    "promo_revenue_q14",
-    "linestatus_priority_q12",
-    "parts_supplier_q16",
-    "returned_item_q10",
-    "small_quantity_revenue_q17",
-    "window_lead_gap",
-    "first_last_by_key",
-    "ntile_latency_buckets",
-    "rank_battery",
-    "stats_moments_battery",
-    "min_max_by_battery",
-    "mode_per_group",
-    "histogram_latency",
-    "grouping_sets_events",
-    "language_id_heuristic",
-    "token_bpe_counts",
-    "levenshtein_block_pairs",
-    "sequential_dedup_runs",
-    "tumbling_window_agg",
-    "conditional_ratio_report",
+    # -- must-check: the one red row from r3 (array column made the driver's
+    # canonicalizer crash; now emitted as a joined string) plus the 9 late
+    # round-3 additions that have never had a driver row.
     "collect_set_sorted",
-    "array_zip_cosine",
-    "session_window_batch",
-    "incremental_agg_merge",
-    # ---- position 51+ (inside the window only if it exceeds 50) ----
-    "winnow_fingerprints",
+    "winsorize_values",
+    "weighted_sample_es",
+    "time_weighted_avg",
+    "entropy_per_source",
+    "autocorr_lag1",
+    "month_over_month_revenue",
+    "benford_first_digit",
+    "gini_revenue_concentration",
     "profile_table_approx",
+    # -- round-4 additions (catalog_r4.py): no driver signal yet.
+    "decimal_exact_ledger",
+    "interval_overlap_join",
+    "sessionize_gap_dynamic",
+    "top_ngrams_per_lang",
+    "robust_scale_features",
+    "weighted_percentile",
+    "string_distance_battery",
+    "url_query_explode",
+    "bitmap_distinct_dates",
+    "skew_salted_join",
+    "doc_minhash_containment",
+    "event_attribution_last_touch",
+    "theta_like_join_bins",
+    "ua_family_counts",
+    "freq_items_battery",
+    # -- §2 core re-validation rotation: long-green queries whose last
+    # driver row is from r2; a rotating sample cycles back through the
+    # window each round so regressions stay visible to the hard signal.
+    "alb_parse_roundtrip",
+    "hourly_agg",
+    "sessionize",
+    "rolling_5min_count",
+    "pipeline_e2e_hourly",
+    # -- wider rotation: oldest-signal entries across the §2 / dedup /
+    # similarity / text waves (r1-or-r2 green; winnow last checked r1).
+    "winnow_fingerprints",
+    "dedup_exact",
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "ann_cosine_topk",
+    "text_stats",
+    "multimodal_meta",
+    "asof_join_state",
+    "range_join_windows",
+    "dim_enrich_join",
+    "pricing_summary",
+    "url_parse",
+    "error_report",
+    "topk_orders",
+    "funnel_conversion",
+    "cohort_retention",
+    "pivot_event_counts",
+    "percentile_battery",
+    "salted_agg_counts",
+    "json_extract_summary",
+    # ---- position 51+ (inside the window only if it exceeds 50):
+    # continuation of the rotation queue for future rounds ----
+    "grouped_topk_orders",
+    "cube_pricing",
+    "value_outliers_z",
+    "session_report",
 ]
 
 

@@ -936,7 +936,7 @@ def q_conditional_ratio_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COLLECT_ORACLE = """
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS event_types,
+       array_to_string(list_sort(list(DISTINCT event_type)), '|') AS event_types,
        len(list(DISTINCT event_type))::BIGINT AS n_types
 FROM events WHERE user_id < 50
 GROUP BY user_id ORDER BY user_id
@@ -945,9 +945,11 @@ GROUP BY user_id ORDER BY user_id
 
 @register("collect_set_sorted", _COLLECT_ORACLE)
 def q_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user distinct event-type vocabulary as a SORTED array —
-    collect_set is partition-order-nondeterministic, so array_sort is what
-    makes set aggregation oracle-comparable (and joinable/groupable).
+    """Per-user distinct event-type vocabulary as a SORTED, '|'-joined
+    string — collect_set is partition-order-nondeterministic, so array_sort
+    is what makes set aggregation comparable, and the join-to-scalar is what
+    makes the result canonicalizable by value-hash tooling (raw array
+    columns are not hashable in pandas-based comparators).
 
     Scale: collect_set state is bounded by the event-type vocabulary (5
     here), not the row count — safe; sorting happens on the tiny final
@@ -955,13 +957,13 @@ def q_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     return (
         ev.groupBy("user_id")
-        .agg(F.array_sort(F.collect_set("event_type")).alias("event_types"))
-        # n_types derives from the one aggregated array — a second
+        .agg(F.array_sort(F.collect_set("event_type")).alias("_types"))
+        # derive both outputs from the ONE aggregated array — a second
         # collect_set would maintain a duplicate accumulator per group
         .select(
             "user_id",
-            "event_types",
-            F.size("event_types").cast("long").alias("n_types"),
+            F.array_join("_types", "|").alias("event_types"),
+            F.size("_types").cast("long").alias("n_types"),
         )
         .orderBy("user_id")
     )
