@@ -32,19 +32,23 @@ def pagerank(
     tol: float | None = None,
     max_iterations: int = 50,
     dangling: str = "auto",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Synchronous PageRank over an edge list — fixed-K by default, or
     iterate-to-convergence when ``tol`` is set.
 
     edges: DataFrame[src: string, dst: string]; duplicate edges are
-    collapsed first (a crawl graph lists a link once). Dangling nodes
+    collapsed first (a crawl graph lists a link once) unless the caller
+    passes ``assume_distinct=True`` to certify the input is already
+    duplicate-free and skip that shuffle. Dangling nodes
     (nodes with no out-edges) are handled the standard way: their rank mass
     is redistributed uniformly each iteration, so the update is
         r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/outdeg(u) + D/N)
     where D is the summed rank of dangling nodes. When the graph has no
     dangling nodes (checked ONCE at setup) the D term — and its
-    one-scalar-per-iteration job — is skipped entirely, keeping the
-    fixed-K path a pure lazy chain.
+    one-scalar-per-iteration job — is skipped entirely, so the fixed-K
+    path runs exactly one shuffle-join round per iteration over the
+    checkpointed static frames.
 
     ``tol``: when set, iterate until max |r' - r| <= tol (checked per
     round on the materialized rank frame; each round localCheckpoints so
@@ -52,11 +56,11 @@ def pagerank(
     ignored in this mode.
 
     ``dangling``: "auto" (default) probes the graph once for out-edge-less
-    nodes — correct for arbitrary input, but the probe materializes the
-    edge pipeline an extra time at setup. Pass "none" when the caller
-    guarantees every node has an out-edge (e.g. bidirectional graphs built
-    by construction, like supplier_part_edges) to keep the fixed-K path a
-    single lazy DAG with zero setup jobs beyond the node count.
+    nodes — correct for arbitrary input, at the cost of one extra setup
+    job. Pass "none" when the caller guarantees every node has an
+    out-edge (e.g. bidirectional graphs built by construction, like
+    supplier_part_edges) to skip the probe and the per-iteration D-mass
+    scalar job.
 
     Scale: per iteration ONE shuffle — ranks join edges on src (rank frame
     is O(N) and aggregated, so AQE broadcasts it when small; at web scale
@@ -69,14 +73,30 @@ def pagerank(
             f"dangling must be 'auto' or 'none', got {dangling!r} — a typo "
             "here would silently re-enable the setup probe"
         )
-    e = edges.select("src", "dst").distinct()
+    # The static frames are referenced by EVERY iteration's join tree.
+    # Checkpoint them once at setup — in ALL modes — so iteration K reads
+    # materialized blocks instead of re-running the distinct-over-union edge
+    # pipeline K times (at sf0.1 that recomputation doubled the catalog
+    # query's latency; at crawl scale it would be a non-starter). The edge
+    # frame is O(E) but so is one iteration's shuffle, so the one-time
+    # materialization cost is amortized from the first round. outdeg is
+    # folded into the edge frame here so each iteration runs ONE join
+    # (ranks ⋈ ew) plus the dst aggregation instead of a second per-round
+    # deg join; `rank / outdeg` stays the same double expression the SQL
+    # twin computes, so determinism is unaffected.
+    e = edges.select("src", "dst")
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = e.select(F.col("src").alias("node")).union(
-        e.select(F.col("dst").alias("node"))
-    ).distinct()
-    if tol is not None:
-        nodes = nodes.localCheckpoint(eager=True)
-    n = nodes.count()  # scalar graph size; one tiny job, part of setup
+    ew = e.join(deg, "src").localCheckpoint(eager=True)  # src, dst, outdeg
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # scalar graph size; one tiny job against the blocks
     if dangling == "none":
         has_dangling = False
         dangling_nodes = None
@@ -101,8 +121,7 @@ def pagerank(
         else:
             dmass = 0.0
         contrib = (
-            ranks.join(e, ranks.node == e.src)
-            .join(deg, "src")
+            ranks.join(ew, ranks.node == ew.src)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
@@ -138,12 +157,20 @@ def pagerank(
 
 def supplier_part_edges(lineitem: DataFrame) -> DataFrame:
     """Bipartite supplier<->part graph from lineitem co-occurrence, both
-    directions (so no node dangles). Node ids are type-prefixed strings."""
-    fwd = lineitem.select(
+    directions (so no node dangles). Node ids are type-prefixed strings.
+
+    The (suppkey, partkey) pairs are deduplicated BEFORE string-building and
+    mirroring: the distinct shuffles half the rows on narrow int keys
+    instead of the full 2x string edge list, and the mirrored union of a
+    distinct pair set is distinct by construction (the 's'/'p' prefixes
+    keep the two directions disjoint) — callers may pass
+    ``assume_distinct=True`` to :func:`pagerank`."""
+    pairs = lineitem.select("l_suppkey", "l_partkey").distinct()
+    fwd = pairs.select(
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
         F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
     )
-    rev = lineitem.select(
+    rev = pairs.select(
         F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
     )

@@ -355,7 +355,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     # dangling="none": supplier_part_edges emits both directions, so every
     # node has an out-edge by construction — skip the setup probe job.
+    # assume_distinct: the edge builder dedups the int pairs before
+    # mirroring, so pagerank's own distinct shuffle is redundant.
     ranks = graph.pagerank(
-        graph.supplier_part_edges(li), iterations=3, dangling="none"
+        graph.supplier_part_edges(li),
+        iterations=3,
+        dangling="none",
+        assume_distinct=True,
     )
     return ranks.select("node", dround(F.col("rank"), 6).alias("rank"))
