@@ -893,7 +893,15 @@ def _synth_alb_lines(ev: DataFrame) -> DataFrame:
         F.lit(' "forward" "-" "-" "172.31.0.9:80" "'), code,
         F.lit('" "-" "-" TID_deadbeef'),
     )
-    return ev.select(line.alias("value"))
+    out = ev.select(line.alias("value"))
+    # The sf* events table is ONE parquet file -> one scan partition, and a
+    # narrow projection inherits it — the entire parse expression would run
+    # on a single core (measured 10.3s -> 4.3s at sf0.1 on local[32]).
+    # Spread the synthesized lines first: this models the real input shape
+    # (a log scan is thousands of gzip files, naturally parallel) and the
+    # narrow one-string-column shuffle costs far less than a serialized
+    # parse. Row-preserving, so both consumers' results are unchanged.
+    return out.repartition(out.sparkSession.sparkContext.defaultParallelism)
 
 
 @register("alb_parse_roundtrip", _ALB_ORACLE)
