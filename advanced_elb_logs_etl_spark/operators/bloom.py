@@ -107,6 +107,7 @@ def bloom_semi_join(
     k: int = DEFAULT_K,
     m_bits: int = DEFAULT_M_BITS,
     bypass_below_rows: int | None = BYPASS_BUILD_ROWS,
+    build_rows: int | None = None,
 ) -> DataFrame:
     """Semi-join `probe` to `build` with a Bloom pre-filter on the probe scan.
 
@@ -117,17 +118,23 @@ def bloom_semi_join(
     Break-even guard: when the build side has at most ``bypass_below_rows``
     rows, the bitmap build is skipped and the plain semi join runs — below
     the broadcast threshold the exact join never shuffles the probe side,
-    so the pre-filter cannot win. The probe is a LIMIT-bounded count (key
-    column only), so deciding "more than the threshold?" scans at most
-    threshold+1 rows — it never materializes a huge build pipeline just to
-    learn it is huge. Pass ``bypass_below_rows=None`` to force the Bloom
-    path (tests do).
+    so the pre-filter cannot win.
+
+    NOTE — this makes the call EAGER: unless ``build_rows`` is given, the
+    guard runs a LIMIT-bounded count() job at DataFrame-construction time
+    (key column only, scans at most threshold+1 rows — it never
+    materializes a huge build pipeline just to learn it is huge), and the
+    probe re-executes the build-side pipeline on every invocation. Callers
+    that already know the build-side cardinality (table statistics, a
+    previous count) should pass ``build_rows`` to keep the call fully
+    lazy. Pass ``bypass_below_rows=None`` to force the Bloom path
+    (tests do).
     """
-    if (
-        bypass_below_rows is not None
-        and build.select(build_key).limit(bypass_below_rows + 1).count()
-        <= bypass_below_rows
-    ):
+    if bypass_below_rows is not None and (
+        build_rows
+        if build_rows is not None
+        else build.select(build_key).limit(bypass_below_rows + 1).count()
+    ) <= bypass_below_rows:
         pre = probe
     else:
         lanes = build_bloom_lanes(build, build_key, k=k, m_bits=m_bits)

@@ -3,9 +3,12 @@ with typed metadata, processed via Arrow-batched mapInPandas.
 
 Image decode is REAL for uncompressed 24/32-bpp BMP (decode_bmp — a
 dependency-free container parse + NumPy pixel unpack, with an exact
-encode_bmp inverse), and routes through PIL for other formats when that is
-installed. Audio decode remains a STUB (no audio library in the container)
-— clearly marked below. Everything Spark-side is real and tested either
+encode_bmp inverse), binary PPM (decode_ppm), and non-interlaced 8-bit
+PNG (decode_png — stdlib zlib inflate + full five-filter scanline
+reconstruction for grey/RGB/palette/alpha color types), and routes
+through PIL for other formats when that is installed. Audio decode
+remains a STUB (no audio library in the container) — clearly marked
+below. Everything Spark-side is real and tested either
 way: the binary column schema, the mapInPandas batch shape (pandas
 DataFrames in/out), the output StructType, and the partitioning story.
 
@@ -129,17 +132,149 @@ def decode_ppm(payload: bytes) -> dict:
     return {"width": width, "height": height, "mode": "RGB", "pixels": raster}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type (palette counts as 1 index byte pre-expansion)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
+    """Reverse the five PNG scanline filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6). Sub/Average/Paeth carry a left-pixel dependency, so rows
+    reconstruct byte-sequentially; Up is a straight vector add. Pure-Python
+    per-byte loops are fine at the fixture/metadata sizes this decoder
+    serves — payload-scale pipelines should batch-decode via the
+    mapInPandas kernels regardless of codec."""
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        if pos >= len(raw):
+            raise ImageDecodeError("truncated PNG raster")
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        if len(line) < stride:
+            raise ImageDecodeError("truncated PNG scanline")
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ImageDecodeError(f"unknown PNG filter type {ftype}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def decode_png(payload: bytes) -> dict:
+    """Dependency-free decoder for non-interlaced 8-bit-depth PNG — the
+    dominant lossless format in real corpora. stdlib zlib inflates the
+    IDAT stream; all five scanline filters are reconstructed; color types
+    0 (grey), 2 (RGB), 3 (palette), 4 (grey+alpha), 6 (RGBA) are expanded
+    to row-major RGB (alpha is DROPPED, matching the 32-bpp BMP path).
+
+    Rejected with a typed error (never silently mis-decoded): bad
+    signature/chunk layout, bit depths != 8, Adam7 interlace, truncated or
+    undecompressible rasters."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ImageDecodeError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ImageDecodeError("truncated PNG chunk")
+        pos += 12 + length  # length + type + data + CRC (CRC not verified)
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            palette = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13:
+        raise ImageDecodeError("missing PNG IHDR")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bitdepth, colortype, _comp, _filt, interlace = ihdr[8:13]
+    if bitdepth != 8:
+        raise ImageDecodeError(f"unsupported PNG bit depth {bitdepth}")
+    if colortype not in _PNG_CHANNELS:
+        raise ImageDecodeError(f"unsupported PNG color type {colortype}")
+    if interlace != 0:
+        raise ImageDecodeError("Adam7-interlaced PNG not supported")
+    if not (0 < width <= 1 << 20 and 0 < height <= 1 << 20):
+        raise ImageDecodeError(f"implausible dimensions {width}x{height}")
+    channels = _PNG_CHANNELS[colortype]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ImageDecodeError("undecompressible PNG IDAT stream") from exc
+    stride = width * channels
+    flat = _png_unfilter(raw, height, stride, channels)
+    arr = np.frombuffer(flat, dtype=np.uint8).reshape(height, width, channels)
+    if colortype == 2:
+        rgb = arr
+    elif colortype == 6:
+        rgb = arr[:, :, :3]
+    elif colortype == 0:
+        rgb = np.repeat(arr, 3, axis=2)
+    elif colortype == 4:
+        rgb = np.repeat(arr[:, :, :1], 3, axis=2)
+    else:  # colortype 3: palette indices -> PLTE triplets
+        if palette is None or len(palette) % 3:
+            raise ImageDecodeError("palette PNG without a valid PLTE chunk")
+        lut = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        idx = arr[:, :, 0]
+        if int(idx.max(initial=0)) >= lut.shape[0]:
+            raise ImageDecodeError("PNG palette index out of range")
+        rgb = lut[idx]
+    return {
+        "width": width,
+        "height": height,
+        "mode": "RGB",
+        "pixels": np.ascontiguousarray(rgb).tobytes(),
+    }
+
+
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload to {"width", "height", "mode", "pixels"}.
 
-    BMP and binary PPM decode natively (decode_bmp / decode_ppm, no
-    dependencies). Other formats use PIL when importable; in this container
-    PIL is absent, so they raise ImageDecodeError — the mapInPandas kernels
-    translate that to null metadata rather than failing the stage."""
+    BMP, binary PPM, and non-interlaced 8-bit PNG decode natively
+    (decode_bmp / decode_ppm / decode_png, no dependencies). Other formats
+    use PIL when importable; in this container PIL is absent, so they
+    raise ImageDecodeError — the mapInPandas kernels translate that to
+    null metadata rather than failing the stage."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     try:
         from PIL import Image  # noqa: PLC0415 — optional dependency
     except ImportError as exc:

@@ -2,3 +2,4 @@ from .catalog import CATALOG, oracle_sql, queries  # noqa: F401
 from . import catalog_llm  # noqa: F401,E402  (registers LLM-ops queries into CATALOG)
 from . import catalog_wh  # noqa: F401,E402  (registers warehouse-ops queries into CATALOG)
 from . import catalog_r3  # noqa: F401,E402  (registers round-3 wave into CATALOG)
+from . import catalog_r4  # noqa: F401,E402  (registers round-4 wave into CATALOG)

@@ -64,13 +64,13 @@ FRONT_OF_CATALOG: list[str] = [
     "top_ngrams_per_lang",
     "robust_scale_features",
     "weighted_percentile",
-    "string_distance_battery",
+    "unpivot_metrics",
     "url_query_explode",
     "bitmap_distinct_dates",
     "skew_salted_join",
     "doc_minhash_containment",
     "event_attribution_last_touch",
-    "theta_like_join_bins",
+    "time_spine_gap_fill",
     "ua_family_counts",
     "freq_items_battery",
     # -- §2 core re-validation rotation: long-green queries whose last

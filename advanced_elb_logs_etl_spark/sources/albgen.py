@@ -102,6 +102,20 @@ class _AlbGenReader(DataSourceReader):
         self.num_partitions = int(options.get("partitions", 8))
         self.seed = int(options.get("seed", 42))
         self.malformed_rate = float(options.get("malformed_rate", 0.002))
+        # Validate here, not in partitions(): a bad option should surface as
+        # a clear ValueError at load time, not a ZeroDivisionError (or
+        # silently empty output) inside executor planning.
+        if self.rows < 0:
+            raise ValueError(f"albgen option rows must be >= 0, got {self.rows}")
+        if self.num_partitions < 1:
+            raise ValueError(
+                f"albgen option partitions must be >= 1, got {self.num_partitions}"
+            )
+        if not (0.0 <= self.malformed_rate <= 1.0):
+            raise ValueError(
+                "albgen option malformed_rate must be in [0, 1], "
+                f"got {self.malformed_rate}"
+            )
 
     def partitions(self):
         base, extra = divmod(self.rows, self.num_partitions)

@@ -36,7 +36,7 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
 )
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import BooleanType, StringType, StructField, StructType
 
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
@@ -63,8 +63,15 @@ class _DebounceProcessor(StatefulProcessor):
         self._out_fields = out_fields
 
     def init(self, handle: StatefulProcessorHandle) -> None:
+        # (is_null, v) struct: a stored NULL last-value must be
+        # distinguishable from no-state, or a null run ending one
+        # micro-batch would be re-emitted in the next (and a null could
+        # never debounce a following null).
         self._last = handle.getValueState(
-            "last_value", StructType([StructField("v", StringType())])
+            "last_value",
+            StructType(
+                [StructField("is_null", BooleanType()), StructField("v", StringType())]
+            ),
         )
 
     def handleInputRows(self, key, rows, timer_values) -> Iterator["pd.DataFrame"]:
@@ -72,14 +79,19 @@ class _DebounceProcessor(StatefulProcessor):
 
         pdf = pd.concat(list(rows), ignore_index=True)
         pdf = pdf.sort_values([self._ts, self._tiebreak], kind="mergesort")
-        last = self._last.get()[0] if self._last.exists() else None
+        if self._last.exists():
+            stored = self._last.get()
+            last = (bool(stored[0]), stored[1] or "")
+        else:
+            last = None  # genuinely no state — first row always emits
         keep = []
         for i, v in enumerate(pdf[self._value_col]):
-            if v != last:
+            cur = (True, "") if pd.isna(v) else (False, v)
+            if cur != last:
                 keep.append(i)
-                last = v
+                last = cur
         if last is not None:
-            self._last.update((last,))
+            self._last.update(last)
         yield pdf.iloc[keep][self._out_fields]
 
     def close(self) -> None:

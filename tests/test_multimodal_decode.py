@@ -133,3 +133,140 @@ def test_decode_ppm_rejects_bad_payloads():
         with _pytest.raises(ImageDecodeError):
             decode_ppm(bad)
     assert decode_ppm(good)["width"] == 3
+
+
+# ---------------------------------------------------------------------------
+# PNG: stdlib encoder used ONLY by these tests — applies each of the five
+# scanline filters forward so decode_png's unfilter paths are all exercised.
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib as _z
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + _z.crc32(ctype + data).to_bytes(4, "big")
+    )
+
+
+def _encode_png(width, height, pixels, colortype=2, filters=None, palette=None):
+    """Minimal PNG writer for tests: 8-bit depth, no interlace, explicit
+    per-row filter types (default all 0)."""
+    import zlib as _z
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+    stride = width * channels
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        line = pixels[r * stride : (r + 1) * stride]
+        f = filters[r]
+        raw.append(f)
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 0:
+                enc = line[i]
+            elif f == 1:
+                enc = (line[i] - a) & 0xFF
+            elif f == 2:
+                enc = (line[i] - b) & 0xFF
+            elif f == 3:
+                enc = (line[i] - ((a + b) >> 1)) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc = (line[i] - pred) & 0xFF
+            raw.append(enc)
+        prev = line
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([8, colortype, 0, 0, 0])
+    )
+    out = multimodal._PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette)
+    out += _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+    out += _png_chunk(b"IEND", b"")
+    return out
+
+
+def test_png_rgb_all_filter_types():
+    w, h = 6, 5
+    px = _gradient(w, h)
+    for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h, [0, 1, 2, 3, 4]):
+        img = multimodal.decode_png(_encode_png(w, h, px, filters=list(filters)))
+        assert (img["width"], img["height"], img["mode"]) == (w, h, "RGB")
+        assert img["pixels"] == px, f"filters={filters}"
+
+
+def test_png_color_types_expand_to_rgb():
+    w, h = 4, 3
+    grey = bytes((r * 31 + c * 7) % 256 for r in range(h) for c in range(w))
+    img = multimodal.decode_png(_encode_png(w, h, grey, colortype=0, filters=[4] * h))
+    assert img["pixels"] == bytes(v for g in grey for v in (g, g, g))
+
+    ga = bytes(v for g in grey for v in (g, 128))  # grey + alpha
+    img = multimodal.decode_png(_encode_png(w, h, ga, colortype=4, filters=[2] * h))
+    assert img["pixels"] == bytes(v for g in grey for v in (g, g, g))
+
+    rgb = _gradient(w, h)
+    rgba = bytes(
+        v
+        for i in range(w * h)
+        for v in (rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2], 200)
+    )
+    img = multimodal.decode_png(_encode_png(w, h, rgba, colortype=6, filters=[1] * h))
+    assert img["pixels"] == rgb
+
+    palette = bytes(range(48))  # 16 RGB entries
+    idx = bytes((r + c) % 16 for r in range(h) for c in range(w))
+    img = multimodal.decode_png(
+        _encode_png(w, h, idx, colortype=3, palette=palette, filters=[3] * h)
+    )
+    expect = bytes(
+        v for i in idx for v in (palette[3 * i], palette[3 * i + 1], palette[3 * i + 2])
+    )
+    assert img["pixels"] == expect
+
+
+def test_png_rejections():
+    w, h = 4, 3
+    px = _gradient(w, h)
+    good = _encode_png(w, h, px)
+    with pytest.raises(ImageDecodeError, match="not a PNG"):
+        multimodal.decode_png(b"X" + good)
+    # 16-bit depth
+    bad = bytearray(good)
+    bad[8 + 4 + 4 + 8] = 16  # bitdepth byte inside IHDR
+    with pytest.raises(ImageDecodeError, match="bit depth"):
+        multimodal.decode_png(bytes(bad))
+    # interlaced
+    bad = bytearray(good)
+    bad[8 + 4 + 4 + 12] = 1  # interlace byte
+    with pytest.raises(ImageDecodeError, match="interlaced"):
+        multimodal.decode_png(bytes(bad))
+    # truncated IDAT payload: drop the IEND and half the IDAT chunk
+    with pytest.raises(ImageDecodeError):
+        idat_at = good.index(b"IDAT") - 4
+        multimodal.decode_png(good[: idat_at + 10])
+    # palette index out of range
+    small_palette = bytes(range(6))  # 2 entries
+    idx = bytes([0, 1, 1, 0, 0, 1, 5, 0, 1, 0, 1, 0])  # index 5 invalid
+    with pytest.raises(ImageDecodeError, match="palette index"):
+        multimodal.decode_png(
+            _encode_png(4, 3, idx, colortype=3, palette=small_palette)
+        )
+
+
+def test_decode_image_routes_png():
+    w, h = 3, 3
+    px = _gradient(w, h)
+    img = decode_image(_encode_png(w, h, px, filters=[4, 2, 1]))
+    assert (img["width"], img["height"], img["pixels"]) == (w, h, px)

@@ -102,6 +102,34 @@ def test_processor_state_carries_across_batches():
     assert list(out1["event_id"]) == [3]
 
 
+def test_processor_null_runs_debounce_across_batches():
+    """A null last-value is STORED (as a (is_null, v) struct), so a null
+    run ending one micro-batch suppresses its continuation in the next —
+    and stored-null is distinguishable from no-state."""
+    p = _proc()
+    b0 = _pdf([
+        ("a", "12:00", "view", 1),
+        ("a", "12:01", None, 2),   # value change -> emitted
+        ("a", "12:02", None, 3),   # same-null run -> suppressed
+    ])
+    out0 = pd.concat(list(p.handleInputRows(("a",), iter([b0]), None)))
+    assert list(out0["event_id"]) == [1, 2]
+    b1 = _pdf([
+        ("a", "12:10", None, 4),    # continues the stored NULL run -> suppressed
+        ("a", "12:11", "view", 5),  # changed -> emitted
+    ])
+    out1 = pd.concat(list(p.handleInputRows(("a",), iter([b1]), None)))
+    assert list(out1["event_id"]) == [5]
+
+
+def test_processor_first_null_row_emits_with_no_state():
+    p = _proc()
+    out = pd.concat(
+        list(p.handleInputRows(("a",), iter([_pdf([("a", "12:00", None, 1)])]), None))
+    )
+    assert list(out["event_id"]) == [1]
+
+
 @pytest.mark.skipif(
     not _HAS_PROTOBUF,
     reason="transformWithState driver worker needs the protobuf package, "
