@@ -252,3 +252,48 @@ def test_profile_approx_has_no_expand(spark):
     approx_plan = _plan(CATALOG["profile_table_approx"][0](spark, SF))
     assert "Expand" in exact_plan  # sanity: exact path does expand
     assert "Expand" not in approx_plan
+
+
+def test_r4_interval_and_containment_joins_are_equi(spark):
+    """The round-4 pair joins must plan as hash EQUI-joins on their blocking
+    keys — a CartesianProduct means the band/block degenerated to
+    all-pairs."""
+    for name in ("interval_overlap_join", "doc_minhash_containment"):
+        plan = _plan(CATALOG[name][0](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_r4_salted_join_broadcasts_dim(spark):
+    """skew_salted_join: the x16 salt-expanded dim must broadcast — the
+    fact side never shuffles for the join (its only Exchange is the final
+    aggregation)."""
+    plan = _plan(CATALOG["skew_salted_join"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_r4_unpivot_is_expand_single_shuffle(spark):
+    """unpivot_metrics: the melt is an in-place Expand; exactly one
+    aggregation Exchange in the whole plan."""
+    plan = _plan(CATALOG["unpivot_metrics"][0](spark, SF))
+    assert "Expand" in plan
+    # one agg exchange + possibly the orderBy range exchange; no join/extra
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_r4_attribution_has_no_self_join(spark):
+    """event_attribution_last_touch replaces the purchases x clicks
+    self-join with one running-max window: no join operator at all."""
+    plan = _plan(CATALOG["event_attribution_last_touch"][0](spark, SF))
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
+
+
+def test_r4_ua_classifier_is_udf_free(spark):
+    """The vendored UA rule chain compiles to pure Column CASE/rlike —
+    no Python evaluation node may appear."""
+    plan = _plan(CATALOG["ua_family_counts"][0](spark, SF))
+    for op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert op not in plan, op

@@ -61,6 +61,22 @@ HEADLINERS = {
                             "interval merge, no lag/cumsum plumbing",
     "incremental_agg_merge": "two partial hash aggs unioned + tiny merge agg — the re-aggregable "
                              "state shape incremental backfills rely on",
+    "decimal_exact_ledger": "DECIMAL sums stay partial+final HashAggregate (Decimal128 state) — "
+                            "exactness costs no extra shuffle vs the double ledger",
+    "interval_overlap_join": "pair join is a hash equi-join on the band key; overlap range "
+                             "predicates ride as join conditions — no CartesianProduct",
+    "skew_salted_join": "dim exploded x16 then BroadcastHashJoin on (key, salt) — the fact side "
+                        "never shuffles and one hot key spreads over 16 tasks",
+    "doc_minhash_containment": "blocked self-join on (lang, bucket) equi keys; array_intersect "
+                               "runs per-pair in the join projection, no explode of candidates",
+    "unpivot_metrics": "unpivot is an Expand (3 rows per input row, in-place); the only Exchange "
+                       "is the final hash agg",
+    "time_spine_gap_fill": "spine is generate+explode from the per-series bounds (no driver loop); "
+                           "islands window runs over only the missing rows",
+    "event_attribution_last_touch": "running conditional max — one Exchange+Sort on user_id "
+                                    "replaces a purchases x clicks self-join",
+    "ua_family_counts": "the whole rule-table CASE chain is a single whole-stage-codegen "
+                        "projection; one 12-key hash agg",
 }
 
 
