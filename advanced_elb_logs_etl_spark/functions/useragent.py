@@ -109,7 +109,15 @@ _BOT_TOOL_RULES: list[tuple[str, str]] = [
     (r"PhantomJS", "PhantomJS"),
 ]
 
-_BROWSER_RULES: list[tuple[str, str]] = [
+# Browser rules are split in two chains: _RARE_BROWSER_RULES (Chromium
+# derivatives, Opera/Edge variants, iOS ports, webview tokens — each
+# guaranteed to contain a _RARE_BROWSER_GATE token) run only behind a
+# single gate scan; _COMMON_BROWSER_RULES (the Chrome/Firefox/Safari/IE
+# population that dominates real traffic) run on every row. A mainstream
+# Chrome UA therefore evaluates ~9 regexes instead of ~35. The rare chain
+# falls through into the common chain, so ordering semantics are identical
+# to one flat first-match-wins list.
+_RARE_BROWSER_RULES: list[tuple[str, str]] = [
     # automation / shells that embed a Chrome token
     (r"HeadlessChrome/", "HeadlessChrome"),
     (r"Electron/", "Electron"),
@@ -138,18 +146,31 @@ _BROWSER_RULES: list[tuple[str, str]] = [
     # iOS ports of Chrome/Firefox
     (r"FxiOS/", "Firefox iOS"),
     (r"CriOS/", "Chrome Mobile iOS"),
-    # Android WebView: explicit wv token, or the legacy Version/+Chrome pair
+    # Android WebView's explicit token
     (r"; ?wv\).*Chrome/", "Chrome Mobile WebView"),
-    (r"Version/.*Chrome/", "Chrome Mobile WebView"),
-    (r"Chrome/.*Mobile", "Chrome Mobile"),
     (r"CrMo/", "Chrome Mobile"),
     (r"Chromium/", "Chromium"),
+    (r"IEMobile", "IE Mobile"),
+]
+
+#: one scan deciding whether the rare chain can match at all — every rule
+#: above contains at least one of these tokens (pinned by test)
+_RARE_BROWSER_GATE = (
+    r"HeadlessChrome|Electron|YaBrowser|Whale|Vivaldi|Brave|Maxthon|Silk/|"
+    r"Puffin|UCBrowser|UC Browser|UCWEB|QQBrowser|MiuiBrowser|HuaweiBrowser|"
+    r"SamsungBrowser|Opera|OPR/|Edg|FxiOS|CriOS|wv\)|CrMo/|Chromium|IEMobile"
+)
+
+_COMMON_BROWSER_RULES: list[tuple[str, str]] = [
+    # legacy Android WebView: Version/ + Chrome co-occurrence (Version/ is
+    # too common — Safari — to gate on, so this rule stays in the hot chain)
+    (r"Version/.*Chrome/", "Chrome Mobile WebView"),
+    (r"Chrome/.*Mobile", "Chrome Mobile"),
     (r"Chrome/", "Chrome"),
     # Firefox
     (r"(Mobile|Tablet).*Firefox/", "Firefox Mobile"),
     (r"Firefox/", "Firefox"),
     # IE
-    (r"IEMobile", "IE Mobile"),
     (r"MSIE |Trident/", "IE"),
     # legacy Android stock browser (Version/ + Mobile Safari, no Chrome)
     (r"Android.*Version/.*Mobile Safari/", "Android"),
@@ -158,6 +179,9 @@ _BROWSER_RULES: list[tuple[str, str]] = [
     (r"(iPhone|iPad|iPod).*AppleWebKit", "Mobile Safari UI/WKWebView"),
     (r"Safari/", "Safari"),
 ]
+
+#: flat view (rare-first == the gated evaluation order) for tests/tools
+_BROWSER_RULES: list[tuple[str, str]] = _RARE_BROWSER_RULES + _COMMON_BROWSER_RULES
 
 _OS_RULES: list[tuple[str, str]] = [
     (r"Windows Phone", "Windows Phone"),
@@ -205,20 +229,32 @@ def _family_expr(ua: Column, pattern: str, template: str) -> Column:
     return F.lit(template)
 
 
-def _rules_to_column(ua: Column, rules: list[tuple[str, str]]) -> Column:
-    expr = F.lit(_UNKNOWN)
+def _rules_to_column(
+    ua: Column, rules: list[tuple[str, str]], default: Column | None = None
+) -> Column:
+    expr = F.lit(_UNKNOWN) if default is None else default
     for pattern, family in reversed(rules):
         expr = F.when(ua.rlike(pattern), _family_expr(ua, pattern, family)).otherwise(expr)
     return expr
 
 
 def ua_browser_family(ua: Column) -> Column:
-    """Browser family; '-'/''/null -> 'Unknown' (reference :129-131)."""
+    """Browser family; '-'/''/null -> 'Unknown' (reference :129-131).
+
+    Two pre-gates keep the per-row regex count low on the 100 TB parse
+    path: mainstream browser traffic fails _NONBROWSER_GATE (skipping the
+    ~60 crawler/tool rules) and _RARE_BROWSER_GATE (skipping the ~27
+    derivative/variant rules), leaving the ~10-rule common chain."""
     blank = ua.isNull() | (ua == "-") | (ua == "")
+    common = _rules_to_column(ua, _COMMON_BROWSER_RULES)
+    browser = F.when(
+        ua.rlike(_RARE_BROWSER_GATE),
+        _rules_to_column(ua, _RARE_BROWSER_RULES, default=common),
+    ).otherwise(common)
     chain = F.when(
         ua.rlike(_NONBROWSER_GATE),
-        _rules_to_column(ua, _BOT_TOOL_RULES + _BROWSER_RULES),
-    ).otherwise(_rules_to_column(ua, _BROWSER_RULES))
+        _rules_to_column(ua, _BOT_TOOL_RULES, default=browser),
+    ).otherwise(browser)
     return F.when(blank, F.lit(_UNKNOWN)).otherwise(chain)
 
 

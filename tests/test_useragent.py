@@ -236,6 +236,29 @@ def test_nonbrowser_gate_covers_all_bot_tool_goldens():
             assert gate.search(ua), f"gate misses bot/tool UA: {ua!r}"
 
 
+def test_rare_browser_gate_covers_all_rare_rule_goldens():
+    """Every golden UA whose FIRST matching flat-chain rule is a rare rule
+    must trigger _RARE_BROWSER_GATE, or the gated chain would silently
+    fall through to the common rules and misclassify. (Family strings
+    alone can't decide this — e.g. 'Chrome Mobile' is produced by both a
+    rare rule, CrMo/, and a common rule.)"""
+    import re
+
+    gate = re.compile(useragent._RARE_BROWSER_GATE)
+    n_rare = len(useragent._RARE_BROWSER_RULES)
+    covered = 0
+    for ua, browser, _ in GOLDEN_FAMILIES:
+        if browser in _BOT_TOOL_FAMILIES:
+            continue
+        for i, (pat, _fam) in enumerate(useragent._BROWSER_RULES):
+            if re.search(pat, ua):
+                if i < n_rare:  # classified by the gated rare chain
+                    assert gate.search(ua), f"rare gate misses UA: {ua!r}"
+                    covered += 1
+                break
+    assert covered >= 8  # the golden corpus exercises the rare chain broadly
+
+
 def test_regex_classifier_matches_library_goldens(spark):
     df = spark.createDataFrame([(ua,) for ua, _, _ in GOLDEN_FAMILIES], "ua string")
     rows = df.select(
