@@ -104,7 +104,13 @@ FRONT_OF_CATALOG: list[str] = [
     "salted_agg_counts",
     "json_extract_summary",
     # ---- position 51+ (inside the window only if it exceeds 50):
-    # continuation of the rotation queue for future rounds ----
+    # next round's priority queue — the late round-4 additions (no driver
+    # signal yet), then the continuation of the long-green rotation ----
+    "string_agg_sorted",
+    "mad_robust_stats",
+    "running_distinct_users",
+    "regression_battery",
+    "date_function_battery",
     "grouped_topk_orders",
     "cube_pricing",
     "value_outliers_z",

@@ -963,3 +963,217 @@ def q_freq_items_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col", "item")
     )
+
+
+# ---------------------------------------------------------------------------
+# Next-window queue (positions 51+ this round): five more operators, locally
+# oracle-verified now, rotated into the checked window next round.
+# ---------------------------------------------------------------------------
+
+_STRAGG_ORACLE = """
+SELECT l_returnflag,
+       string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus) AS statuses,
+       count(DISTINCT l_linestatus)::BIGINT AS n_statuses
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register("string_agg_sorted", _STRAGG_ORACLE)
+def q_string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: DISTINCT values, sorted, joined —
+    the LISTAGG/GROUP_CONCAT warehouse primitive in its only
+    oracle-comparable form (collect_list order is partition-dependent;
+    sort-then-join is what makes it stable).
+
+    Scale: state per group is the distinct-value set (bounded by the value
+    vocabulary, 2 here), one hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.array_sort(F.collect_set("l_linestatus")).alias("_s"))
+        .select(
+            "l_returnflag",
+            F.array_join("_s", "|").alias("statuses"),
+            F.size("_s").cast("long").alias("n_statuses"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+)
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       {_DR6.format(x="max(med)")} AS median_value,
+       {_DR6.format(x="quantile_cont(adev, 0.5)")} AS mad,
+       count(*) FILTER (adev > 3 * (SELECT quantile_cont(d2.adev, 0.5) FROM dev d2
+                                    WHERE d2.event_type = dev.event_type))::BIGINT
+         AS n_outliers_3mad
+FROM dev GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("mad_robust_stats", _MAD_ORACLE)
+def q_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group + 3-MAD outlier counts — the
+    robust spread/outlier screen that survives heavy tails where stddev
+    (value_outliers_z) is dragged by the outliers it is hunting.
+
+    Scale: two exact-percentile passes (median, then median of absolute
+    deviations) over the same hash partitioning, with the tiny per-group
+    median frames broadcast back between them."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_raw")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.max("med"), 6).alias("median_value"),
+            dround(F.max("mad_raw"), 6).alias("mad"),
+            F.count_if(F.col("adev") > 3 * F.col("mad_raw")).alias("n_outliers_3mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_RUNDIST_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, min(epoch_us(ts) // 86400000000) AS day0
+  FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT day0 AS day, count(*)::BIGINT AS new_users FROM first_seen GROUP BY day0
+)
+SELECT day,
+       new_users,
+       sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT
+         AS cum_distinct_users
+FROM per_day ORDER BY day
+"""
+
+
+@register("running_distinct_users", _RUNDIST_ORACLE)
+def q_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day via the FIRST-SEEN trick: a
+    running count(DISTINCT) window is non-partial-aggregable, but
+    min(day) per user -> count per day -> running sum computes the same
+    curve with two cheap hash aggs and one tiny window — the standard
+    growth-accounting rewrite.
+
+    Scale: distinct-user state appears once (the first agg); the running
+    sum runs over the per-day frame (O(days) rows), not the event
+    stream."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        (F.min(_us("ts")) / F.lit(86_400_000_000)).cast("long").alias("day0")
+    )
+    per_day = first_seen.groupBy(F.col("day0").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_day.select(
+            "day",
+            "new_users",
+            F.sum("new_users").over(w).cast("long").alias("cum_distinct_users"),
+        )
+        .orderBy("day")
+    )
+
+
+_REGR_ORACLE = f"""
+WITH t AS (
+  SELECT event_type, value, (epoch_us(ts) // 86400000000)::DOUBLE AS x_day
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       {_DR6.format(x="regr_slope(value, x_day)")} AS slope,
+       {_DR6.format(x="regr_intercept(value, x_day)")} AS intercept,
+       {_DR6.format(x="regr_r2(value, x_day)")} AS r2
+FROM t GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("regression_battery", _REGR_ORACLE)
+def q_regression_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend via the SQL regression aggregates
+    (regr_slope/intercept/r2) — single-pass moment accumulation, the
+    declarative form of per_key_trend's hand-built OLS. Integer epoch-DAY
+    x keeps magnitudes small so the 1e-6 snap dominates accumulation
+    noise (same discipline as stats_moments_battery).
+
+    Scale: one partial+final hash agg carrying fixed-size moment
+    tuples."""
+    ev = _t(spark, sf_dir, "events")
+    x_day = (_us(F.col("ts")) / F.lit(86_400_000_000)).cast("long").cast("double")
+    return (
+        ev.select("event_type", "value", x_day.alias("x_day"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.regr_slope("value", "x_day"), 6).alias("slope"),
+            dround(F.regr_intercept("value", "x_day"), 6).alias("intercept"),
+            dround(F.regr_r2("value", "x_day"), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DATEFN_ORACLE = """
+SELECT extract(quarter FROM o_orderdate)::BIGINT AS q,
+       extract(month FROM o_orderdate)::BIGINT AS m,
+       count(*)::BIGINT AS n_orders,
+       count(DISTINCT CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR))::BIGINT
+         AS n_month_ends,
+       min(extract(isodow FROM o_orderdate))::BIGINT AS min_isodow,
+       max(extract(week FROM o_orderdate))::BIGINT AS max_isoweek
+FROM orders
+GROUP BY extract(quarter FROM o_orderdate), extract(month FROM o_orderdate)
+ORDER BY q, m
+"""
+
+
+@register("date_function_battery", _DATEFN_ORACLE)
+def q_date_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function battery over order dates: quarter/month rollup
+    with last_day, ISO day-of-week, and ISO week — the date-dimension
+    derivations a warehouse computes inline instead of joining a calendar
+    table. ISO variants are chosen deliberately: Spark's weekday()+1 and
+    weekofyear() match DuckDB's isodow and week, while dayofweek()/
+    DuckDB dow disagree on Sunday (driver-contract gotcha, verify
+    SKILL.md).
+
+    Scale: pure Column derivations + one hash agg."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.quarter("o_orderdate").cast("long").alias("q"),
+            F.month("o_orderdate").cast("long").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct(
+                F.last_day(F.col("o_orderdate")).cast("string")
+            ).alias("n_month_ends"),
+            F.min(F.weekday("o_orderdate") + 1).cast("long").alias("min_isodow"),
+            F.max(F.weekofyear("o_orderdate")).cast("long").alias("max_isoweek"),
+        )
+        .orderBy("q", "m")
+    )
