@@ -127,11 +127,20 @@ def positional_shingle_hash_rows(df, id_col: str = "doc_id", text_col: str = "te
     The shared physical kernel behind with_shingle_hashes, SimHash, and
     winnowing: posexplode + lead() windows + md5 stays entirely in
     whole-stage codegen (array higher-order functions run interpreted and
-    measured ~5x slower). One shuffle on the doc id.
+    measured ~5x slower). One shuffle on the doc id — placed BEFORE the
+    tokenize+explode: the lead() window needs hashpartitioning(id) anyway,
+    and shuffling compact doc text instead of exploded (id, pos, tok) rows
+    both shrinks the exchange ~10x and parallelizes tokenization (the
+    testdata parquet is a single row group, so the raw scan is ONE
+    partition; without this the whole explode ran on one core).
     """
     from pyspark.sql import Window
 
-    tok = df.select(F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
+    tok = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(F.col(id_col))
+        .select(F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
+    )
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("tok", k).over(w) for k in range(1, n)]
     sh = tok.select(
