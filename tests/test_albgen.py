@@ -86,3 +86,14 @@ def test_albgen_stream_end_to_end_through_parser(spark):
     ).collect()[0]
     assert rows["n"] == 50
     assert (rows["hi"] - rows["lo"]).total_seconds() < 61
+
+
+def test_albgen_rejects_bad_options(spark):
+    """Bad options surface as clear ValueErrors at load time, not as
+    ZeroDivisionError/empty output inside executor planning."""
+    import pytest
+
+    for opts in ({"partitions": "0"}, {"rows": "-5"}, {"malformed_rate": "1.5"}):
+        with pytest.raises(Exception) as exc:
+            spark.read.format("albgen").options(**opts).load().count()
+        assert "albgen option" in str(exc.value)

@@ -87,6 +87,25 @@ def test_bloom_bypass_below_breakeven(spark):
     assert got == want and len(got) > 0
 
 
+def test_bloom_known_build_rows_skips_probe_job(spark):
+    """Passing build_rows keeps the call fully lazy: no count() job at
+    construction time, and the stated cardinality decides the bypass the
+    same way the probe would."""
+    probe = spark.range(0, 5000).select((F.col("id") % 1100).alias("k"), "id")
+    build = spark.range(0, 200).select((F.col("id") * 7 % 900).alias("bk"))
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    df = bloom.bloom_semi_join(probe, build, "k", "bk", build_rows=200)
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before), "construction ran a Spark job"
+    assert "xxhash64" not in _plan(df)  # 200 <= threshold -> bypassed
+    # a stated cardinality ABOVE the threshold forces the bitmap path
+    df2 = bloom.bloom_semi_join(
+        probe, build, "k", "bk", bypass_below_rows=100, build_rows=101
+    )
+    assert "xxhash64" in _plan(df2)
+    assert sorted(r["k"] for r in df.collect()) == sorted(r["k"] for r in df2.collect())
+
+
 # ---------------------------------------------------------------------------
 # profile_table
 # ---------------------------------------------------------------------------
