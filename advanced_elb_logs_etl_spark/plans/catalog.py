@@ -111,6 +111,7 @@ FRONT_OF_CATALOG: list[str] = [
     "running_distinct_users",
     "regression_battery",
     "date_function_battery",
+    "unigram_logprob_score",
     "grouped_topk_orders",
     "cube_pricing",
     "value_outliers_z",

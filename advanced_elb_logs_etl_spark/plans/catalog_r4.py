@@ -1191,3 +1191,71 @@ def q_date_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q", "m")
     )
+
+
+_UNIGRAM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+freq AS (
+  SELECT tok, count(*)::DOUBLE AS c, sum(count(*)) OVER ()::DOUBLE AS total
+  FROM tok GROUP BY tok
+),
+scored AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         sum(ln(f.c / f.total)) / count(*) AS avg_logp
+  FROM tok t JOIN freq f ON t.tok = f.tok
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       {_DR6.format(x="avg_logp")} AS avg_logp,
+       (CASE WHEN avg_logp < -9.0 THEN 1 ELSE 0 END)::BIGINT AS flag_unusual
+FROM scored WHERE doc_id < 500 ORDER BY doc_id
+"""
+
+
+@register("unigram_logprob_score", _UNIGRAM_ORACLE)
+def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the KenLM-proxy fluency/quality score corpus
+    curation uses to flag gibberish and boilerplate-stuffed documents
+    (very negative = dominated by rare tokens).
+
+    Scale: vocab frequencies are one explode + hash agg (state = vocab
+    size); the per-token probability join hashes on the token (or
+    broadcasts when the vocab fits); the per-doc mean is a second hash
+    agg. No per-doc vocabulary state, no cross join. Float discipline:
+    ln() of identical doubles on both engines, snapped at 1e-6 — same
+    contract as tfidf_top_terms."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    wtot = Window.partitionBy()
+    freq = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .withColumn("total", F.sum("c").over(wtot))
+    )
+    scored = (
+        tok.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum(F.log(F.col("c") / F.col("total"))) / F.count(F.lit(1))).alias("avg_logp"),
+        )
+    )
+    return (
+        scored.filter(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            "n_tokens",
+            dround(F.col("avg_logp"), 6).alias("avg_logp"),
+            F.when(F.col("avg_logp") < -9.0, 1).otherwise(0).cast("long").alias("flag_unusual"),
+        )
+        .orderBy("doc_id")
+    )
