@@ -3,3 +3,4 @@ from . import catalog_llm  # noqa: F401,E402  (registers LLM-ops queries into CA
 from . import catalog_wh  # noqa: F401,E402  (registers warehouse-ops queries into CATALOG)
 from . import catalog_r3  # noqa: F401,E402  (registers round-3 wave into CATALOG)
 from . import catalog_r4  # noqa: F401,E402  (registers round-4 wave into CATALOG)
+from . import catalog_tpch  # noqa: F401,E402  (registers the TPC-H completion wave)
