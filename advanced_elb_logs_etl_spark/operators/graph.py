@@ -16,7 +16,7 @@ costing precision far below the 1e-8 snap (per-iteration float noise is
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import dround
@@ -175,3 +175,229 @@ def supplier_part_edges(lineitem: DataFrame) -> DataFrame:
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
     )
     return fwd.union(rev)
+
+
+# ---------------------------------------------------------------------------
+# Undirected-graph analytics: co-occurrence edges, triangles, k-hop BFS,
+# neighbor-overlap similarity
+# ---------------------------------------------------------------------------
+
+
+def co_occurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_items: int = 64,
+) -> DataFrame:
+    """Undirected co-occurrence edge list: items are linked when they appear
+    in the same group (parts in the same order, terms in the same doc,
+    products in the same basket). Output is the canonical form
+    ``[u < v]``, distinct.
+
+    ``max_group_items`` guards the quadratic pair expansion: a group with
+    g items emits g*(g-1)/2 pairs, so one pathological mega-group (a
+    crawler session touching every page, an order with 10^5 lines) would
+    dominate the job. Groups above the cap are DROPPED — the same
+    bounded-blowup discipline as the LSH bucket cap in operators/dedup.py.
+    At 100 TB this cap is what keeps the expansion linear in the input.
+
+    Scale: one distinct over (group, item), one size agg, a semi join to
+    apply the cap, then a self equi-join ON the group key — all shuffles
+    are keyed by group_col, and AQE coalesces the final distinct."""
+    pairs = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("i")).distinct()
+    ok = (
+        pairs.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") <= max_group_items)
+        .select("g")
+    )
+    pairs = pairs.join(ok, "g", "left_semi")
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.i") < F.col("b.i")))
+        .select(F.col("a.i").alias("u"), F.col("b.i").alias("v"))
+        .distinct()
+    )
+
+
+def _mirror(edges: DataFrame) -> DataFrame:
+    """Both directions of a canonical [u < v] edge list (distinct by
+    construction since u != v)."""
+    return edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected graph: node count, edge
+    count, triangle count, wedge (open 2-path) count, and the global
+    clustering coefficient 3T / wedges.
+
+    Input: canonical distinct edges [u < v].
+
+    Algorithm: degree-ordered node-iterator. Every edge is oriented from
+    its lower-(degree, id) endpoint to the higher one; each triangle then
+    has exactly one vertex with two out-edges under this orientation, so
+    joining co-rooted oriented wedges against the oriented edge set counts
+    each triangle ONCE. The orientation is the scale move: wedge fan-out
+    per node is bounded by its ORIENTED out-degree, which the (degree, id)
+    order caps near sqrt(|E|) even for hub nodes — the m^(3/2) bound of
+    Schank-Wagner — where the naive u<v orientation would square the hub's
+    full degree. All three joins are hash equi-joins on node/pair keys.
+
+    The clustering coefficient is a single double division of two exact
+    integers (identical IEEE result cross-engine).
+
+    NOTE: eagerly localCheckpoints the edge list at entry — six plan
+    subtrees reference it (mirror x2, degrees, two wedge sides, the
+    closure probe, the edge count), and recomputing the upstream edge
+    derivation per subtree is the same recomputation trap the PageRank
+    fixed-K path hit (VERDICT r3)."""
+    edges = edges.select("u", "v").localCheckpoint(eager=True)
+    und = _mirror(edges)
+    deg = (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select(F.col("u").alias("node"), "d")
+        .localCheckpoint(eager=True)
+    )
+    # orientation key: (degree, id) lexicographic, packed into a struct
+    e = (
+        und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    w1 = e.alias("w1")
+    w2 = e.alias("w2")
+    # co-rooted wedge pairs, deduplicated by id order on the two tips; the
+    # tip pair is then CANONICALIZED (least/greatest by id) and probed
+    # against the canonical [u < v] edge list with a pure equi-join — an
+    # OR-of-orientations predicate here would defeat hash-key extraction
+    # and fall back to a nested-loop join over every wedge
+    wedge_tips = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src")) & (F.col("w1.dst") < F.col("w2.dst")),
+    ).select(
+        # the id-order dedup already makes w1.dst the lesser tip, so the
+        # pair is canonical [u < v] as-is
+        F.col("w1.dst").alias("u"),
+        F.col("w2.dst").alias("v"),
+    )
+    tri = wedge_tips.join(edges.select("u", "v"), ["u", "v"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        # integer-domain wedge count: sum d*(d-1) stays a long, halved with
+        # integer div (the sum is always even) — no double accumulation
+        F.expr("sum(d * (d - 1)) div 2").cast("long").alias("n_wedges"),
+    )
+    edge_count = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    # three 1-row aggregates composed lazily (broadcast NL joins) — the
+    # census stays a single action with no driver-side collect
+    return (
+        node_stats.crossJoin(edge_count)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            dround(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                8,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+def k_hop_reachability(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
+    """Nodes reachable within k hops of each seed (the seed itself
+    included), as [seed, n_reachable].
+
+    seeds: DataFrame with a single ``node`` column.
+
+    Scale: classic frontier BFS — each hop is one hash join of the current
+    REACHED set against the mirrored adjacency plus a distinct; lineage
+    stays k-deep (k is small and fixed — for iterate-to-convergence walks
+    use pagerank's checkpoint discipline). The reached set is keyed
+    (seed, node), so hop joins shuffle on the frontier node key and skew
+    follows hub degree — for power-law graphs at 100 TB, pre-salt the
+    adjacency on hub nodes or cap frontier degree the way
+    co_occurrence_edges caps groups."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    # the adjacency is probed once per hop — checkpoint it so the upstream
+    # edge derivation runs once, not k times
+    und = _mirror(edges).localCheckpoint(eager=True)
+    reached = seeds.select(F.col("node").alias("seed"), F.col("node"))
+    for _ in range(k):
+        nxt = (
+            reached.join(und, reached.node == und.u)
+            .select("seed", F.col("v").alias("node"))
+        )
+        reached = reached.union(nxt).distinct()
+    return (
+        reached.groupBy("seed")
+        .agg(F.count(F.lit(1)).alias("n_reachable"))
+        .orderBy("seed")
+    )
+
+
+def neighbor_jaccard_topk(
+    edges: DataFrame, seeds: DataFrame, per_seed: int = 5
+) -> DataFrame:
+    """Link-prediction by neighbor overlap: for each seed node, the
+    ``per_seed`` most similar OTHER nodes by Jaccard of neighbor sets,
+    |N(u) & N(v)| / |N(u) | N(v)|. Returns
+    [seed, node, common, jaccard] with deterministic (jaccard desc, node)
+    ranking.
+
+    The Jaccard is one double division of two exact integers — identical
+    cross-engine, so rank ties resolve identically.
+
+    Scale: the wedge join is seed-restricted — the seed adjacency (small)
+    broadcasts onto the full adjacency, so cost is sum over seed neighbors
+    of their degrees, NOT the all-pairs |V|^2 sweep. The all-seeds variant
+    is exactly the all-pairs similarity join and belongs behind LSH
+    banding (operators/dedup.py) instead."""
+    # three consumers (seed adjacency, wedge probe, degrees) — materialize
+    # the adjacency once
+    und = _mirror(edges).localCheckpoint(eager=True)
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("u").alias("node"), "d"
+    )
+    seed_adj = und.join(
+        seeds.select(F.col("node").alias("u")).distinct(), "u", "left_semi"
+    ).select(F.col("u").alias("seed"), F.col("v").alias("via"))
+    common = (
+        F.broadcast(seed_adj)
+        .join(und, seed_adj.via == und.u)
+        .filter(F.col("v") != F.col("seed"))
+        .groupBy("seed", F.col("v").alias("node"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    d_seed = deg.select(F.col("node").alias("seed"), F.col("d").alias("d_seed"))
+    d_node = deg.select("node", F.col("d").alias("d_node"))
+    scored = (
+        common.join(F.broadcast(d_seed), "seed")
+        .join(d_node, "node")
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("d_seed") + F.col("d_node") - F.col("common")).cast("double"),
+        )
+    )
+    w = Window.partitionBy("seed").orderBy(F.desc("jaccard"), F.asc("node"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= per_seed)
+        .select("seed", "node", "common", dround(F.col("jaccard"), 8).alias("jaccard"))
+        .orderBy("seed", F.desc("jaccard"), "node")
+    )

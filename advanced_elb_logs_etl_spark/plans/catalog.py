@@ -124,6 +124,10 @@ FRONT_OF_CATALOG: list[str] = [
     "excess_supply_q20",
     "waiting_supplier_q21",
     "global_sales_q22",
+    # graph-analytics wave (catalog_graph.py): no driver signal yet.
+    "triangle_census",
+    "khop_reachability",
+    "graph_jaccard_topk",
     "grouped_topk_orders",
     "cube_pricing",
     "value_outliers_z",

@@ -1,0 +1,106 @@
+"""Unit tests for the undirected-graph analytics in operators/graph.py:
+co-occurrence edge derivation (with the group-size cap), the degree-ordered
+triangle census, bounded BFS reachability, and neighbor-Jaccard ranking —
+all on hand-computable graphs, independent of the DuckDB oracle sweep."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from advanced_elb_logs_etl_spark.operators import graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([(u, v) for u, v in pairs], "u long, v long")
+
+
+def test_co_occurrence_edges_basic_and_cap(spark):
+    rows = (
+        [("g1", i) for i in (1, 2, 3)]          # triangle of items
+        + [("g2", i) for i in (3, 4)]           # one extra edge
+        + [("g2", 3)]                           # duplicate membership row
+        + [("big", i) for i in range(10)]       # over-cap group -> dropped
+    )
+    df = spark.createDataFrame(rows, "g string, i long")
+    got = {
+        (r["u"], r["v"])
+        for r in graph.co_occurrence_edges(df, "g", "i", max_group_items=5).collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 3), (3, 4)}
+
+
+def test_triangle_stats_known_graph(spark):
+    # K4 on {1,2,3,4} plus a pendant edge (4,5):
+    # 4 triangles; degrees 3,3,3,4,1 -> wedges = 3+3+3+6+0 = 15
+    pairs = list(combinations([1, 2, 3, 4], 2)) + [(4, 5)]
+    row = graph.triangle_stats(_edges(spark, pairs)).collect()[0]
+    assert row["n_nodes"] == 5
+    assert row["n_edges"] == 7
+    assert row["n_triangles"] == 4
+    assert row["n_wedges"] == 15
+    assert abs(row["clustering_coeff"] - 3.0 * 4 / 15) < 1e-8
+
+
+def test_triangle_stats_triangle_free(spark):
+    # path graph: no triangles, wedges = interior degree pattern
+    row = graph.triangle_stats(_edges(spark, [(1, 2), (2, 3), (3, 4)])).collect()[0]
+    assert row["n_triangles"] == 0
+    assert row["n_wedges"] == 2
+    assert row["clustering_coeff"] == 0.0
+
+
+def test_k_hop_reachability_path_graph(spark):
+    # path 1-2-3-4-5: from seed 1, k=2 reaches {1,2,3}; from 3 reaches all
+    ed = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1,), (3,)], "node long")
+    got = {
+        r["seed"]: r["n_reachable"]
+        for r in graph.k_hop_reachability(ed, seeds, k=2).collect()
+    }
+    assert got == {1: 3, 3: 5}
+
+
+def test_k_hop_zero_is_seed_only(spark):
+    ed = _edges(spark, [(1, 2)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = graph.k_hop_reachability(ed, seeds, k=0).collect()
+    assert [(r["seed"], r["n_reachable"]) for r in got] == [(1, 1)]
+
+
+def test_neighbor_jaccard_topk_known_values(spark):
+    # 1 and 2 share neighbors {3,4}; N(1)={3,4}, N(2)={3,4,5}
+    # J(1,2) = 2/(2+3-2) = 2/3; J(1,5)=1/3 (via 2? no - N(5)={2}, N(1)={3,4}: 0)
+    ed = _edges(spark, [(1, 3), (1, 4), (2, 3), (2, 4), (2, 5)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    rows = graph.neighbor_jaccard_topk(ed, seeds, per_seed=3).collect()
+    top = rows[0]
+    assert top["node"] == 2 and top["common"] == 2
+    assert abs(top["jaccard"] - 2 / 3) < 1e-8
+    # nodes 3 and 4 each share one neighbor with 1 (each other's co-member? no:
+    # N(1)={3,4}, N(3)={1,2} -> common={}? none; N(4)={1,2} -> none)
+    assert [r["node"] for r in rows] == [2]
+
+
+def test_triangle_census_matches_naive_on_random_graph(spark):
+    # deterministic pseudo-random graph; naive O(n^3) python census as oracle
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    pairs = sorted(
+        {(u, v) for u in nodes for v in nodes if u < v and rng.random() < 0.2}
+    )
+    adj = {n: set() for n in nodes}
+    for u, v in pairs:
+        adj[u].add(v)
+        adj[v].add(u)
+    expect_tri = sum(
+        1
+        for u, v, w in combinations(nodes, 3)
+        if v in adj[u] and w in adj[u] and w in adj[v]
+    )
+    row = graph.triangle_stats(_edges(spark, pairs)).collect()[0]
+    assert row["n_triangles"] == expect_tri
+    assert row["n_edges"] == len(pairs)
