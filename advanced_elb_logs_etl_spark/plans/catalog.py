@@ -128,6 +128,10 @@ FRONT_OF_CATALOG: list[str] = [
     "triangle_census",
     "khop_reachability",
     "graph_jaccard_topk",
+    # sketch / heavy-hitter wave (catalog_sketch.py): no driver signal yet.
+    "heavy_hitters_exact",
+    "hll_shard_union",
+    "f2_moment_users",
     "grouped_topk_orders",
     "cube_pricing",
     "value_outliers_z",
