@@ -297,3 +297,95 @@ def test_r4_ua_classifier_is_udf_free(spark):
     plan = _plan(CATALOG["ua_family_counts"][0](spark, SF))
     for op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert op not in plan, op
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion wave (catalog_tpch.py)
+# ---------------------------------------------------------------------------
+
+
+def test_q21_exists_chain_is_hash_semi_anti(spark):
+    """waiting_supplier_q21's EXISTS / NOT EXISTS must plan as hash
+    LeftSemi / LeftAnti on the equi orderkey (the suppkey inequality rides
+    as a residual) — never a nested-loop form."""
+    plan = _plan(CATALOG["waiting_supplier_q21"][0](spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_q2_correlated_min_is_window_not_self_join(spark):
+    """min_cost_supplier_q2 re-expresses the correlated min subquery as a
+    window over the part key: exactly one Window operator and no
+    nested-loop join."""
+    plan = _plan(CATALOG["min_cost_supplier_q2"][0](spark, SF))
+    assert plan.count("Window") >= 1
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_q6_filters_push_into_scan(spark):
+    """forecast_revenue_q6's shipdate/discount/quantity predicates must
+    reach the parquet scan as PushedFilters."""
+    plan = _plan(CATALOG["forecast_revenue_q6"][0](spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q11_threshold_is_broadcast_not_collect(spark):
+    """important_value_q11's scalar threshold joins back as a broadcast —
+    the 1-row aggregate must appear in-plan (no driver-side collect)."""
+    plan = _plan(CATALOG["important_value_q11"][0](spark, SF))
+    assert "Broadcast" in plan
+
+
+def test_q8_dimensions_broadcast(spark):
+    """market_share_q8: the only sort-merge/shuffled join keys allowed are
+    the lineitem |><| orders orderkey — every dimension hop broadcasts."""
+    plan = _plan(CATALOG["market_share_q8"][0](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+# ---------------------------------------------------------------------------
+# graph wave (catalog_graph.py)
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_census_all_joins_are_hash(spark):
+    """triangle_census: wedge build and closure probe are equi hash joins —
+    an OR-of-orientations closure predicate would fall back to
+    BroadcastNestedLoopJoin over every wedge (the bug this pin guards)."""
+    plan = _plan(CATALOG["triangle_census"][0](spark, SF))
+    # the only nested-loop joins allowed are the final 1-row stats
+    # crossJoins; any Inner NL join means the closure probe degenerated
+    nl = [l for l in plan.splitlines() if "NestedLoop" in l or "CartesianProduct" in l]
+    assert all("Cross" in l for l in nl), nl
+
+
+def test_graph_jaccard_seed_adjacency_broadcasts(spark):
+    """graph_jaccard_topk's wedge probe must broadcast the seed adjacency
+    (seed-restricted), not shuffle the full adjacency twice."""
+    plan = _plan(CATALOG["graph_jaccard_topk"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sketch wave (catalog_sketch.py)
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_prunes_before_global_shuffle(spark):
+    """heavy_hitters_exact: pass-1 groups by (partition id, key) and the
+    candidate probe is a LeftSemi — the full-cardinality groupBy never
+    reaches the exchange unfiltered."""
+    plan = _plan(CATALOG["heavy_hitters_exact"][0](spark, SF))
+    assert "SPARK_PARTITION_ID" in plan.upper() or "spark_partition_id" in plan
+    assert "LeftSemi" in plan
+
+
+def test_f2_moment_two_stage_agg(spark):
+    """f2_moment_users is two hash aggregations (per-key counts, then the
+    1-row moment re-agg) with no window/sort."""
+    plan = _plan(CATALOG["f2_moment_users"][0](spark, SF))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
