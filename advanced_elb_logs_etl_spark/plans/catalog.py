@@ -73,39 +73,8 @@ FRONT_OF_CATALOG: list[str] = [
     "time_spine_gap_fill",
     "ua_family_counts",
     "freq_items_battery",
-    # -- §2 core re-validation rotation: long-green queries whose last
-    # driver row is from r2; a rotating sample cycles back through the
-    # window each round so regressions stay visible to the hard signal.
-    "alb_parse_roundtrip",
-    "hourly_agg",
-    "sessionize",
-    "rolling_5min_count",
-    "pipeline_e2e_hourly",
-    # -- wider rotation: oldest-signal entries across the §2 / dedup /
-    # similarity / text waves (r1-or-r2 green; winnow last checked r1).
-    "winnow_fingerprints",
-    "dedup_exact",
-    "minhash_lsh_neardup",
-    "simhash_neardup",
-    "ann_cosine_topk",
-    "text_stats",
-    "multimodal_meta",
-    "asof_join_state",
-    "range_join_windows",
-    "dim_enrich_join",
-    "pricing_summary",
-    "url_parse",
-    "error_report",
-    "topk_orders",
-    "funnel_conversion",
-    "cohort_retention",
-    "pivot_event_counts",
-    "percentile_battery",
-    "salted_agg_counts",
-    "json_extract_summary",
-    # ---- position 51+ (inside the window only if it exceeds 50):
-    # next round's priority queue — the late round-4 additions (no driver
-    # signal yet), then the continuation of the long-green rotation ----
+    # -- later round-4 additions (next-window queue in catalog_r4.py):
+    # no driver signal yet.
     "string_agg_sorted",
     "mad_robust_stats",
     "running_distinct_users",
@@ -132,6 +101,36 @@ FRONT_OF_CATALOG: list[str] = [
     "heavy_hitters_exact",
     "hll_shard_union",
     "f2_moment_users",
+    # -- §2 core re-validation rotation (2 slots this round; the window is
+    # dense with never-checked entries): flagship parse path + core agg.
+    "alb_parse_roundtrip",
+    "hourly_agg",
+    # ---- position 51+ (outside the 50-entry window): next round's
+    # rotation queue — continue the long-green §2 / dedup / similarity
+    # re-validation cycle, then anything newly added this session ----
+    "sessionize",
+    "rolling_5min_count",
+    "pipeline_e2e_hourly",
+    "winnow_fingerprints",
+    "dedup_exact",
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "ann_cosine_topk",
+    "text_stats",
+    "multimodal_meta",
+    "asof_join_state",
+    "range_join_windows",
+    "dim_enrich_join",
+    "pricing_summary",
+    "url_parse",
+    "error_report",
+    "topk_orders",
+    "funnel_conversion",
+    "cohort_retention",
+    "pivot_event_counts",
+    "percentile_battery",
+    "salted_agg_counts",
+    "json_extract_summary",
     "grouped_topk_orders",
     "cube_pricing",
     "value_outliers_z",
