@@ -6,3 +6,4 @@ from . import catalog_r4  # noqa: F401,E402  (registers round-4 wave into CATALO
 from . import catalog_tpch  # noqa: F401,E402  (registers the TPC-H completion wave)
 from . import catalog_graph  # noqa: F401,E402  (registers the graph-analytics wave)
 from . import catalog_sketch  # noqa: F401,E402  (registers the sketch/heavy-hitter wave)
+from . import catalog_r4b  # noqa: F401,E402  (registers the round-4b stats/setsim wave)

@@ -1,0 +1,184 @@
+"""Unit tests for the round-4b wave: two-phase scan primitives
+(global_cumsum / scalable_ntile vs their single-partition-window
+references), distributed hypothesis tests vs numpy-computed references,
+and the prefix-filtered set-similarity join vs the brute-force truth."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from advanced_elb_logs_etl_spark.operators import setsim, stats
+from advanced_elb_logs_etl_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# global_cumsum / scalable_ntile vs the single-partition window reference
+# ---------------------------------------------------------------------------
+
+
+def test_global_cumsum_matches_single_window(spark):
+    ev = load_table(spark, SF, "events").select("event_id", "value")
+    got = (
+        stats.global_cumsum(ev, ["value", "event_id"], ["value"], num_ranges=7)
+        .select("event_id", "cum_value")
+        .collect()
+    )
+    w = Window.orderBy("value", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    want = ev.select("event_id", F.sum("value").over(w).alias("cum_value")).collect()
+    g = {r.event_id: r.cum_value for r in got}
+    for r in want:
+        assert math.isclose(g[r.event_id], r.cum_value, rel_tol=1e-9), r.event_id
+
+
+@pytest.mark.parametrize("k", [3, 5, 8])
+def test_scalable_ntile_matches_sql_ntile(spark, k):
+    ev = load_table(spark, SF, "events").select("event_id", "value")
+    got = (
+        stats.scalable_ntile(ev, ["value", "event_id"], k, "bucket", num_ranges=5)
+        .select("event_id", "bucket")
+        .collect()
+    )
+    w = Window.orderBy("value", "event_id")
+    want = ev.select("event_id", F.ntile(k).over(w).alias("bucket")).collect()
+    g = {r.event_id: r.bucket for r in got}
+    for r in want:
+        assert g[r.event_id] == r.bucket, (r.event_id, g[r.event_id], r.bucket)
+
+
+def test_scalable_ntile_n_smaller_than_k(spark):
+    df = spark.range(3).withColumnRenamed("id", "v")
+    got = sorted(
+        (r.v, r.b)
+        for r in stats.scalable_ntile(df, ["v"], 5, "b", num_ranges=2).collect()
+    )
+    # SQL ntile with n < k: one row per bucket 1..n
+    assert got == [(0, 1), (1, 2), (2, 3)]
+
+
+# ---------------------------------------------------------------------------
+# hypothesis tests vs numpy references
+# ---------------------------------------------------------------------------
+
+
+def _two_groups(spark):
+    ev = load_table(spark, SF, "events")
+    pdf = ev.select("event_type", "value").toPandas()
+    a = pdf[pdf.event_type == "click"].value.to_numpy()
+    b = pdf[pdf.event_type == "purchase"].value.to_numpy()
+    return ev, a, b
+
+
+def test_ks_two_sample_matches_numpy(spark):
+    ev, a, b = _two_groups(spark)
+    row = stats.ks_two_sample(ev, "value", "event_type", "click", "purchase").first()
+    xs = np.sort(np.unique(np.concatenate([a, b])))
+    d = np.max(
+        np.abs(
+            np.searchsorted(np.sort(a), xs, side="right") / len(a)
+            - np.searchsorted(np.sort(b), xs, side="right") / len(b)
+        )
+    )
+    assert row.n_a == len(a) and row.n_b == len(b)
+    assert math.isclose(row.d_stat, d, rel_tol=1e-12)
+
+
+def test_welch_t_matches_numpy(spark):
+    ev, a, b = _two_groups(spark)
+    row = stats.welch_t_stats(ev, "value", "event_type", "click", "purchase").first()
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2a, se2b = va / len(a), vb / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(se2a + se2b)
+    dof = (se2a + se2b) ** 2 / (se2a**2 / (len(a) - 1) + se2b**2 / (len(b) - 1))
+    assert math.isclose(row.t_stat, t, rel_tol=1e-9)
+    assert math.isclose(row.dof_welch, dof, rel_tol=1e-9)
+
+
+def test_chi_square_matches_numpy(spark):
+    ev = load_table(spark, SF, "events").withColumn(
+        "bucket", F.floor(F.col("value") / 100.0)
+    )
+    row = stats.chi_square(ev, "event_type", "bucket").first()
+    pdf = ev.select("event_type", "bucket").toPandas()
+    ct = pdf.groupby(["event_type", "bucket"]).size().unstack(fill_value=0).to_numpy()
+    n = ct.sum()
+    e = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+    chi2 = float((np.where(e > 0, (ct - e) ** 2 / np.where(e > 0, e, 1), 0)).sum())
+    assert row.n == n
+    assert row.dof == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert math.isclose(row.chi2, chi2, rel_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# set-similarity join: prefix filtering is exact (no false negatives)
+# ---------------------------------------------------------------------------
+
+
+def _brute_force_pairs(spark, docs, threshold):
+    arrays = docs.select(
+        F.col("doc_id").alias("id"), setsim.shingle_set(F.col("text")).alias("toks")
+    ).where(F.col("toks").isNotNull())
+    a, b = arrays.alias("a"), arrays.alias("b")
+    return {
+        (r.id_a, r.id_b): r.jac
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
+                / (
+                    F.size("a.toks")
+                    + F.size("b.toks")
+                    - F.size(F.array_intersect("a.toks", "b.toks"))
+                ).cast("double")
+            ).alias("jac"),
+        )
+        .where(F.col("jac") >= threshold)
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("threshold", [0.4, 0.6, 0.8])
+def test_prefix_join_matches_brute_force(spark, threshold):
+    docs = load_table(spark, SF, "documents")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in setsim.prefix_filtered_jaccard_join(
+            docs, threshold=threshold
+        ).collect()
+    }
+    want = _brute_force_pairs(spark, docs, threshold)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=0, abs_tol=0)
+
+
+def test_prefix_join_no_cartesian(spark):
+    docs = load_table(spark, SF, "documents")
+    plan = (
+        setsim.prefix_filtered_jaccard_join(docs, threshold=0.6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_cumsum_plan_is_range_partitioned(spark):
+    ev = load_table(spark, SF, "events").select("event_id", "value")
+    plan = (
+        stats.global_cumsum(ev, ["value", "event_id"], ["value"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+        .lower()
+    )
+    assert "repartitionbyexpression" in plan or "rangepartitioning" in plan

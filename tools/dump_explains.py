@@ -77,6 +77,18 @@ HEADLINERS = {
                                     "replaces a purchases x clicks self-join",
     "ua_family_counts": "the whole rule-table CASE chain is a single whole-stage-codegen "
                         "projection; one 12-key hash agg",
+    "setsim_prefix_join": "prefix-filtered Jaccard: candidates from a rare-shingle equi-join "
+                          "over the persisted spine — no CartesianProduct, per-doc windows only",
+    "ks_two_sample_values": "cumulative CDFs via range-partitioned two-phase scan — no "
+                            "single-partition data window; offsets broadcast back",
+    "rfm_segmentation": "three scalable_ntile passes: RangePartitioning + per-partition rank; "
+                        "the only SinglePartition exchanges carry num_ranges rows",
+    "grouping_sets_pricing": "GROUPING SETS = one Expand + ONE hash aggregation; no "
+                             "per-granularity rescan or union",
+    "centroid_cosine_outliers": "decimal-snapped sums keep HashAggregate shape; centroid and "
+                                "norm frames broadcast back to the exploded spine",
+    "chi_square_type_bucket": "contingency cells + two margin re-aggs broadcast back; events "
+                              "shuffle once into the cell agg",
 }
 
 
