@@ -44,8 +44,16 @@ def global_cumsum(
     order_cols must be total (pass a tiebreak column) for deterministic
     output.
     """
-    ranged = df.repartitionByRange(num_ranges, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # The ranged frame feeds two consumers (local scan + per-partition
+    # totals). The persist is a CORRECTNESS requirement, not a perf nicety:
+    # RangePartitioner derives its bounds by sampling, so two independent
+    # re-executions of this subtree can place boundary rows in different
+    # partitions — local ranks from one partitioning plus offsets from
+    # another yield wrong global ranks (observed at sf0.1 before pinning).
+    ranged = (
+        df.repartitionByRange(num_ranges, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     w_local = (
         Window.partitionBy("_pid")

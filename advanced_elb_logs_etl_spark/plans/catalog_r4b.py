@@ -289,11 +289,14 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,2)-exact so bucket boundaries cannot drift with partition
     order."""
     o = _t(spark, sf_dir, "orders")
+    # per-customer frame feeds three independent ntile scans (plus their
+    # row-count broadcasts) — persist it so the orders aggregation runs
+    # once, not once per downstream branch
     pc = o.groupBy("o_custkey").agg(
         F.max(_us("o_orderdate")).alias("last_us"),
         F.count("*").alias("freq"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
-    )
+    ).persist()
     scored = stats.scalable_ntile(pc, ["last_us", "o_custkey"], 5, "r_score")
     scored = stats.scalable_ntile(scored, ["freq", "o_custkey"], 5, "f_score")
     scored = stats.scalable_ntile(scored, ["monetary", "o_custkey"], 5, "m_score")
