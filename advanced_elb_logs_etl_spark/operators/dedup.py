@@ -430,3 +430,42 @@ def dedup_corpus(
         F.col("doc_id").alias("_victim")
     )
     return df.join(victims, df[id_col] == F.col("_victim"), "left_anti")
+
+
+def dedup_corpus_keep_best(
+    df: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    hashed: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dedup APPLY with QUALITY-AWARE survivor selection: find
+    near-dup pairs (LSH), cluster (connected components), and keep the
+    highest-`score` member of each cluster (id tiebreak) instead of
+    dedup_corpus's smallest-id convention — the form an LLM data pipeline
+    actually wants, since cluster members differ in boilerplate/truncation
+    and the kept copy should be the best one.
+
+    Returns the surviving rows plus their (score, component) columns.
+    Scale: identical shape to dedup_corpus (banded LSH + min-label CC);
+    the survivor pick is one per-component window over the component-keyed
+    rows — no extra corpus-wide shuffle beyond the component join."""
+    own_cache = hashed is None
+    sh = hashed if hashed is not None else with_shingle_hashes(df, id_col, text_col).persist()
+    pairs = minhash_neardup_pairs(df, id_col, text_col, threshold, hashed=sh)
+    comps = neardup_components(pairs)
+    if own_cache:
+        sh.unpersist()
+    scored = df.withColumn("_score", score)
+    m = (
+        scored.join(comps, scored[id_col] == comps["doc_id"], "left")
+        .drop(comps["doc_id"])
+        .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("_score"), F.col(id_col))
+    return (
+        m.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )

@@ -265,3 +265,50 @@ def welch_t_stats(
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
     )
+
+
+def ewma_window(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    alpha: float = 0.3,
+    span: int = 20,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average over the trailing
+    `span` rows of each key's ordered series:
+
+        ewma_t = sum_{j=0..span-1} w_j * x_{t-j} / sum_j w_j,
+        w_j = alpha * (1-alpha)^j
+
+    (normalized, so short leading windows are proper weighted means).
+
+    The textbook recursive EWMA (s_t = a*x_t + (1-a)*s_{t-1}) is
+    inherently sequential; the trailing-span truncation makes it a
+    bounded-frame WINDOW computation — collect the frame into an array,
+    one deterministic left fold per row — which distributes like any other
+    keyed window (hash partition by key, sort within).  Truncation error
+    vs the infinite form is (1-alpha)^span (< 0.1% at the defaults).
+
+    Weights are generated in-engine (pow), so the SQL twin must use the
+    same expression shape; emit through dround — pow/fold ulps are far
+    below the 1e-6 snap."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(span - 1), 0)
+    )
+    frame = F.collect_list(F.col(value_col).cast("double")).over(w)
+    rev = F.reverse(frame)  # most-recent first => weight j matches lag j
+    weights = F.transform(
+        F.sequence(F.lit(0), F.size(rev) - 1),
+        lambda j: F.lit(alpha) * F.pow(F.lit(1.0 - alpha), j.cast("double")),
+    )
+    num = F.aggregate(
+        F.zip_with(rev, weights, lambda x, wt: x * wt),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(weights, F.lit(0.0), lambda acc, x: acc + x)
+    return df.withColumn(out_col, num / den)

@@ -182,3 +182,65 @@ def test_global_cumsum_plan_is_range_partitioned(spark):
         .lower()
     )
     assert "repartitionbyexpression" in plan or "rangepartitioning" in plan
+
+
+# ---------------------------------------------------------------------------
+# round-4c: quality-aware dedup survivor selection / EWMA
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_keep_best_semantics(spark):
+    from advanced_elb_logs_etl_spark.operators import dedup
+    from advanced_elb_logs_etl_spark.operators.text import quality_score
+    from advanced_elb_logs_etl_spark.functions.scalars import dround
+
+    docs = load_table(spark, SF, "documents")
+    best = dedup.dedup_corpus_keep_best(docs, dround(quality_score(F.col("text")), 6))
+    plain = dedup.dedup_corpus(docs)
+    got = best.select("doc_id", "_score", "component").collect()
+    # one survivor per component, same cluster structure as min-id dedup
+    assert len(got) == plain.count()
+    comps = [r.component for r in got]
+    assert len(comps) == len(set(comps))
+    # every survivor carries the max score of its cluster
+    pairs = dedup.minhash_neardup_pairs(docs)
+    allc = dedup.neardup_components(pairs).collect()
+    comp_of = {r.doc_id: r.component for r in allc}
+    scored = {
+        r.doc_id: r._score
+        for r in docs.select(
+            "doc_id", dround(quality_score(F.col("text")), 6).alias("_score")
+        ).collect()
+    }
+    import collections
+
+    best_by_comp = collections.defaultdict(lambda: -1.0)
+    for d, s in scored.items():
+        c = comp_of.get(d, d)
+        best_by_comp[c] = max(best_by_comp[c], s)
+    for r in got:
+        assert r._score == best_by_comp[r.component], r
+
+
+def test_ewma_window_matches_reference(spark):
+    from advanced_elb_logs_etl_spark.operators import stats
+
+    ev = load_table(spark, SF, "events")
+    got = {
+        (r.event_type, r.event_id): r.ewma
+        for r in stats.ewma_window(
+            ev, "value", ["event_type"], ["ts", "event_id"], alpha=0.3, span=20
+        ).collect()
+    }
+    pdf = ev.select("event_type", "event_id", "ts", "value").toPandas()
+    pdf = pdf.sort_values(["event_type", "ts", "event_id"])
+    a = 0.3
+    for et, g in pdf.groupby("event_type"):
+        vals = g.value.tolist()
+        ids = g.event_id.tolist()
+        for t in range(len(vals)):
+            lo = max(0, t - 19)
+            window = vals[lo : t + 1][::-1]  # most recent first
+            ws = [a * (1 - a) ** j for j in range(len(window))]
+            ref = sum(x * w for x, w in zip(window, ws)) / sum(ws)
+            assert math.isclose(got[(et, ids[t])], ref, rel_tol=1e-9)
