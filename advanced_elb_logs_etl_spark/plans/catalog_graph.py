@@ -35,9 +35,29 @@ deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u)
 """
 
 
+# The canonical co-purchase edge list is the shared input of all three
+# graph queries, and each query's plan references it from several branches
+# (seeds, adjacency probes, degree frames). Persist it once per (context,
+# sf_dir) — the same warehouse "materialized view" pattern as
+# catalog_llm._hashed_docs; bounded FIFO so stale contexts release.
+_EDGE_CACHE: dict = {}
+_EDGE_CACHE_MAX = 4
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return graph.co_occurrence_edges(li, "l_orderkey", "l_partkey", max_group_items=64)
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _EDGE_CACHE:
+        while len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
+            _, old = _EDGE_CACHE.popitem()
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # stopped context; nothing to release
+        li = _t(spark, sf_dir, "lineitem")
+        _EDGE_CACHE[key] = graph.co_occurrence_edges(
+            li, "l_orderkey", "l_partkey", max_group_items=64
+        ).persist()
+    return _EDGE_CACHE[key]
 
 
 def _seed_nodes(edges: DataFrame) -> DataFrame:
