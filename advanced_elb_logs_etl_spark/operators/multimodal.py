@@ -6,9 +6,12 @@ dependency-free container parse + NumPy pixel unpack, with an exact
 encode_bmp inverse), binary PPM (decode_ppm), and non-interlaced 8-bit
 PNG (decode_png — stdlib zlib inflate + full five-filter scanline
 reconstruction for grey/RGB/palette/alpha color types), and routes
-through PIL for other formats when that is installed. Audio decode
-remains a STUB (no audio library in the container) — clearly marked
-below. Everything Spark-side is real and tested either
+through PIL for other formats when that is installed. Audio decode is
+REAL for WAV integer PCM (decode_audio — dependency-free RIFF chunk walk
++ NumPy sample unpack, 8/16/32-bit, any channel count, with RMS/peak
+features via decode_audio_meta); compressed codecs (MP3/AAC/FLAC) raise a
+typed AudioDecodeError — those genuinely need codec libraries absent from
+this container. Everything Spark-side is real and tested either
 way: the binary column schema, the mapInPandas batch shape (pandas
 DataFrames in/out), the output StructType, and the partitioning story.
 
@@ -438,10 +441,141 @@ def documents_as_binary_assets(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_audio(payload: bytes) -> "object":
-    """STUB — audio decode requires an audio library not present in this
-    container (same contract as decode_image)."""
-    raise NotImplementedError("audio decode stubbed: no audio library in container")
+class AudioDecodeError(ValueError):
+    """Raised for undecodable audio payloads (same contract as
+    ImageDecodeError: one bad row, never a task failure)."""
+
+
+def decode_audio(payload: bytes) -> dict:
+    """REAL WAV/PCM decode — dependency-free RIFF container parse + NumPy
+    sample unpack for 8/16/32-bit integer PCM (format tag 1), mono or
+    multi-channel.
+
+    Returns {n_channels, sample_rate, bit_depth, n_frames, duration_s,
+    samples} where ``samples`` is an (n_frames, n_channels) float64 array
+    normalized to [-1, 1).  Compressed codecs (MP3/AAC/FLAC/float WAV)
+    raise AudioDecodeError — those genuinely need codec libraries absent
+    from this container; the container/metadata/fan-out plumbing is the
+    Spark-relevant part and is fully real."""
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise AudioDecodeError("not a RIFF/WAVE payload")
+    # chunk walk: fmt then data (other chunks — LIST, fact — skipped)
+    off, fmt, data = 12, None, None
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        size = int.from_bytes(payload[off + 4 : off + 8], "little")
+        body = payload[off + 8 : off + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise AudioDecodeError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise AudioDecodeError("truncated fmt chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bit_depth = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise AudioDecodeError(f"unsupported WAV format tag {audio_format} (PCM only)")
+    if n_channels < 1:
+        raise AudioDecodeError("zero channels")
+    if bit_depth == 8:
+        raw = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+        samples = (raw - 128.0) / 128.0  # 8-bit WAV is unsigned
+    elif bit_depth == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bit_depth == 32:
+        samples = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise AudioDecodeError(f"unsupported bit depth {bit_depth}")
+    n_frames = len(samples) // n_channels
+    samples = samples[: n_frames * n_channels].reshape(n_frames, n_channels)
+    return {
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "bit_depth": bit_depth,
+        "n_frames": n_frames,
+        "duration_s": n_frames / sample_rate if sample_rate else 0.0,
+        "samples": samples,
+    }
+
+
+#: Output schema of decode_audio_meta.
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def decode_audio_meta(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL audio decode via Arrow-batched mapInPandas: container metadata
+    plus RMS/peak signal features per asset. Undecodable payloads emit
+    null metadata plus the error string instead of failing the stage —
+    same corrupt-row contract as decode_image_meta."""
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            cols: dict = {k: [] for k in (
+                "n_channels", "sample_rate", "bit_depth", "n_frames",
+                "duration_s", "rms", "peak", "decode_error")}
+            for payload in batch[payload_col]:
+                if payload is None:
+                    for k in cols:
+                        cols[k].append(None)
+                    cols["decode_error"][-1] = "null payload"
+                    continue
+                try:
+                    a = decode_audio(bytes(payload))
+                except AudioDecodeError as exc:
+                    for k in cols:
+                        cols[k].append(None)
+                    cols["decode_error"][-1] = str(exc)
+                else:
+                    s = a["samples"]
+                    cols["n_channels"].append(a["n_channels"])
+                    cols["sample_rate"].append(a["sample_rate"])
+                    cols["bit_depth"].append(a["bit_depth"])
+                    cols["n_frames"].append(a["n_frames"])
+                    cols["duration_s"].append(a["duration_s"])
+                    cols["rms"].append(float(np.sqrt((s**2).mean())) if s.size else 0.0)
+                    cols["peak"].append(float(np.abs(s).max()) if s.size else 0.0)
+                    cols["decode_error"].append(None)
+            yield pd.DataFrame(
+                {
+                    "asset_id": batch[id_col],
+                    "n_channels": pd.array(cols["n_channels"], dtype="Int32"),
+                    "sample_rate": pd.array(cols["sample_rate"], dtype="Int32"),
+                    "bit_depth": pd.array(cols["bit_depth"], dtype="Int32"),
+                    "n_frames": pd.array(cols["n_frames"], dtype="Int64"),
+                    "duration_s": pd.array(cols["duration_s"], dtype="Float64"),
+                    "rms": pd.array(cols["rms"], dtype="Float64"),
+                    "peak": pd.array(cols["peak"], dtype="Float64"),
+                    "decode_error": cols["decode_error"],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        process, schema=AUDIO_META_SCHEMA
+    )
 
 
 #: Output schema of resize_images.

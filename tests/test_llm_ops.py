@@ -173,8 +173,8 @@ def test_multimodal_resize_and_frame_sampling(spark, docs):
         # frame content is the right slice of the payload
         first = next(r for r in rows if r.asset_id == aid and r.frame_index == 0)
         assert bytes(first.frame_payload) == raw[aid][:16]
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_audio(b"RIFF")
+    with pytest.raises(multimodal.AudioDecodeError):
+        multimodal.decode_audio(b"RIFF")  # truncated: not a full RIFF/WAVE header
 
 
 def test_asof_join_semantics(spark):
