@@ -389,3 +389,61 @@ def test_f2_moment_two_stage_agg(spark):
     plan = _plan(CATALOG["f2_moment_users"][0](spark, SF))
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+# ---------------------------------------------------------------------------
+# round-4b/4c waves (catalog_r4b.py / catalog_r4c.py)
+# ---------------------------------------------------------------------------
+
+
+def test_grouping_sets_single_expand_single_agg(spark):
+    """grouping_sets_pricing: GROUPING SETS must compile to ONE Expand
+    feeding one partial+final hash-agg pair — no per-granularity rescan,
+    no union of aggregates."""
+    plan = _plan(CATALOG["grouping_sets_pricing"][0](spark, SF))
+    assert plan.count("Expand") == 1
+    assert "Union" not in plan
+
+
+def test_ks_and_rfm_use_range_scan_not_global_window(spark):
+    """The two-phase scan queries must show RangePartitioning; any
+    SinglePartition exchange in their plans may only carry the tiny
+    per-partition offset/total frames (asserted indirectly: the range
+    exchange exists at all — a single-partition rewrite would drop it)."""
+    for name in ("ks_two_sample_values", "rfm_segmentation"):
+        plan = _plan(CATALOG[name][0](spark, SF)).lower()
+        assert "rangepartitioning" in plan, name
+
+
+def test_chi2_and_mi_margins_broadcast(spark):
+    """chi_square / mutual_information: margin and total frames join back
+    by broadcast — the contingency cells never sort-merge."""
+    for name in ("chi_square_type_bucket", "mutual_information"):
+        plan = _plan(CATALOG[name][0](spark, SF))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_referential_integrity_anti_joins(spark):
+    """referential_integrity_audit: every orphan probe is a hash LeftAnti
+    (no cartesian); the 1-row report frames combine via broadcast."""
+    plan = _plan(CATALOG["referential_integrity_audit"][0](spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_cosine_is_udf_free(spark):
+    """centroid_cosine_outliers: decimal-snapped float reductions stay
+    JVM-side — no Python evaluation anywhere in the plan."""
+    plan = _plan(CATALOG["centroid_cosine_outliers"][0](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ewma_is_single_window_block(spark):
+    """ewma_control_chart: the trailing-frame fold plus the recency rank
+    share one hash partitioning by series key (two Window ops, and only
+    the final ORDER BY adds a further exchange)."""
+    df = CATALOG["ewma_control_chart"][0](spark, SF)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.lower().count("hashpartitioning(event_type") <= 2
