@@ -106,8 +106,24 @@ FRONT_OF_CATALOG: list[str] = [
     "alb_parse_roundtrip",
     "hourly_agg",
     # ---- position 51+ (outside the 50-entry window): next round's
-    # rotation queue — continue the long-green §2 / dedup / similarity
-    # re-validation cycle, then anything newly added this session ----
+    # rotation queue. The round-4 session-2 waves (catalog_r4b/r4c) lead —
+    # they have no driver signal yet — followed by the long-green §2 /
+    # dedup / similarity re-validation cycle ----
+    "setsim_prefix_join",
+    "grouping_sets_pricing",
+    "ks_two_sample_values",
+    "chi_square_type_bucket",
+    "welch_t_values",
+    "rfm_segmentation",
+    "debounce_events_batch",
+    "centroid_cosine_outliers",
+    "array_hof_battery",
+    "event_cooccurrence_lift",
+    "dedup_keep_best",
+    "correlation_matrix",
+    "ewma_control_chart",
+    "mutual_information",
+    "referential_integrity_audit",
     "sessionize",
     "rolling_5min_count",
     "pipeline_e2e_hourly",
