@@ -124,6 +124,8 @@ FRONT_OF_CATALOG: list[str] = [
     "ewma_control_chart",
     "mutual_information",
     "referential_integrity_audit",
+    "set_ops_battery",
+    "null_semantics_battery",
     "sessionize",
     "rolling_5min_count",
     "pipeline_e2e_hourly",

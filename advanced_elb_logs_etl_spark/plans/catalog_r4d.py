@@ -1,0 +1,185 @@
+"""Round-4d micro-wave: SQL-surface completeness — set operations
+(INTERSECT/EXCEPT, distinct AND bag semantics) and the null-semantics
+battery (null-safe equality joins, IS DISTINCT FROM, null ordering).
+
+Same contract as plans.catalog: value-exact DuckDB twins, deterministic
+orderings. Scale notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import _t, register
+
+# ---------------------------------------------------------------------------
+# set_ops_battery — INTERSECT / EXCEPT with both distinct and ALL semantics
+# ---------------------------------------------------------------------------
+
+_SETOPS_ORACLE = """
+WITH a AS (
+  SELECT l.l_partkey AS pk FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), b AS (
+  SELECT l.l_partkey AS pk FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderpriority = '5-LOW'
+)
+SELECT
+  (SELECT count(*) FROM (SELECT pk FROM a INTERSECT SELECT pk FROM b))::BIGINT
+    AS n_intersect,
+  (SELECT count(*) FROM (SELECT pk FROM a INTERSECT ALL SELECT pk FROM b))::BIGINT
+    AS n_intersect_all,
+  (SELECT count(*) FROM (SELECT pk FROM a EXCEPT SELECT pk FROM b))::BIGINT
+    AS n_except,
+  (SELECT count(*) FROM (SELECT pk FROM a EXCEPT ALL SELECT pk FROM b))::BIGINT
+    AS n_except_all,
+  (SELECT count(*) FROM a)::BIGINT AS n_a,
+  (SELECT count(*) FROM b)::BIGINT AS n_b
+"""
+
+
+@register("set_ops_battery", _SETOPS_ORACLE)
+def q_set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / INTERSECT ALL / EXCEPT / EXCEPT ALL over the part sets
+    sold in urgent vs low-priority orders — the four SQL set operations
+    with their distinct-vs-bag multiplicity semantics exercised in one
+    report row (intersectAll/exceptAll preserve per-key multiplicities:
+    min(m_a, m_b) and max(m_a - m_b, 0) respectively).
+
+    Scale: Spark plans all four as hash aggregations/joins on the key —
+    distinct forms via LeftSemi/LeftAnti after dedup, ALL forms via a
+    count-tagged aggregate — no sort, no window. The two inputs derive
+    from the same lineitem-orders broadcast-dim join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+
+    def side(priority: str) -> DataFrame:
+        return (
+            li.join(
+                F.broadcast(o.where(F.col("o_orderpriority") == priority)),
+                li.l_orderkey == o.o_orderkey,
+            )
+            .select(F.col("l_partkey").alias("pk"))
+        )
+
+    a, b = side("1-URGENT"), side("5-LOW")
+
+    def one(df: DataFrame, alias: str) -> DataFrame:
+        return df.groupBy().agg(F.count("*").alias(alias))
+
+    return (
+        one(a.intersect(b), "n_intersect")
+        .crossJoin(F.broadcast(one(a.intersectAll(b), "n_intersect_all")))
+        .crossJoin(F.broadcast(one(a.subtract(b), "n_except")))
+        .crossJoin(F.broadcast(one(a.exceptAll(b), "n_except_all")))
+        .crossJoin(F.broadcast(one(a, "n_a")))
+        .crossJoin(F.broadcast(one(b, "n_b")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# null_semantics_battery — null-safe equality, IS DISTINCT FROM, null order
+# ---------------------------------------------------------------------------
+
+_NULLSEM_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS et,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v
+  FROM events
+), j AS (
+  -- null-safe self-pair count per user: et matches et' under IS NOT
+  -- DISTINCT FROM (NULL pairs with NULL)
+  SELECT count(*) AS n_nullsafe_pairs
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id AND a.event_id < b.event_id
+   AND a.et IS NOT DISTINCT FROM b.et
+), d AS (
+  SELECT count(*) AS n_distinct_from
+  FROM e WHERE et IS DISTINCT FROM 'click'
+), o AS (
+  -- null ordering: with NULLS FIRST the first 100 v-ordered ids
+  SELECT sum(event_id) AS first100_nulls_first_idsum
+  FROM (SELECT event_id FROM e ORDER BY v ASC NULLS FIRST, event_id LIMIT 100)
+), o2 AS (
+  SELECT sum(event_id) AS first100_nulls_last_idsum
+  FROM (SELECT event_id FROM e ORDER BY v ASC NULLS LAST, event_id LIMIT 100)
+), c AS (
+  SELECT count(*) FILTER (WHERE et IS NULL) AS n_null_et,
+         count(*) FILTER (WHERE v IS NULL) AS n_null_v,
+         count(DISTINCT et) AS ndv_et_excl_null
+  FROM e
+)
+SELECT n_nullsafe_pairs::BIGINT AS n_nullsafe_pairs,
+       n_distinct_from::BIGINT AS n_distinct_from,
+       first100_nulls_first_idsum::BIGINT AS first100_nulls_first_idsum,
+       first100_nulls_last_idsum::BIGINT AS first100_nulls_last_idsum,
+       n_null_et::BIGINT AS n_null_et, n_null_v::BIGINT AS n_null_v,
+       ndv_et_excl_null::BIGINT AS ndv_et_excl_null
+FROM j CROSS JOIN d CROSS JOIN o CROSS JOIN o2 CROSS JOIN c
+"""
+
+
+@register("null_semantics_battery", _NULLSEM_ORACLE)
+def q_null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics battery over a deterministically null-injected view
+    of events: null-safe equality (<=>) in a join predicate (NULL pairs
+    with NULL), IS DISTINCT FROM filtering (NULL rows pass a != that SQL
+    equality would drop), NULLS FIRST vs NULLS LAST ordering under a
+    top-100, and null-aware counts (count(col) vs count(*), distinct
+    excludes NULL).
+
+    Scale: the null-safe join hashes on user_id (the <=> predicate rides
+    the equi-join); the two orderings are TakeOrdered top-100s, never full
+    sorts."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("event_type")
+        ).alias("et"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    j = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & F.col("a.et").eqNullSafe(F.col("b.et")),
+        )
+        .groupBy()
+        .agg(F.count("*").alias("n_nullsafe_pairs"))
+    )
+    d = (
+        e.where(~F.col("et").eqNullSafe(F.lit("click")))
+        .groupBy()
+        .agg(F.count("*").alias("n_distinct_from"))
+    )
+    o = (
+        e.orderBy(F.col("v").asc_nulls_first(), "event_id")
+        .limit(100)
+        .groupBy()
+        .agg(F.sum("event_id").alias("first100_nulls_first_idsum"))
+    )
+    o2 = (
+        e.orderBy(F.col("v").asc_nulls_last(), "event_id")
+        .limit(100)
+        .groupBy()
+        .agg(F.sum("event_id").alias("first100_nulls_last_idsum"))
+    )
+    c = e.groupBy().agg(
+        F.count(F.when(F.col("et").isNull(), 1)).alias("n_null_et"),
+        F.count(F.when(F.col("v").isNull(), 1)).alias("n_null_v"),
+        F.count_distinct("et").alias("ndv_et_excl_null"),
+    )
+    return (
+        j.crossJoin(F.broadcast(d))
+        .crossJoin(F.broadcast(o))
+        .crossJoin(F.broadcast(o2))
+        .crossJoin(F.broadcast(c))
+    )
