@@ -225,3 +225,67 @@ def test_to_float_semantics_pinned(spark):
     und = spark.createDataFrame([("1_000",)], "v string").select(
         to_float_col(F.col("v")).alias("f")).first().f
     assert und is None  # python float('1_000') == 1000.0; SQL casts reject
+
+
+# --- two-phase scan primitives vs pandas references -----------------------
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=120
+    ),
+    k=st.integers(min_value=1, max_value=9),
+    num_ranges=st.integers(min_value=1, max_value=6),
+)
+def test_scalable_ntile_property(spark, vals, k, num_ranges):
+    """scalable_ntile == SQL ntile for any data, k, and partition count —
+    including duplicates (the id column breaks ties totally)."""
+    from advanced_elb_logs_etl_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        r.id: r.b
+        for r in stats.scalable_ntile(
+            df, ["v", "id"], k, "b", num_ranges=num_ranges
+        ).collect()
+    }
+    order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+    n = len(vals)
+    big, rem = n // k + 1, n % k
+    for rank0, i in enumerate(order):
+        r = rank0 + 1
+        if r <= big * rem:
+            want = -(-r // big)  # ceil
+        else:
+            want = rem + -(-(r - big * rem) // max(n // k, 1))
+        assert got[i] == want, (vals, k, num_ranges, i)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=100
+    ),
+    num_ranges=st.integers(min_value=1, max_value=5),
+)
+def test_global_cumsum_property(spark, vals, num_ranges):
+    """global_cumsum == prefix sums of the totally-ordered sequence for
+    any data and range-partition count (duplicates tie-broken by id)."""
+    from advanced_elb_logs_etl_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        r.id: r.cum_v
+        for r in stats.global_cumsum(
+            df, ["v", "id"], ["v"], num_ranges=num_ranges
+        ).collect()
+    }
+    run = 0
+    for i in sorted(range(len(vals)), key=lambda i: (vals[i], i)):
+        run += vals[i]
+        assert got[i] == run, (vals, num_ranges, i)
