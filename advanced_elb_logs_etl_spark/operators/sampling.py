@@ -156,3 +156,58 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+#: Seed for the temperature-mix keep decision (independent of split/sample).
+MIX_SEED = 303
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    target_rows: float,
+    tau: float = 0.5,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened multi-source sampling — the training-mix
+    primitive: source s with c_s rows is kept with rate
+
+        rate_s = min(1, target_rows * p_s / c_s),
+        p_s = c_s^tau / sum_t c_t^tau
+
+    so tau=1 preserves natural proportions, tau=0 equalizes sources, and
+    tau=0.5 (the common LLM-mix setting, computed via sqrt so the power is
+    correctly-rounded IEEE and cross-engine exact) upweights small
+    sources. The keep decision is the deterministic md5 hash-coin
+    (hash_uniform, MIX_SEED): adding data never flips an existing row's
+    decision, and the whole operator is VALUE-exact — rates snap through
+    DECIMAL(28,8) at 1e-8 before the comparison so accumulation-order ulps
+    in sum(c^tau) cannot move a boundary.
+
+    Scale: one tiny per-source count agg broadcast back; the keep filter
+    is a narrow projection — no data shuffle at all. Returns the kept rows
+    plus their (rounded) rate column.
+
+    Only tau=0.5 is cross-engine exact (sqrt); other tau values use pow(),
+    which may differ by an ulp between libm implementations — fine in
+    production, but pin tau=0.5 for oracle-checked paths."""
+    if tau == 0.5:
+        powed = F.sqrt(F.col("_c"))
+    else:
+        powed = F.pow(F.col("_c"), F.lit(tau))
+    c = df.groupBy(group_col).agg(F.count("*").cast("double").alias("_c"))
+    z = c.groupBy().agg(F.sum(powed).alias("_z"))
+    rate = F.round(
+        (
+            F.least(
+                F.lit(1.0), F.lit(float(target_rows)) * (powed / F.col("_z")) / F.col("_c")
+            )
+        ).cast("decimal(28,8)"),
+        8,
+    ).cast("double")
+    rates = c.crossJoin(F.broadcast(z)).select(group_col, rate.alias("rate"))
+    u = hash_uniform(F.col(key_col), MIX_SEED)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(u < F.col("rate"))
+    )

@@ -126,6 +126,7 @@ FRONT_OF_CATALOG: list[str] = [
     "referential_integrity_audit",
     "set_ops_battery",
     "null_semantics_battery",
+    "temperature_mix_sample",
     "sessionize",
     "rolling_5min_count",
     "pipeline_e2e_hourly",

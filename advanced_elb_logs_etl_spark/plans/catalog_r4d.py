@@ -183,3 +183,48 @@ def q_null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(o2))
         .crossJoin(F.broadcast(c))
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix_sample — temperature-flattened multi-source training mix
+# ---------------------------------------------------------------------------
+
+from ..operators import sampling  # noqa: E402
+
+_MIX_ORACLE = f"""
+WITH c AS (SELECT source, count(*)::DOUBLE AS c FROM documents GROUP BY source),
+tot AS (SELECT sum(sqrt(c)) AS z FROM c),
+r AS (
+  SELECT source,
+         CAST(round(CAST(least(1.0, 300.0 * (sqrt(c) / z) / c)
+              AS DECIMAL(28,8)), 8) AS DOUBLE) AS rate
+  FROM c CROSS JOIN tot
+),
+u AS (
+  SELECT doc_id, d.source,
+         ('0x' || substr(md5('{sampling.MIX_SEED}:' || doc_id::VARCHAR), 1, 15))::BIGINT
+           / {float(1 << 60)!r} AS u
+  FROM documents d
+)
+SELECT u.doc_id, u.source, r.rate
+FROM u JOIN r USING (source) WHERE u.u < r.rate
+ORDER BY doc_id
+"""
+
+
+@register("temperature_mix_sample", _MIX_ORACLE)
+def q_temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing (tau=0.5, target 300 rows):
+    rate_s = min(1, target * (c_s^0.5 / sum c^0.5) / c_s) — small sources
+    upweighted, large sources downsampled, every keep decision a
+    deterministic md5 hash-coin (operators/sampling.py temperature_mix).
+
+    Value-exact: tau=0.5 computes via sqrt (correctly-rounded IEEE), rates
+    snap through DECIMAL(28,8) before the comparison, and the uniform is
+    an exact dyadic scaling of the 60-bit hash.
+
+    Scale: per-source counts broadcast back; keep filter is a narrow
+    projection — the corpus never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.temperature_mix(docs, "source", target_rows=300.0, tau=0.5)
+    return out.select("doc_id", "source", "rate").orderBy("doc_id")
