@@ -380,15 +380,17 @@ def q_ntile_latency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth deciles of purchase values via ntile(10): bucket
     boundaries + counts — the quantile-bucketing primitive.
 
-    Scale note (honest): an unpartitioned ntile needs a global sort into
-    ONE task, so the input is pre-filtered to a single event class; the
-    scalable form for full tables is quality_ntile_buckets'
-    approx-percentile cut or a range-partitioned rank. Deterministic via
-    the event_id tiebreak."""
+    Scale: since round 4b this uses operators/stats.py scalable_ntile
+    (range-partitioned two-phase rank + the exact SQL ntile bucket
+    formula) instead of the single-task `ntile OVER (ORDER BY ...)` the
+    oracle writes — identical output, no global sort into one task.
+    Deterministic via the event_id tiebreak."""
+    from ..operators import stats
+
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    w = Window.orderBy("value", "event_id")
     return (
-        ev.select("value", F.ntile(10).over(w).alias("decile"))
+        stats.scalable_ntile(ev, ["value", "event_id"], 10, "decile")
+        .select("value", "decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("cnt"),

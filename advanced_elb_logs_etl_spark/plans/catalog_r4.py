@@ -1235,12 +1235,12 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
     )
-    wtot = Window.partitionBy()
-    freq = (
-        tok.groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("double").alias("c"))
-        .withColumn("total", F.sum("c").over(wtot))
-    )
+    # corpus token total as a broadcast 1-row frame: a global window here
+    # would force the whole VOCABULARY into one partition (vocab grows with
+    # the corpus — flagged by tools/plan_lint.py)
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    total = counts.groupBy().agg(F.sum("c").alias("total"))
+    freq = counts.crossJoin(F.broadcast(total))
     scored = (
         tok.join(freq, "tok")
         .groupBy("doc_id")

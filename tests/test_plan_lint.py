@@ -1,0 +1,22 @@
+"""Catalog-wide plan lint as a test: every registered query's executed
+plan must be free of cartesian joins, row-at-a-time Python UDFs, and
+single-partition data windows — except the exceptions documented (with
+reasons) in tools/plan_lint.py's ALLOW maps. A new query that introduces
+an anti-pattern fails here, not in review."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+
+
+def test_catalog_plan_lint(spark):
+    from plan_lint import lint
+
+    findings, allowed = lint("/root/testdata/sf0.001")
+    assert not findings, findings
+    # the allowlist should be exercised, not stale — at least the two-phase
+    # scan and report-frame patterns must appear
+    hit = {name for name, _ in allowed}
+    assert "rfm_segmentation" in hit and "referential_integrity_audit" in hit

@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Catalog-wide physical-plan lint: audit EVERY registered query's plan for
+scale anti-patterns, not just the pinned headliners.
+
+Checks per query (executed plan at sf0.001 — plan SHAPE is scale-invariant
+even though AQE may pick broadcast sizes differently at real scale):
+
+  CARTESIAN      CartesianProduct / BroadcastNestedLoopJoin (1-row report
+                 frames cross-joining is fine and excluded by allowlist)
+  PY_ROW_UDF     BatchEvalPython (row-at-a-time Python) anywhere
+  GLOBAL_WINDOW  a Window node with an EMPTY partition spec (single-
+                 partition data window) — the scalable rewrite is
+                 operators/stats.py global_cumsum
+
+Documented exceptions live in the ALLOW maps — each entry names the query,
+the check it may trip, and WHY that is intentional. The pytest twin
+(tests/test_plan_lint.py) asserts the catalog stays clean modulo ALLOW, so
+a new query with a cartesian, a Python row UDF, or a global data window
+fails CI, not review.
+
+Usage: python tools/plan_lint.py [sf_dir]   (prints a report, exit 1 on
+unallowed findings)
+"""
+
+from __future__ import annotations
+
+import sys
+
+#: (query -> reason) for intentional cartesian/nested-loop joins.
+#: Pattern A: 1-row statistic/report frames combined at the plan root.
+#: Pattern B: documented brute-force ground-truth variants.
+CARTESIAN_ALLOW: dict[str, str] = {
+    "set_ops_battery": "six 1-row count frames cross-joined",
+    "null_semantics_battery": "five 1-row report frames",
+    "referential_integrity_audit": "six 1-row audit counters",
+    "ks_two_sample_values": "1-row n_a/n_b frame broadcast",
+    "welch_t_values": "single 1-row moment frame",
+    "chi_square_type_bucket": "1-row N total broadcast",
+    "mutual_information": "1-row margins/total frames",
+    "rfm_segmentation": "1-row count frame per ntile pass",
+    "correlation_matrix": "single global aggregate row",
+    "event_cooccurrence_lift": "1-row user-count frame",
+    "gini_revenue_concentration": "1-row segment totals",
+    "temperature_mix_sample": "1-row sum(c^tau) frame",
+    "triangle_census": "three 1-row census aggregates combined",
+    "tfidf_top_terms": "1-row corpus doc-count frame (IDF denominator)",
+    "stats_moments_battery": "1-row global moment frame",
+    "f2_moment_users": "1-row moment combine",
+    "winsorize_values": "1-row percentile-bounds frame",
+    "benford_first_digit": "9-row expected-digit frame",
+    "entropy_per_source": "1-row corpus total",
+    "histogram_latency": "1-row min/max bounds frame",
+    "robust_scale_features": "per-group median/IQR frame broadcast join-back",
+    "embedding_neardup_pairs": "exact all-pairs ground truth (300-vec slice)",
+    "ann_cosine_topk": "8 broadcast query vectors x corpus — brute-force baseline",
+    "knn_label_vote": "broadcast query block x candidate set",
+    "time_weighted_avg": "1-row horizon frame",
+    "weighted_sample_es": "1-row total-weight frame",
+    "autocorr_lag1": "1-row mean/var moment frame",
+    "month_over_month_revenue": "1-row first-month frame",
+    "hourly_agg_approx": "1-row exact-vs-approx comparison frame",
+    "profile_table": "profile rows assembled from 1-row per-column frames",
+    "profile_table_approx": "profile rows assembled from 1-row per-column frames",
+    "important_value_q11": "1-row global HAVING-threshold frame (TPC-H Q11 shape)",
+    "global_sales_q22": "1-row avg-acctbal threshold frame (TPC-H Q22 shape)",
+    "ivf_cosine_topk": "query block x 16-centroid probe assignment (bounded)",
+    "ntile_latency_buckets": "1-row count frame of the scalable_ntile pass",
+    "unigram_logprob_score": "1-row corpus-token-total frame (broadcast IDF-style denominator)",
+}
+
+#: (query -> reason) for Window nodes with an empty partition spec. Every
+#: entry must be bounded input BY CONSTRUCTION (series-level frames,
+#: partition-count offset frames), never raw data rows.
+GLOBAL_WINDOW_ALLOW: dict[str, str] = {
+    "ks_two_sample_values": "offset window over <=32 per-partition totals",
+    "rfm_segmentation": "offset window over <=32 per-partition totals",
+    "running_distinct_users": "first-seen rewrite: window over per-day counts (bounded)",
+    "month_over_month_revenue": "month-level series (bounded rows)",
+    "time_weighted_avg": "single bounded series is the operator's contract",
+    "autocorr_lag1": "month-level series (bounded rows)",
+    "weighted_percentile": "cumulative weights over one bounded group set",
+    "freq_items_battery": "window-sum over the tiny heavy-hitter result",
+    "top_ngrams_per_lang": "rank over per-language top-5 slices",
+    "gini_revenue_concentration": "rank within market segments (5 groups) via segment-keyed spec",
+    "winsorize_values": "percentile bounds over bounded groups",
+    "benford_first_digit": "share window over the 9-row digit aggregate",
+    "ntile_latency_buckets": "offset window over <=32 per-partition totals (scalable_ntile)",
+    "conditional_ratio_report": "share-of-total window over the 5-row event-type aggregate",
+}
+
+
+def _window_nodes(plan: str):
+    """Yield (line, is_global) per Window operator line.
+
+    Node shapes: `Window [exprs], [part], [order]` (3 groups, keyed);
+    `Window [exprs], [spec]` (2 groups) is partition-only (fine) when the
+    spec has no ASC/DESC ordering, order-only (GLOBAL) when it does; and
+    `Window [exprs]` (1 group) is a frame-over-everything total — also
+    global."""
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-*")
+        if not stripped.startswith("Window "):
+            continue
+        groups: list[str] = []
+        depth, start = 0, None
+        for i, ch in enumerate(stripped):
+            if ch == "[":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0 and start is not None:
+                    groups.append(stripped[start : i + 1])
+                    start = None
+        if len(groups) >= 3:
+            is_global = False
+        elif len(groups) == 2:
+            is_global = " ASC" in groups[1] or " DESC" in groups[1]
+        else:
+            is_global = True
+        yield stripped, is_global
+
+
+def lint(sf_dir: str = "/root/testdata/sf0.001"):
+    sys.path.insert(0, "/root/repo")
+    from advanced_elb_logs_etl_spark.session import get_spark
+    from advanced_elb_logs_etl_spark.plans.catalog import CATALOG
+
+    spark = get_spark(app_name="plan-lint", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    findings: list[tuple[str, str, str]] = []
+    allowed: list[tuple[str, str]] = []
+    for name, (fn, _oracle) in sorted(CATALOG.items()):
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # pragma: no cover — lint must list, not die
+            findings.append((name, "PLAN_ERROR", str(exc)[:120]))
+            continue
+
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            if name in CARTESIAN_ALLOW:
+                allowed.append((name, "CARTESIAN"))
+            else:
+                findings.append((name, "CARTESIAN", "cartesian/nested-loop join"))
+        if "BatchEvalPython" in plan:
+            findings.append((name, "PY_ROW_UDF", "row-at-a-time Python UDF"))
+        for line, is_global in _window_nodes(plan):
+            if is_global:
+                if name in GLOBAL_WINDOW_ALLOW:
+                    allowed.append((name, "GLOBAL_WINDOW"))
+                else:
+                    findings.append((name, "GLOBAL_WINDOW", line[:100]))
+                break
+
+    return findings, allowed
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    findings, allowed = lint(sf_dir)
+    print(f"plan-lint: {len(allowed)} allowed exceptions exercised")
+    if not findings:
+        print("plan-lint: catalog clean")
+        return 0
+    for name, check, detail in findings:
+        print(f"FINDING {check:14s} {name}: {detail}")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
