@@ -127,6 +127,8 @@ FRONT_OF_CATALOG: list[str] = [
     "set_ops_battery",
     "null_semantics_battery",
     "temperature_mix_sample",
+    "event_transition_matrix",
+    "time_to_conversion",
     "sessionize",
     "rolling_5min_count",
     "pipeline_e2e_hourly",

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import _t, register
+from .catalog import _t, _us, register
 
 # ---------------------------------------------------------------------------
 # set_ops_battery — INTERSECT / EXCEPT with both distinct and ALL semantics
@@ -228,3 +228,129 @@ def q_temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = sampling.temperature_mix(docs, "source", target_rows=300.0, tau=0.5)
     return out.select("doc_id", "source", "rate").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# event_transition_matrix — first-order Markov transitions per user journey
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), t AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+), tot AS (SELECT from_type, sum(n) AS row_n FROM t GROUP BY from_type)
+SELECT t.from_type, t.to_type, t.n::BIGINT AS n,
+       CAST(t.n AS DOUBLE) / CAST(tot.row_n AS DOUBLE) AS p
+FROM t JOIN tot USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
+@register("event_transition_matrix", _TRANSITION_ORACLE)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for each
+    (from, to) event-type pair, the transition count and row-normalized
+    probability — the user-path / next-action primitive.
+
+    Scale: ONE keyed window (lead over user journeys, hash-partitioned by
+    user) then a |types|^2-cell hash agg; probabilities are single
+    divisions of exact BIGINTs — bit-identical, unrounded."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    t = s.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        t.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.col("row_n").cast("double")).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# time_to_conversion — signup -> first purchase latency distribution
+# ---------------------------------------------------------------------------
+
+_TTC_ORACLE = """
+WITH su AS (
+  SELECT user_id, min(epoch_us(ts)) AS su_us FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), pu AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS pu_us
+  FROM events e JOIN su ON su.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.su_us
+  GROUP BY e.user_id
+), d AS (
+  SELECT su.user_id, pu.pu_us - su.su_us AS delta_us FROM su JOIN pu USING (user_id)
+)
+SELECT count(*)::BIGINT AS n_converted,
+       (SELECT count(*) FROM su)::BIGINT AS n_signed_up,
+       CAST(min(delta_us) AS BIGINT) AS min_us,
+       CAST(max(delta_us) AS BIGINT) AS max_us,
+       CAST(round(CAST(median(delta_us) AS DECIMAL(28,8)), 1) AS DOUBLE) AS median_us,
+       CAST(sum(delta_us) AS BIGINT) AS total_us
+FROM d
+"""
+
+
+@register("time_to_conversion", _TTC_ORACLE)
+def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event: per user, first signup to first SUBSEQUENT purchase;
+    one report row with conversion counts and the exact latency
+    distribution (min/max/median/total in integer microseconds — the
+    median interpolates two exact BIGINTs, identical cross-engine,
+    decimal-snapped at 0.1 us for the emit).
+
+    Scale: two keyed min-aggregations and one equi-join on user_id; the
+    'purchase after signup' constraint rides the join (no window over raw
+    events needed)."""
+    ev = _t(spark, sf_dir, "events")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(_us("ts")).alias("su_us"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", _us("ts").alias("p_us"))
+        .join(su, "user_id")
+        .where(F.col("p_us") >= F.col("su_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("pu_us"))
+    )
+    d = su.join(pu, "user_id").select(
+        (F.col("pu_us") - F.col("su_us")).alias("delta_us")
+    )
+    n_su = su.groupBy().agg(F.count("*").alias("n_signed_up"))
+    return (
+        d.groupBy()
+        .agg(
+            F.count("*").alias("n_converted"),
+            F.min("delta_us").cast("long").alias("min_us"),
+            F.max("delta_us").cast("long").alias("max_us"),
+            F.round(
+                F.expr("percentile(delta_us, 0.5)").cast("decimal(28,8)"), 1
+            ).cast("double").alias("median_us"),
+            F.sum("delta_us").cast("long").alias("total_us"),
+        )
+        .crossJoin(F.broadcast(n_su))
+        .select(
+            "n_converted", "n_signed_up", "min_us", "max_us", "median_us", "total_us"
+        )
+    )
