@@ -66,6 +66,7 @@ CARTESIAN_ALLOW: dict[str, str] = {
     "ivf_cosine_topk": "query block x 16-centroid probe assignment (bounded)",
     "ntile_latency_buckets": "1-row count frame of the scalable_ntile pass",
     "unigram_logprob_score": "1-row corpus-token-total frame (broadcast IDF-style denominator)",
+    "time_to_conversion": "1-row signup-count frame joined to the 1-row latency report",
 }
 
 #: (query -> reason) for Window nodes with an empty partition spec. Every
