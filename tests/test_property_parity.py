@@ -289,3 +289,49 @@ def test_global_cumsum_property(spark, vals, num_ranges):
     for i in sorted(range(len(vals)), key=lambda i: (vals[i], i)):
         run += vals[i]
         assert got[i] == run, (vals, num_ranges, i)
+
+
+# --- prefix-filtered set-similarity join vs brute force -------------------
+
+_word = st.sampled_from(["a", "bb", "ccc", "dog", "cat", "run", "x1", "y2"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(_doc, min_size=2, max_size=14),
+    threshold=st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+)
+def test_setsim_prefix_join_property(spark, docs, threshold):
+    """Prefix filtering admits NO false negatives and verification no
+    false positives, on adversarial generated corpora: tiny docs, empty
+    docs, exact duplicates, single-shingle docs."""
+    from advanced_elb_logs_etl_spark.operators import setsim
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in setsim.prefix_filtered_jaccard_join(
+            df, threshold=threshold
+        ).collect()
+    }
+    # brute force in python
+    def sh(text):
+        w = [t for t in text.lower().split() if t]
+        return set(" ".join(w[i : i + 3]) for i in range(len(w) - 2))
+
+    sets = {i: sh(t) for i, t in enumerate(docs)}
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = sets[i], sets[j]
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= threshold:
+                want[(i, j)] = jac
+    assert set(got) == set(want), (docs, threshold)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12

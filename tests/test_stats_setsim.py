@@ -244,3 +244,45 @@ def test_ewma_window_matches_reference(spark):
             ws = [a * (1 - a) ** j for j in range(len(window))]
             ref = sum(x * w for x, w in zip(window, ws)) / sum(ws)
             assert math.isclose(got[(et, ids[t])], ref, rel_tol=1e-9)
+
+
+def test_temperature_mix_semantics(spark):
+    from advanced_elb_logs_etl_spark.operators import sampling
+
+    docs = load_table(spark, SF, "documents")
+    counts = {r.source: r.c for r in docs.groupBy("source").count()
+              .withColumnRenamed("count", "c").collect()}
+    # tau=1: natural proportions — rate_s = min(1, target/total) for all s
+    out1 = sampling.temperature_mix(docs, "source", target_rows=20.0, tau=1.0)
+    rates1 = {r.source: r.rate for r in out1.select("source", "rate").distinct().collect()}
+    total = sum(counts.values())
+    for s, r in rates1.items():
+        assert abs(r - min(1.0, 20.0 * counts[s] / total / counts[s])) < 1e-6
+    # tau=0.5: smaller sources get HIGHER rates
+    out5 = sampling.temperature_mix(docs, "source", target_rows=20.0, tau=0.5)
+    rates5 = {r.source: r.rate for r in out5.select("source", "rate").distinct().collect()}
+    bysize = sorted(counts, key=counts.get)
+    rs = [rates5[s] for s in bysize if s in rates5]
+    assert rs == sorted(rs, reverse=True)
+    # determinism: same call twice -> identical kept sets
+    k1 = sorted(r.doc_id for r in out5.select("doc_id").collect())
+    k2 = sorted(r.doc_id for r in sampling.temperature_mix(
+        docs, "source", target_rows=20.0, tau=0.5).select("doc_id").collect())
+    assert k1 == k2
+
+
+def test_ewma_null_values_drop_out(spark):
+    """A null VALUE mid-series drops out of both numerator and
+    denominator — the remaining weights renormalize (null-skipping
+    weighted mean), and rows after the null still get finite output."""
+    from advanced_elb_logs_etl_spark.operators import stats
+
+    rows = [(1, 1, 10.0), (1, 2, None), (1, 3, 30.0)]
+    df = spark.createDataFrame(rows, "k int, t int, value double")
+    got = {r.t: r.ewma for r in stats.ewma_window(
+        df, "value", ["k"], ["t"], alpha=0.5, span=3).collect()}
+    assert math.isclose(got[1], 10.0)
+    # t=2: value null -> only lag-1 term (10.0) contributes
+    assert math.isclose(got[2], 10.0)
+    # t=3: weights 0.5 (x=30), 0.25 (null, dropped), 0.125 (x=10)
+    assert math.isclose(got[3], (0.5 * 30 + 0.125 * 10) / (0.5 + 0.125))
