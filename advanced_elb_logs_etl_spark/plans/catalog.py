@@ -129,6 +129,8 @@ FRONT_OF_CATALOG: list[str] = [
     "temperature_mix_sample",
     "event_transition_matrix",
     "time_to_conversion",
+    "feature_hashing_vectors",
+    "view_to_purchase_within_hour",
     "sessionize",
     "rolling_5min_count",
     "pipeline_e2e_hourly",

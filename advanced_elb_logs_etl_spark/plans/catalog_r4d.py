@@ -354,3 +354,140 @@ def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_converted", "n_signed_up", "min_us", "max_us", "median_us", "total_us"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# feature_hashing_vectors — hashing-trick bag-of-words vectorizer
+# ---------------------------------------------------------------------------
+
+_FHASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t != '')) AS t
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('7:' || t), 1, 15))::BIGINT % 64 AS bucket,
+         count(*) AS c
+  FROM tok GROUP BY doc_id, ('0x' || substr(md5('7:' || t), 1, 15))::BIGINT % 64
+)
+SELECT doc_id,
+       string_agg(bucket::VARCHAR || ':' || c::VARCHAR, ' ' ORDER BY bucket)
+         AS vec,
+       sum(c)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_nonzero
+FROM b GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("feature_hashing_vectors", _FHASH_ORACLE)
+def q_feature_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words vectorizer: every token hashes into one
+    of 64 buckets (md5-derived 60-bit hash mod 64 — the same cross-engine
+    hash family as the sampling/split stack), per-document sparse count
+    vectors emitted in canonical 'bucket:count' form — the fixed-width
+    featurization that needs NO vocabulary build, the property that makes
+    it a single narrow pass at 100 TB.
+
+    Scale: explode + one (doc, bucket) hash agg + one per-doc agg; no
+    vocabulary state, no join, no window."""
+    from ..functions.hashing import h60
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("t"),
+    )
+    b = tok.groupBy(
+        "doc_id", (h60(F.col("t"), seed=7) % 64).alias("bucket")
+    ).agg(F.count("*").alias("c"))
+    return (
+        b.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("bucket", "c"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s["bucket"].cast("string"), s["c"].cast("string")
+                    ),
+                ),
+                " ",
+            ).alias("vec"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_nonzero"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# view_to_purchase_within_hour — windowed conversion via next-event scan
+# ---------------------------------------------------------------------------
+
+_V2P_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_purchase_us
+  FROM events
+)
+SELECT count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_views,
+       count(*) FILTER (WHERE event_type = 'view'
+                          AND next_purchase_us IS NOT NULL
+                          AND next_purchase_us - us <= 3600000000)::BIGINT
+         AS n_converted,
+       CAST(count(*) FILTER (WHERE event_type = 'view'
+                          AND next_purchase_us IS NOT NULL
+                          AND next_purchase_us - us <= 3600000000) AS DOUBLE)
+         / CAST(count(*) FILTER (WHERE event_type = 'view') AS DOUBLE)
+         AS conversion_rate
+FROM s
+"""
+
+
+@register("view_to_purchase_within_hour", _V2P_ORACLE)
+def q_view_to_purchase_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed conversion: share of 'view' events followed by a purchase
+    from the same user within one hour — computed with a REVERSE running
+    min over the user's stream (next-purchase instant per row), so there
+    is no views x purchases self-join at all.
+
+    Scale: one keyed window (hash partition by user) in the exact
+    integer-microsecond domain, then a 1-row conditional-count fold; the
+    rate is one division of exact BIGINTs."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    s = ev.select(
+        "event_type",
+        _us("ts").alias("us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", _us("ts"))
+        ).over(w).alias("next_purchase_us"),
+    )
+    is_view = F.col("event_type") == "view"
+    converted = (
+        is_view
+        & F.col("next_purchase_us").isNotNull()
+        & (F.col("next_purchase_us") - F.col("us") <= 3_600_000_000)
+    )
+    return s.groupBy().agg(
+        F.count(F.when(is_view, 1)).alias("n_views"),
+        F.count(F.when(converted, 1)).alias("n_converted"),
+        (
+            F.count(F.when(converted, 1)).cast("double")
+            / F.count(F.when(is_view, 1)).cast("double")
+        ).alias("conversion_rate"),
+    )
