@@ -89,6 +89,16 @@ HEADLINERS = {
                                 "norm frames broadcast back to the exploded spine",
     "chi_square_type_bucket": "contingency cells + two margin re-aggs broadcast back; events "
                               "shuffle once into the cell agg",
+    "triangle_census": "one-shuffle edge build (grouped array + in-row pair explode); "
+                       "degree-ordered wedge join bounds fan-out at ~sqrt(|E|)",
+    "khop_reachability": "checkpointed adjacency probed per hop; frontier joins + distinct, "
+                         "no re-derivation of the edge pipeline",
+    "event_transition_matrix": "ONE keyed lead window then a |types|^2 hash agg; "
+                               "row totals broadcast back",
+    "view_to_purchase_within_hour": "reverse running min replaces the views x purchases "
+                                    "self-join; one keyed window + 1-row fold",
+    "feature_hashing_vectors": "explode -> (doc,bucket) agg -> per-doc agg; no vocabulary "
+                               "state, no join, no window",
 }
 
 
