@@ -20,3 +20,21 @@ def test_catalog_plan_lint(spark):
     # scan and report-frame patterns must appear
     hit = {name for name, _ in allowed}
     assert "rfm_segmentation" in hit and "referential_integrity_audit" in hit
+
+
+def test_catalog_outputs_are_scalar_only(spark):
+    """The external driver's canonicalizer hashes result VALUES through
+    pandas and crashes on array/map/struct cells (the r3 collect_set_sorted
+    red row). Every catalog query must emit scalar columns only — emit
+    collections as sorted joined strings or exploded rows."""
+    from pyspark.sql import types as T
+
+    import __spark_entry__ as e
+
+    offenders = []
+    for name, fn in e.queries().items():
+        schema = fn(spark, "/root/testdata/sf0.001").schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders
