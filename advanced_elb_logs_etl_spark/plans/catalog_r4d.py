@@ -1,6 +1,9 @@
-"""Round-4d micro-wave: SQL-surface completeness — set operations
-(INTERSECT/EXCEPT, distinct AND bag semantics) and the null-semantics
-battery (null-safe equality joins, IS DISTINCT FROM, null ordering).
+"""Round-4d wave: SQL-surface completeness and journey/featurization
+analytics — set operations (INTERSECT/EXCEPT, distinct AND bag
+semantics), the null-semantics battery (null-safe equality joins, IS
+DISTINCT FROM, null ordering), the temperature-flattened training-mix
+sampler, first-order Markov journey transitions, time-to-conversion,
+the hashing-trick vectorizer, and windowed view->purchase conversion.
 
 Same contract as plans.catalog: value-exact DuckDB twins, deterministic
 orderings. Scale notes inline.
