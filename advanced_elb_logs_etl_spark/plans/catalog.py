@@ -131,6 +131,7 @@ FRONT_OF_CATALOG: list[str] = [
     "time_to_conversion",
     "feature_hashing_vectors",
     "view_to_purchase_within_hour",
+    "rolling_median_value",
     "sessionize",
     "rolling_5min_count",
     "pipeline_e2e_hourly",

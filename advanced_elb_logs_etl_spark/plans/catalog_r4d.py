@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalars import dround
 from .catalog import _t, _us, register
 
 # ---------------------------------------------------------------------------
@@ -493,4 +494,71 @@ def q_view_to_purchase_within_hour(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.when(converted, 1)).cast("double")
             / F.count(F.when(is_view, 1)).cast("double")
         ).alias("conversion_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling_median_value — sliding-frame order statistic per series
+# ---------------------------------------------------------------------------
+
+_ROLLMED_ORACLE = """
+WITH w AS (
+  SELECT event_type, event_id, ts,
+         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS frame
+  FROM events
+), m AS (
+  SELECT event_type, event_id, ts, list_sort(frame) AS s, len(frame) AS n
+  FROM w
+), med AS (
+  SELECT event_type, event_id, ts,
+         CASE WHEN n % 2 = 1 THEN s[(n + 1) // 2]
+              ELSE (s[n // 2] + s[n // 2 + 1]) / 2.0 END AS rolling_median
+  FROM m
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY ts DESC, event_id DESC) AS rk
+  FROM med
+)
+SELECT event_type, event_id,
+       CAST(round(CAST(rolling_median AS DECIMAL(28,8)), 6) AS DOUBLE)
+         AS rolling_median
+FROM r WHERE rk <= 3 ORDER BY event_type, event_id
+"""
+
+
+@register("rolling_median_value", _ROLLMED_ORACLE)
+def q_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling median over the trailing 10 events of each series —
+    the sliding-frame ORDER STATISTIC (W6/W7 are sliding sums/means; a
+    median cannot be expressed as a running aggregate, so the frame is
+    collected and sorted per row). Emits the 3 most recent points per
+    series.
+
+    Scale: one keyed window; per-row work is O(k log k) on the BOUNDED
+    frame (k=10), so cost is linear in rows — the frame bound is what
+    keeps the collect admissible (an unbounded rolling median would need
+    a two-heap/indexed structure instead). Median of two exact doubles
+    interpolates identically cross-engine; dround(6) for belt and braces."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    s = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(s)
+    half = F.floor(n / 2).cast("int")
+    med = F.when(
+        n % 2 == 1, F.element_at(s, half + 1)
+    ).otherwise((F.element_at(s, half) + F.element_at(s, half + 1)) / 2.0)
+    wr = Window.partitionBy("event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.select("event_type", "event_id", "ts", med.alias("rm"))
+        .withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 3)
+        .select("event_type", "event_id", dround(F.col("rm"), 6).alias("rolling_median"))
+        .orderBy("event_type", "event_id")
     )
