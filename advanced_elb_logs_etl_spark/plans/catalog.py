@@ -132,6 +132,8 @@ FRONT_OF_CATALOG: list[str] = [
     "feature_hashing_vectors",
     "view_to_purchase_within_hour",
     "rolling_median_value",
+    "sequence_top_paths",
+    "cohort_ltv_curve",
     "sessionize",
     "rolling_5min_count",
     "pipeline_e2e_hourly",

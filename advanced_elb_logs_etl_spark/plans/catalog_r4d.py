@@ -562,3 +562,121 @@ def q_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "event_id", dround(F.col("rm"), 6).alias("rolling_median"))
         .orderBy("event_type", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence_top_paths — most common 3-step journey paths
+# ---------------------------------------------------------------------------
+
+_PATHS_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events
+), p AS (
+  SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+  FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1
+), r AS (
+  SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rk FROM p
+)
+SELECT path, n::BIGINT AS n, rk::BIGINT AS rk FROM r WHERE rk <= 10
+ORDER BY rk
+"""
+
+
+@register("sequence_top_paths", _PATHS_ORACLE)
+def q_sequence_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent 3-step user journey paths (event-type
+    trigrams) — the sequence-mining primitive behind funnel discovery.
+
+    Scale: ONE keyed window computes both leads (shared sort), then a
+    bounded hash agg (|types|^3 max keys) and a TakeOrdered top-10 over
+    the aggregate — ranking over at most 125 path rows, never data."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    p = s.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count("*").alias("n"))
+    wr = Window.orderBy(F.desc("n"), "path")
+    return (
+        p.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 10)
+        .select("path", F.col("n").cast("long").alias("n"), F.col("rk").cast("long").alias("rk"))
+        .orderBy("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv_curve — cumulative revenue per signup cohort over event-months
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH su AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), rev AS (
+  SELECT su.cohort,
+         datediff('week', su.cohort, date_trunc('week', e.ts)) AS week_no,
+         sum(CAST(round(e.value * 100) AS BIGINT)) AS rev_cents
+  FROM events e JOIN su ON su.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= su.cohort
+  GROUP BY 1, 2
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_no::BIGINT AS week_no,
+       rev_cents::BIGINT AS rev_cents,
+       sum(rev_cents) OVER (PARTITION BY cohort ORDER BY week_no)::BIGINT
+         AS cum_rev_cents
+FROM rev ORDER BY cohort_week, week_no
+"""
+
+
+@register("cohort_ltv_curve", _LTV_ORACLE)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: per signup-WEEK cohort, purchase
+    revenue by weeks-since-signup plus the cumulative LTV running sum —
+    the revenue twin of cohort_retention (which counts users). Weekly
+    grain because the synthetic event stream spans one month.
+
+    Exactness: revenue is integer CENTS (round(value*100) on both
+    engines) so the running sums are exact longs; week arithmetic stays
+    in date_trunc/datediff week space (both engines truncate to Monday).
+
+    Scale: per-user cohort min + keyed join + (cohort, week) hash agg;
+    the running sum windows over weeks PER COHORT (bounded series)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    )
+    # NOTE: min(date_trunc) == date_trunc(min) — min ts is in the min week
+    week_no = F.floor(
+        F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort")) / 7
+    ).cast("long")
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("ts") >= F.col("cohort"))
+        .groupBy("cohort", week_no.alias("week_no"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_cents"))
+    )
+    w = Window.partitionBy("cohort").orderBy("week_no")
+    return (
+        rev.select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.col("week_no"),
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+            F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
+        )
+        .orderBy("cohort_week", "week_no")
+    )
