@@ -134,6 +134,7 @@ FRONT_OF_CATALOG: list[str] = [
     "rolling_median_value",
     "sequence_top_paths",
     "cohort_ltv_curve",
+    "repeated_kgram_spans",
     "sessionize",
     "rolling_5min_count",
     "pipeline_e2e_hourly",

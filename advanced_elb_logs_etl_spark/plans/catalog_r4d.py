@@ -680,3 +680,95 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# repeated_kgram_spans — cross-document exact repeated-substring spans
+# ---------------------------------------------------------------------------
+
+_KGRAM_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, i AS pos,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS gram
+  FROM t, (SELECT unnest(generate_series(1, 4096)) AS i) s
+  WHERE i <= len(w) - 7
+), rep AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+), hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN rep USING (gram)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM hits
+)
+SELECT doc_id, min(pos)::BIGINT AS start_pos,
+       (max(pos) + 7)::BIGINT AS end_pos,
+       (max(pos) + 8 - min(pos))::BIGINT AS span_tokens
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, start_pos
+"""
+
+
+@register("repeated_kgram_spans", _KGRAM_ORACLE)
+def q_repeated_kgram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring detection, the Lee et al. ("Deduplicating
+    Training Data Makes Language Models Better") exact-substring method
+    re-expressed relationally: every 8-token gram that occurs in MORE THAN
+    ONE document marks its positions, and adjacent marked positions merge
+    into maximal repeated SPANS per document (token start/end indices) —
+    the spans a curation pipeline cuts or attributes.
+
+    The suffix-array formulation is inherently sequential; the k-gram
+    relational form is the distributable equivalent: explode positions ->
+    one gram hash agg (cross-doc distinct count) -> semi join back ->
+    per-doc islands window. Every step is keyed; nothing is corpus-global
+    except the gram aggregate itself.
+
+    Scale: gram rows = total tokens (8x text bytes with string grams —
+    production would hash them to longs like operators/setsim.py; kept as
+    strings here so the oracle is byte-identical). Islands via the
+    pos - row_number trick, one window per doc. The SQL twin enumerates
+    positions from a 4096-wide series (far above the corpus's max doc
+    length); the Spark side has no such cap."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    k = 8
+    w = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")).alias("w"),
+    )
+    gram = F.concat_ws(
+        " ", *[F.element_at(F.col("w"), F.col("pos") + j) for j in range(k)]
+    )
+    # guard: Spark sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+    # docs shorter than k tokens must emit no positions at all
+    positions = F.when(
+        F.size("w") >= k, F.sequence(F.lit(1), F.size("w") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    g = (
+        w.select("doc_id", F.explode(positions).alias("pos"), "w")
+        .select("doc_id", "pos", gram.alias("gram"))
+    )
+    rep = g.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("nd")
+    ).where(F.col("nd") > 1).select("gram")
+    hits = g.join(rep, "gram", "left_semi")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("island", F.col("pos") - F.row_number().over(wd))
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            (F.max("pos") + (k - 1)).cast("long").alias("end_pos"),
+            (F.max("pos") + k - F.min("pos")).cast("long").alias("span_tokens"),
+        )
+        .drop("island")
+        .select("doc_id", "start_pos", "end_pos", "span_tokens")
+        .orderBy("doc_id", "start_pos")
+    )
