@@ -87,6 +87,7 @@ GLOBAL_WINDOW_ALLOW: dict[str, str] = {
     "benford_first_digit": "share window over the 9-row digit aggregate",
     "ntile_latency_buckets": "offset window over <=32 per-partition totals (scalable_ntile)",
     "conditional_ratio_report": "share-of-total window over the 5-row event-type aggregate",
+    "sequence_top_paths": "rank over the <=|types|^3 trigram aggregate (125 rows), never data",
 }
 
 
