@@ -134,3 +134,116 @@ def debounce_stream(
             timeMode="None",
         )
     )
+
+
+class _SpaceSavingProcessor(StatefulProcessor):
+    """Per-key Space-Saving heavy-hitter sketch (Metwally et al.): a
+    bounded table of `capacity` (item, count, err) counters in ValueState.
+
+    Update rule per incoming item: tracked -> increment; table not full ->
+    insert (item, 1, 0); else evict the MIN counter and adopt its count as
+    the new item's error floor (count = min+1, err = min). Guarantees:
+    true_count <= est_count <= true_count + err, and any item with true
+    frequency > n/capacity is ALWAYS in the table — the streaming
+    counterpart of operators/sketches.exact_heavy_hitters (which is exact
+    but needs a second pass).
+
+    State is three parallel arrays in ONE ValueState struct — bounded at
+    `capacity` entries per key regardless of stream length."""
+
+    def __init__(self, item_col: str, capacity: int, topk: int):
+        self._item_col = item_col
+        self._capacity = capacity
+        self._topk = topk
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        from pyspark.sql.types import ArrayType, LongType
+
+        self._table = handle.getValueState(
+            "ss_table",
+            StructType(
+                [
+                    StructField("items", ArrayType(StringType())),
+                    StructField("counts", ArrayType(LongType())),
+                    StructField("errs", ArrayType(LongType())),
+                ]
+            ),
+        )
+
+    def handleInputRows(self, key, rows, timer_values) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if self._table.exists():
+            items, counts, errs = (list(x) for x in self._table.get())
+        else:
+            items, counts, errs = [], [], []
+        idx = {it: i for i, it in enumerate(items)}
+        for batch in rows:
+            for v in batch[self._item_col]:
+                it = "" if pd.isna(v) else str(v)
+                i = idx.get(it)
+                if i is not None:
+                    counts[i] += 1
+                elif len(items) < self._capacity:
+                    idx[it] = len(items)
+                    items.append(it)
+                    counts.append(1)
+                    errs.append(0)
+                else:
+                    m = min(range(len(counts)), key=lambda j: (counts[j], items[j]))
+                    del idx[items[m]]
+                    idx[it] = m
+                    items[m] = it
+                    errs[m] = counts[m]
+                    counts[m] += 1
+        self._table.update((items, counts, errs))
+        order = sorted(
+            range(len(items)), key=lambda i: (-counts[i], items[i])
+        )[: self._topk]
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(order),
+                "item": [items[i] for i in order],
+                "est_count": [counts[i] for i in order],
+                "max_err": [errs[i] for i in order],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def topk_stream(
+    events: DataFrame,
+    key: str = "event_type",
+    item_col: str = "user_id",
+    capacity: int = 64,
+    topk: int = 10,
+) -> DataFrame:
+    """Streaming heavy hitters per key: each micro-batch updates the
+    per-key Space-Saving table and emits the current top-k estimates
+    (item, est_count, max_err).
+
+    Scale: state is O(capacity) per key in RocksDB — bounded forever; one
+    hash exchange per micro-batch. Estimates obey
+    true <= est <= true + max_err; exact whenever the key's distinct item
+    count stays within capacity."""
+    from pyspark.sql.types import LongType
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("item", StringType()),
+            StructField("est_count", LongType()),
+            StructField("max_err", LongType()),
+        ]
+    )
+    return (
+        events.groupBy(key)
+        .transformWithStateInPandas(
+            statefulProcessor=_SpaceSavingProcessor(item_col, capacity, topk),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

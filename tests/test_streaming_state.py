@@ -155,3 +155,60 @@ def test_debounce_stream_end_to_end(spark, tmp_path):
         q.stop()
     kept = sorted(r["event_id"] for r in spark.sql("SELECT * FROM debounce_e2e").collect())
     assert kept == [1, 3]
+
+
+# ---------------------------------------------------------------------------
+# Space-Saving streaming top-k (hermetic, like the debounce tests)
+# ---------------------------------------------------------------------------
+
+from advanced_elb_logs_etl_spark.streaming.state import _SpaceSavingProcessor
+
+
+def _drive_ss(proc, batches):
+    """Feed pandas batches through the processor with the fake handle."""
+    import pandas as pd
+
+    h = _FakeHandle()
+    proc.init(h)
+    outs = []
+    for b in batches:
+        outs.append(
+            next(proc.handleInputRows(("k",), iter([pd.DataFrame({"item": b})]), None))
+        )
+    return outs
+
+
+def test_space_saving_exact_within_capacity():
+    proc = _SpaceSavingProcessor("item", capacity=10, topk=5)
+    out = _drive_ss(proc, [["a", "b", "a", "c", "a", "b"]])[-1]
+    got = {r.item: (r.est_count, r.max_err) for r in out.itertuples()}
+    assert got == {"a": (3, 0), "b": (2, 0), "c": (1, 0)}
+
+
+def test_space_saving_state_carries_and_bounds_hold():
+    import collections
+    import random
+
+    rng = random.Random(7)
+    stream = [str(rng.choice("abcde")) for _ in range(200)] + ["hh"] * 120
+    rng.shuffle(stream)
+    batches = [stream[i : i + 40] for i in range(0, len(stream), 40)]
+    proc = _SpaceSavingProcessor("item", capacity=4, topk=4)
+    out = _drive_ss(proc, batches)[-1]
+    true = collections.Counter(stream)
+    n = len(stream)
+    for r in out.itertuples():
+        assert true[r.item] <= r.est_count <= true[r.item] + r.max_err
+    # heavy-hitter guarantee: freq > n/capacity must be present
+    present = {r.item for r in out.itertuples()}
+    for it, c in true.items():
+        if c > n / 4:
+            assert it in present, (it, c)
+
+
+def test_space_saving_eviction_inherits_min_count():
+    proc = _SpaceSavingProcessor("item", capacity=2, topk=2)
+    out = _drive_ss(proc, [["a", "a", "b", "c"]])[-1]
+    got = {r.item: (r.est_count, r.max_err) for r in out.itertuples()}
+    # c evicted b (min count 1): est = 2 with err floor 1
+    assert got["a"] == (2, 0) and got["c"] == (2, 1)
