@@ -48,7 +48,8 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark.sparkContext), sf_dir)
     if key not in _EDGE_CACHE:
         while len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
-            _, old = _EDGE_CACHE.popitem()
+            oldest = next(iter(_EDGE_CACHE))
+            old = _EDGE_CACHE.pop(oldest)
             try:
                 old.unpersist()
             except Exception:

@@ -32,7 +32,8 @@ def _hashed_docs(spark: SparkSession, sf_dir: str):
     key = (id(spark.sparkContext), sf_dir)
     if key not in _HASHED_CACHE:
         while len(_HASHED_CACHE) >= _HASHED_CACHE_MAX:
-            _, old = _HASHED_CACHE.popitem()
+            oldest = next(iter(_HASHED_CACHE))
+            old = _HASHED_CACHE.pop(oldest)
             try:
                 old.unpersist()
             except Exception:
