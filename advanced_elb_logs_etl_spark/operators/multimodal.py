@@ -11,7 +11,12 @@ REAL for WAV integer PCM (decode_audio — dependency-free RIFF chunk walk
 + NumPy sample unpack, 8/16/32-bit, any channel count, with RMS/peak
 features via decode_audio_meta); compressed codecs (MP3/AAC/FLAC) raise a
 typed AudioDecodeError — those genuinely need codec libraries absent from
-this container. Everything Spark-side is real and tested either
+this container. Video demux is REAL for uncompressed AVI (demux_avi — a
+RIFF walk sharing the WAV chunk machinery; raw DIB frames re-enter the
+BMP pixel path via avi_frame_to_bmp, so one pixel decoder serves both
+containers), with demux_avi_frames doing the 1:N frame fan-out +
+per-frame decode; compressed streams raise a typed VideoDecodeError.
+Everything Spark-side is real and tested either
 way: the binary column schema, the mapInPandas batch shape (pandas
 DataFrames in/out), the output StructType, and the partitioning story.
 
@@ -691,4 +696,161 @@ def sample_frames(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         process, schema=FRAME_SCHEMA
+    )
+
+
+class VideoDecodeError(ValueError):
+    """Raised for undecodable video payloads (same one-bad-row contract as
+    Image/AudioDecodeError)."""
+
+
+def demux_avi(payload: bytes) -> dict:
+    """REAL AVI container demux — dependency-free RIFF walk for
+    uncompressed (DIB / '00db') video: stream metadata from the 'avih'
+    header plus the raw frame byte blobs from the 'movi' list, in order.
+
+    Returns {width, height, n_frames, us_per_frame, frames} where frames
+    is a list of raw bottom-up BGR DIB payloads (wrap with a BMP file
+    header — see avi_frame_to_bmp — to reuse decode_bmp).  Compressed
+    codecs ('00dc' chunks with a non-DIB handler) raise VideoDecodeError:
+    those genuinely need codec libraries absent from this container; the
+    container/demux/fan-out plumbing is the Spark-relevant part and is
+    fully real."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise VideoDecodeError("not a RIFF/AVI payload")
+
+    avih = None
+    frames: list[bytes] = []
+    compressed = False
+
+    def walk(buf: bytes, start: int, end: int) -> None:
+        nonlocal avih, compressed
+        off = start
+        while off + 8 <= end:
+            cid = buf[off : off + 4]
+            size = int.from_bytes(buf[off + 4 : off + 8], "little")
+            body_start, body_end = off + 8, min(off + 8 + size, end)
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_end)  # skip the list type tag
+            elif cid == b"avih":
+                avih = buf[body_start:body_end]
+            elif cid[2:4] == b"db":  # uncompressed DIB frame
+                frames.append(buf[body_start:body_end])
+            elif cid[2:4] == b"dc":  # compressed frame
+                compressed = True
+            off += 8 + size + (size & 1)  # chunks are word-aligned
+
+    walk(payload, 12, len(payload))
+    if compressed:
+        raise VideoDecodeError("compressed AVI stream (no codec library in container)")
+    if avih is None or len(avih) < 40:
+        raise VideoDecodeError("missing/truncated avih header")
+    us_per_frame = int.from_bytes(avih[0:4], "little")
+    total_frames = int.from_bytes(avih[16:20], "little")
+    width = int.from_bytes(avih[32:36], "little")
+    height = int.from_bytes(avih[36:40], "little")
+    if not frames:
+        raise VideoDecodeError("no video frames in movi list")
+    if total_frames and total_frames != len(frames):
+        raise VideoDecodeError(
+            f"avih declares {total_frames} frames, movi holds {len(frames)}"
+        )
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(frames),
+        "us_per_frame": us_per_frame,
+        "frames": frames,
+    }
+
+
+def avi_frame_to_bmp(frame: bytes, width: int, height: int, bpp: int = 24) -> bytes:
+    """Wrap a raw AVI DIB frame (bottom-up BGR pixel array) as a complete
+    BMP file so decode_bmp handles the pixel unpack — one decoder for both
+    containers."""
+    import struct as _struct
+
+    row_stride = (width * (bpp // 8) + 3) & ~3
+    info = _struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, row_stride * height, 0, 0, 0, 0
+    )
+    header = _struct.pack("<2sIHHI", b"BM", 14 + 40 + len(frame), 0, 0, 14 + 40)
+    return header + info + frame
+
+
+#: Output schema of demux_avi_frames.
+AVI_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixel_md5", T.StringType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def demux_avi_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    max_frames: int = 16,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL video 1:N fan-out via Arrow-batched mapInPandas: demux each
+    AVI payload, sample every `every_n`-th frame up to `max_frames`, and
+    decode each sampled frame through the BMP pixel path (top-down RGB
+    hash emitted, same as decode_image_meta). Undecodable payloads emit
+    one error row instead of failing the stage."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows: dict = {k: [] for k in (
+                "asset_id", "frame_index", "width", "height", "pixel_md5",
+                "decode_error")}
+
+            def emit(aid, idx, w, h, md5, err):
+                rows["asset_id"].append(aid)
+                rows["frame_index"].append(idx)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_md5"].append(md5)
+                rows["decode_error"].append(err)
+
+            for aid, payload in zip(batch[id_col], batch[payload_col]):
+                if payload is None:
+                    emit(aid, None, None, None, None, "null payload")
+                    continue
+                try:
+                    v = demux_avi(bytes(payload))
+                except VideoDecodeError as exc:
+                    emit(aid, None, None, None, None, str(exc))
+                    continue
+                taken = 0
+                for i in range(0, v["n_frames"], every_n):
+                    if taken >= max_frames:
+                        break
+                    try:
+                        img = decode_bmp(
+                            avi_frame_to_bmp(v["frames"][i], v["width"], v["height"])
+                        )
+                        emit(aid, i, img["width"], img["height"],
+                             hashlib.md5(img["pixels"]).hexdigest(), None)
+                    except ImageDecodeError as exc:
+                        emit(aid, i, None, None, None, str(exc))
+                    taken += 1
+            yield pd.DataFrame(
+                {
+                    "asset_id": rows["asset_id"],
+                    "frame_index": pd.array(rows["frame_index"], dtype="Int32"),
+                    "width": pd.array(rows["width"], dtype="Int32"),
+                    "height": pd.array(rows["height"], dtype="Int32"),
+                    "pixel_md5": rows["pixel_md5"],
+                    "decode_error": rows["decode_error"],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        process, schema=AVI_FRAME_SCHEMA
     )
