@@ -489,6 +489,14 @@ def decode_audio(payload: bytes) -> dict:
         raise AudioDecodeError(f"unsupported WAV format tag {audio_format} (PCM only)")
     if n_channels < 1:
         raise AudioDecodeError("zero channels")
+    # A data chunk whose length is not a whole number of samples would make
+    # np.frombuffer raise a plain ValueError — an untyped escape from the
+    # one-bad-row contract. Reject it as a typed decode error instead.
+    if bit_depth in (16, 32) and len(data) % (bit_depth // 8):
+        raise AudioDecodeError(
+            f"data chunk length {len(data)} is not a multiple of the "
+            f"{bit_depth // 8}-byte sample width (truncated payload)"
+        )
     if bit_depth == 8:
         raw = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
         samples = (raw - 128.0) / 128.0  # 8-bit WAV is unsigned
@@ -709,40 +717,80 @@ def demux_avi(payload: bytes) -> dict:
     uncompressed (DIB / '00db') video: stream metadata from the 'avih'
     header plus the raw frame byte blobs from the 'movi' list, in order.
 
-    Returns {width, height, n_frames, us_per_frame, frames} where frames
-    is a list of raw bottom-up BGR DIB payloads (wrap with a BMP file
-    header — see avi_frame_to_bmp — to reuse decode_bmp).  Compressed
-    codecs ('00dc' chunks with a non-DIB handler) raise VideoDecodeError:
-    those genuinely need codec libraries absent from this container; the
-    container/demux/fan-out plumbing is the Spark-relevant part and is
-    fully real."""
+    Returns {width, height, n_frames, us_per_frame, bpp, frames} where
+    frames is a list of raw bottom-up BGR DIB payloads (wrap with a BMP
+    file header — see avi_frame_to_bmp — to reuse decode_bmp).  ``bpp`` is
+    biBitCount from the video stream's 'strf' BITMAPINFOHEADER (24 when no
+    strf is present, the pre-VfW default); depths decode_bmp can't unpack
+    and non-BI_RGB strf compression raise VideoDecodeError rather than
+    silently misdecoding with the wrong stride.  Compressed codecs ('00dc'
+    chunks with a non-DIB handler) raise VideoDecodeError: those genuinely
+    need codec libraries absent from this container; the container/demux/
+    fan-out plumbing is the Spark-relevant part and is fully real.
+
+    The RIFF walk is iterative (explicit LIST stack), so adversarially
+    nested 12-byte LIST headers cannot trigger RecursionError — every
+    failure mode on this path is a typed VideoDecodeError."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise VideoDecodeError("not a RIFF/AVI payload")
 
+    buf = payload
     avih = None
     frames: list[bytes] = []
     compressed = False
+    in_vids_stream = False  # last 'strh' seen was a video stream header
+    strf_bpp = None
+    strf_compression = None
 
-    def walk(buf: bytes, start: int, end: int) -> None:
-        nonlocal avih, compressed
-        off = start
+    # Iterative depth-first walk in document order: descending into a LIST
+    # pushes the sibling continuation, so a payload of thousands of nested
+    # LIST headers costs list entries, never Python stack frames.
+    stack: list[tuple[int, int]] = [(12, len(payload))]
+    while stack:
+        off, end = stack.pop()
         while off + 8 <= end:
             cid = buf[off : off + 4]
             size = int.from_bytes(buf[off + 4 : off + 8], "little")
             body_start, body_end = off + 8, min(off + 8 + size, end)
+            next_off = off + 8 + size + (size & 1)  # chunks are word-aligned
             if cid == b"LIST":
-                walk(buf, body_start + 4, body_end)  # skip the list type tag
-            elif cid == b"avih":
+                stack.append((next_off, end))  # resume siblings afterwards
+                off, end = body_start + 4, body_end  # skip the list type tag
+                continue
+            if cid == b"avih":
                 avih = buf[body_start:body_end]
+            elif cid == b"strh":
+                in_vids_stream = (
+                    body_end - body_start >= 4
+                    and buf[body_start : body_start + 4] == b"vids"
+                )
+            elif cid == b"strf" and in_vids_stream and strf_bpp is None:
+                # BITMAPINFOHEADER: biBitCount @14, biCompression @16
+                if body_end - body_start < 20:
+                    raise VideoDecodeError("truncated video strf header")
+                strf_bpp = int.from_bytes(
+                    buf[body_start + 14 : body_start + 16], "little"
+                )
+                strf_compression = int.from_bytes(
+                    buf[body_start + 16 : body_start + 20], "little"
+                )
+                in_vids_stream = False
             elif cid[2:4] == b"db":  # uncompressed DIB frame
                 frames.append(buf[body_start:body_end])
             elif cid[2:4] == b"dc":  # compressed frame
                 compressed = True
-            off += 8 + size + (size & 1)  # chunks are word-aligned
+            off = next_off
 
-    walk(payload, 12, len(payload))
     if compressed:
         raise VideoDecodeError("compressed AVI stream (no codec library in container)")
+    if strf_compression not in (None, 0):
+        raise VideoDecodeError(
+            f"non-BI_RGB strf compression {strf_compression} "
+            "(no codec library in container)"
+        )
+    bpp = 24 if strf_bpp is None else strf_bpp
+    if bpp not in (24, 32):
+        raise VideoDecodeError(f"unsupported DIB bit depth {bpp} (24/32 only)")
     if avih is None or len(avih) < 40:
         raise VideoDecodeError("missing/truncated avih header")
     us_per_frame = int.from_bytes(avih[0:4], "little")
@@ -760,6 +808,7 @@ def demux_avi(payload: bytes) -> dict:
         "height": height,
         "n_frames": len(frames),
         "us_per_frame": us_per_frame,
+        "bpp": bpp,
         "frames": frames,
     }
 
@@ -833,7 +882,9 @@ def demux_avi_frames(
                         break
                     try:
                         img = decode_bmp(
-                            avi_frame_to_bmp(v["frames"][i], v["width"], v["height"])
+                            avi_frame_to_bmp(
+                                v["frames"][i], v["width"], v["height"], v["bpp"]
+                            )
                         )
                         emit(aid, i, img["width"], img["height"],
                              hashlib.md5(img["pixels"]).hexdigest(), None)

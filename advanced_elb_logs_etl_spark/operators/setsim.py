@@ -125,8 +125,13 @@ def prefix_filtered_jaccard_join(
     prefix rows, verification arrays) — it is persisted so the
     tokenize+explode pass runs once (pass your own `toks` from
     distinct_shingles to own the cache lifecycle; at 100 TB swap the
-    persist for a parquet checkpoint of the spine)."""
-    if toks is None:
+    persist for a parquet checkpoint of the spine).  When the spine is
+    created INTERNALLY, the result is pinned eagerly (localCheckpoint) and
+    the spine cache released before returning — repeated calls must not
+    leak session-lifetime persisted frames; a caller-supplied `toks` keeps
+    the result fully lazy and leaves the cache lifecycle to the caller."""
+    owns_toks = toks is None
+    if owns_toks:
         toks = distinct_shingles(df, id_col, text_col, n).persist()
     hashed = toks.select("id", F.xxhash64("tok").alias("h"))
     freq = hashed.groupBy("h").agg(F.count("*").alias("df_cnt"))
@@ -181,4 +186,7 @@ def prefix_filtered_jaccard_join(
         )
         .where(F.col("jaccard") >= F.lit(threshold))
     )
+    if owns_toks:
+        verified = verified.localCheckpoint(eager=True)
+        toks.unpersist()
     return verified

@@ -22,6 +22,7 @@ __all__ = [
     "ks_two_sample",
     "chi_square",
     "welch_t_stats",
+    "ewma_window",
 ]
 
 
@@ -30,6 +31,7 @@ def global_cumsum(
     order_cols: list[str],
     value_cols: list[str],
     num_ranges: int = 32,
+    pin: bool = True,
 ) -> DataFrame:
     """Totally-ordered running sums WITHOUT a single-partition window.
 
@@ -43,6 +45,14 @@ def global_cumsum(
     Appends `cum_<v>` for every v in value_cols.  The order defined by
     order_cols must be total (pass a tiebreak column) for deterministic
     output.
+
+    With pin=True (default) the function is EAGER: the output is pinned
+    with localCheckpoint and the internal range-partitioned cache is
+    released before returning, so repeated calls (rfm_segmentation makes
+    three) do not accumulate session-lifetime persisted frames.  pin=False
+    returns the fully-lazy composed plan for inspection/composition — the
+    caller then owns the double-execution hazard documented below and the
+    `ranged` cache marking.
     """
     # The ranged frame feeds two consumers (local scan + per-partition
     # totals). The persist is a CORRECTNESS requirement, not a perf nicety:
@@ -81,6 +91,12 @@ def global_cumsum(
             for v in value_cols
         ],
     )
+    if pin:
+        # Materialize before releasing the cache: unpersisting while `out`
+        # is still lazy would reintroduce the double-execution hazard the
+        # persist exists to prevent.
+        out = out.localCheckpoint(eager=True)
+        ranged.unpersist()
     return out
 
 

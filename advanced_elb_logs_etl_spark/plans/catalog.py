@@ -44,71 +44,9 @@ def register(name: str, oracle: str | None):
 # CORRECTNESS_r01/r02) follow.  Names not present in CATALOG are ignored,
 # so this list may safely lead registration.
 FRONT_OF_CATALOG: list[str] = [
-    # -- must-check: the one red row from r3 (array column made the driver's
-    # canonicalizer crash; now emitted as a joined string) plus the 9 late
-    # round-3 additions that have never had a driver row.
-    "collect_set_sorted",
-    "winsorize_values",
-    "weighted_sample_es",
-    "time_weighted_avg",
-    "entropy_per_source",
-    "autocorr_lag1",
-    "month_over_month_revenue",
-    "benford_first_digit",
-    "gini_revenue_concentration",
-    "profile_table_approx",
-    # -- round-4 additions (catalog_r4.py): no driver signal yet.
-    "decimal_exact_ledger",
-    "interval_overlap_join",
-    "sessionize_gap_dynamic",
-    "top_ngrams_per_lang",
-    "robust_scale_features",
-    "weighted_percentile",
-    "unpivot_metrics",
-    "url_query_explode",
-    "bitmap_distinct_dates",
-    "skew_salted_join",
-    "doc_minhash_containment",
-    "event_attribution_last_touch",
-    "time_spine_gap_fill",
-    "ua_family_counts",
-    "freq_items_battery",
-    # -- later round-4 additions (next-window queue in catalog_r4.py):
-    # no driver signal yet.
-    "string_agg_sorted",
-    "mad_robust_stats",
-    "running_distinct_users",
-    "regression_battery",
-    "date_function_battery",
-    "unigram_logprob_score",
-    # TPC-H completion wave (catalog_tpch.py): no driver signal yet.
-    "min_cost_supplier_q2",
-    "forecast_revenue_q6",
-    "market_share_q8",
-    "product_profit_q9",
-    "important_value_q11",
-    "customer_distribution_q13",
-    "top_supplier_q15",
-    "disjunctive_revenue_q19",
-    "excess_supply_q20",
-    "waiting_supplier_q21",
-    "global_sales_q22",
-    # graph-analytics wave (catalog_graph.py): no driver signal yet.
-    "triangle_census",
-    "khop_reachability",
-    "graph_jaccard_topk",
-    # sketch / heavy-hitter wave (catalog_sketch.py): no driver signal yet.
-    "heavy_hitters_exact",
-    "hll_shard_union",
-    "f2_moment_users",
-    # -- §2 core re-validation rotation (2 slots this round; the window is
-    # dense with never-checked entries): flagship parse path + core agg.
-    "alb_parse_roundtrip",
-    "hourly_agg",
-    # ---- position 51+ (outside the 50-entry window): next round's
-    # rotation queue. The round-4 session-2 waves (catalog_r4b/r4c) lead —
-    # they have no driver signal yet — followed by the long-green §2 /
-    # dedup / similarity re-validation cycle ----
+    # -- positions 1-26: the 26 catalog entries with NO driver CORRECTNESS
+    # row in any round (added late in round 4, beyond that round's window) —
+    # VERDICT r4 item 1. Same rotation discipline as the r3/r4 backlogs.
     "setsim_prefix_join",
     "grouping_sets_pricing",
     "ks_two_sample_values",
@@ -135,22 +73,50 @@ FRONT_OF_CATALOG: list[str] = [
     "sequence_top_paths",
     "cohort_ltv_curve",
     "repeated_kgram_spans",
+    # -- positions 27-31: §2-core re-validation rotation (VERDICT r4 item 2;
+    # exactly the five the judge named — last driver-green in r2).
+    "url_parse",
+    "status_bucket",
+    "dim_enrich_join",
+    "rolling_1h_avg",
+    "error_report",
+    # -- position 32: the only query whose latest driver signal is r1.
+    "winnow_fingerprints",
+    # -- positions 33-34: fresh post-change rows for the two operators this
+    # round modifies (VERDICT items 4 and 5: edit-distance compound-block
+    # guard; k-hop hub-skew defense). Their rows must stay green through the
+    # rewrite, so they re-enter the window.
+    "levenshtein_block_pairs",
+    "khop_reachability",
+    # -- positions 35-37: NEW round-5 streaming<->batch equivalence queries
+    # (VERDICT item 6) — real Structured Streaming runs (availableNow
+    # trigger, memory sink) compared against the batch twin's oracle SQL.
+    "stream_session_window_equiv",
+    "stream_hourly_agg_equiv",
+    "stream_debounce_equiv",
+    # -- positions 38-50: oldest-green rotation (latest row r2): §2 core +
+    # the dedup/similarity wave.
     "sessionize",
     "rolling_5min_count",
     "pipeline_e2e_hourly",
-    "winnow_fingerprints",
+    "null_coding_cast",
+    "date_parts",
+    "path_features",
+    "bot_origin_summary",
+    "anti_join_uncached",
+    "union_distinct_names",
+    "dedup_keep_last",
     "dedup_exact",
     "minhash_lsh_neardup",
     "simhash_neardup",
+    # ---- position 51+ (outside the 50-entry window): the r6 rotation
+    # queue — remaining r2-green entries first, then the r3-green cycle ----
     "ann_cosine_topk",
     "text_stats",
     "multimodal_meta",
     "asof_join_state",
     "range_join_windows",
-    "dim_enrich_join",
     "pricing_summary",
-    "url_parse",
-    "error_report",
     "topk_orders",
     "funnel_conversion",
     "cohort_retention",
@@ -162,6 +128,19 @@ FRONT_OF_CATALOG: list[str] = [
     "cube_pricing",
     "value_outliers_z",
     "session_report",
+    "embedding_neardup_pairs",
+    "full_outer_nation_suppliers",
+    "hourly_agg_approx",
+    "ivf_cosine_topk",
+    "large_orders_q18",
+    "local_supplier_q5",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "rollup_pricing",
+    "semi_join_active",
+    "shipping_priority_q3",
+    "simhash_signatures",
+    "volume_shipping_q7",
 ]
 
 

@@ -68,6 +68,33 @@ def test_decode_wav_rejections():
         multimodal.decode_audio(bytes(payload))
 
 
+def test_decode_wav_truncated_data_chunk_is_typed_error():
+    # a data chunk whose length is not a multiple of the sample width must
+    # raise the TYPED error (not np.frombuffer's plain ValueError), so the
+    # one-bad-row contract holds through decode_audio_meta
+    good = _wav_bytes(8000, 1, 2, np.array([[1], [2], [3]], dtype=np.int64))
+    at = good.find(b"data")
+    size = struct.unpack_from("<I", good, at + 4)[0]
+    truncated = bytearray(good[:-1])  # drop one byte of sample data
+    struct.pack_into("<I", truncated, at + 4, size - 1)
+    with pytest.raises(multimodal.AudioDecodeError, match="multiple"):
+        multimodal.decode_audio(bytes(truncated))
+
+
+def test_decode_audio_meta_survives_truncated_payload(spark):
+    good = _wav_bytes(8000, 1, 2, np.array([[1], [2], [3]], dtype=np.int64))
+    at = good.find(b"data")
+    size = struct.unpack_from("<I", good, at + 4)[0]
+    truncated = bytearray(good[:-1])
+    struct.pack_into("<I", truncated, at + 4, size - 1)
+    df = spark.createDataFrame(
+        [(1, good), (2, bytes(truncated))], "asset_id long, payload binary"
+    )
+    rows = {r.asset_id: r for r in multimodal.decode_audio_meta(df).collect()}
+    assert rows[1].decode_error is None and rows[1].n_frames == 3
+    assert rows[2].decode_error and "multiple" in rows[2].decode_error
+
+
 def test_decode_audio_meta_operator(spark):
     rows = [
         (1, _wav_bytes(16000, 1, 2, (np.ones((160, 1)) * 16384).astype(np.int64))),

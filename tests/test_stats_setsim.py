@@ -162,8 +162,11 @@ def test_prefix_join_matches_brute_force(spark, threshold):
 
 def test_prefix_join_no_cartesian(spark):
     docs = load_table(spark, SF, "documents")
+    # caller-owned spine keeps the result lazy so the REAL join plan is
+    # inspected (the internally-spined form returns a checkpointed frame)
+    toks = setsim.distinct_shingles(docs, "doc_id", "text")
     plan = (
-        setsim.prefix_filtered_jaccard_join(docs, threshold=0.6)
+        setsim.prefix_filtered_jaccard_join(docs, threshold=0.6, toks=toks)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -175,7 +178,7 @@ def test_prefix_join_no_cartesian(spark):
 def test_global_cumsum_plan_is_range_partitioned(spark):
     ev = load_table(spark, SF, "events").select("event_id", "value")
     plan = (
-        stats.global_cumsum(ev, ["value", "event_id"], ["value"])
+        stats.global_cumsum(ev, ["value", "event_id"], ["value"], pin=False)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
@@ -286,3 +289,18 @@ def test_ewma_null_values_drop_out(spark):
     assert math.isclose(got[2], 10.0)
     # t=3: weights 0.5 (x=30), 0.25 (null, dropped), 0.125 (x=10)
     assert math.isclose(got[3], (0.5 * 30 + 0.125 * 10) / (0.5 + 0.125))
+
+
+def test_internal_caches_are_released(spark):
+    """Neither global_cumsum (pin=True) nor an internally-spined
+    prefix_filtered_jaccard_join may leave a persisted frame behind for
+    the session lifetime (ADVICE r4): the cache manager must be as empty
+    after the call as before it."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm.clearCache()
+    ev = load_table(spark, SF, "events").select("event_id", "value").limit(200)
+    stats.global_cumsum(ev, ["value", "event_id"], ["value"]).collect()
+    assert cm.isEmpty()
+    docs = load_table(spark, SF, "documents").limit(60)
+    setsim.prefix_filtered_jaccard_join(docs, "doc_id", "text", 0.6).collect()
+    assert cm.isEmpty()

@@ -81,6 +81,54 @@ def test_demux_avi_rejections():
         multimodal.demux_avi(bytes(lying))
 
 
+def test_demux_avi_deep_list_nesting_is_typed_not_recursion():
+    # thousands of nested 12-byte LIST headers must not blow the Python
+    # stack: the walk is iterative, so the payload just yields "no frames"
+    depth = 5000
+    inner = b""
+    for _ in range(depth):
+        inner = _list(b"JUNK", inner)
+    payload = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    with pytest.raises(multimodal.VideoDecodeError):
+        multimodal.demux_avi(payload)
+
+
+def _avi_bytes_bpp(frames_bgrx: list[bytes], w: int, h: int, bpp: int) -> bytes:
+    """AVI writer with an explicit strf bit depth (raw DIB rows supplied)."""
+    stride = (w * (bpp // 8) + 3) & ~3
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        40000, 0, 0, 0, len(frames_bgrx), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack("<4s4sIHHIIIIIIII4H", b"vids", b"DIB ", 0, 0, 0, 0,
+                       1, 25, 0, len(frames_bgrx), 0, 0, 0, 0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, stride * h, 0, 0, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
+    movi = _list(b"movi", b"".join(_chunk(b"00db", d) for d in frames_bgrx))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_demux_avi_32bpp_strf_decodes_with_right_stride():
+    # one 2x2 32-bpp frame: BGRX pixels, bottom-up rows, stride = 8 (no pad)
+    want = _rgb(2, 2, 7)
+    rows = []
+    for r in want[::-1]:
+        rows.append(b"".join(bytes([p[2], p[1], p[0], 0]) for p in r))
+    dib = b"".join(rows)
+    v = multimodal.demux_avi(_avi_bytes_bpp([dib], 2, 2, 32))
+    assert v["bpp"] == 32
+    img = multimodal.decode_bmp(multimodal.avi_frame_to_bmp(dib, 2, 2, v["bpp"]))
+    got = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(2, 2, 3)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_demux_avi_unsupported_bpp_is_typed_error():
+    with pytest.raises(multimodal.VideoDecodeError, match="bit depth"):
+        multimodal.demux_avi(_avi_bytes_bpp([b"\x00" * 8], 2, 2, 16))
+
+
 def test_demux_avi_frames_operator(spark):
     f_a = [_rgb(6, 4, i) for i in range(5)]
     f_b = [_rgb(3, 3, 10 + i) for i in range(2)]
