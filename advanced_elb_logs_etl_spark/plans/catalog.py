@@ -93,8 +93,9 @@ FRONT_OF_CATALOG: list[str] = [
     # trigger, memory sink) compared against the batch twin's oracle SQL.
     "stream_session_window_equiv",
     "stream_hourly_agg_equiv",
-    "stream_debounce_equiv",
-    # -- positions 38-50: oldest-green rotation (latest row r2): §2 core +
+    "stream_dedup_equiv",
+    "stream_join_equiv",
+    # -- positions 39-50: oldest-green rotation (latest row r2): §2 core +
     # the dedup/similarity wave.
     "sessionize",
     "rolling_5min_count",
@@ -108,9 +109,9 @@ FRONT_OF_CATALOG: list[str] = [
     "dedup_keep_last",
     "dedup_exact",
     "minhash_lsh_neardup",
-    "simhash_neardup",
     # ---- position 51+ (outside the 50-entry window): the r6 rotation
     # queue — remaining r2-green entries first, then the r3-green cycle ----
+    "simhash_neardup",
     "ann_cosine_topk",
     "text_stats",
     "multimodal_meta",

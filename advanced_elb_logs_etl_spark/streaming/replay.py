@@ -1,0 +1,84 @@
+"""Batch-replay harness: run a REAL Structured Streaming query over a
+batch frame's data and hand the finished result back as a batch DataFrame.
+
+This is the bridge that lets the streaming surface participate in the
+value-exact DuckDB correctness gate: the batch frame is staged as parquet,
+re-read with ``readStream`` (a genuine streaming source — micro-batch
+planner, state store, watermarks all engaged), pushed through the caller's
+streaming transformation, and drained to completion with an
+``availableNow`` trigger into an in-memory sink.  The sink table is pinned
+and returned, so the caller can compare it row-for-row against the batch
+twin's oracle SQL.
+
+Equivalence discipline (why these results CAN be value-exact):
+
+- aggregation queries replay in ``complete`` output mode: append mode
+  would suppress windows the end-of-stream watermark has not passed —
+  an inherent streaming/batch divergence, not a bug — while complete mode
+  emits every window exactly as the batch aggregation would;
+- stateless/dedup/join queries replay in ``append`` mode with a watermark
+  delay far longer than the fixture's event-time span, so no row is
+  dropped as late and no state is finalized early;
+- every float aggregate is DECIMAL-snapped inside the streaming plan
+  (same dround contract as the batch catalog).
+
+Scale note: the staging parquet is written once and read once — the
+harness adds two linear passes over the input, nothing quadratic.  On a
+real cluster the same ``build`` functions attach to a Kafka/file source
+directly; ``replay_stream`` exists so tests and the correctness driver can
+exercise the identical plan hermetically.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def replay_stream(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    build: Callable[[DataFrame], DataFrame],
+    query_name: str,
+    output_mode: str = "complete",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Replay ``batch_df`` through ``build(stream_df)`` as a real streaming
+    query (availableNow trigger, memory sink) and return the final sink
+    table pinned as a batch DataFrame.
+
+    The temp staging/checkpoint directory is removed before returning; the
+    result is localCheckpoint-pinned first so nothing re-reads it.
+    """
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_replay_")
+    name = f"{query_name}_{uuid.uuid4().hex[:8]}"
+    try:
+        src = os.path.join(tmp, "src")
+        ckpt = os.path.join(tmp, "ckpt")
+        batch_df.write.parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        out = build(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:  # pragma: no cover - defensive timeout path
+            q.stop()
+            raise TimeoutError(f"streaming replay {name} did not drain")
+        if q.exception() is not None:
+            raise q.exception()
+        result = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.catalog.dropTempView(name)
+    return result
