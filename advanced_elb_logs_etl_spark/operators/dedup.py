@@ -215,6 +215,114 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def _max_block_rows(max_block_pairs: int) -> int:
+    """Largest block size n whose pair count n*(n-1)/2 stays within the
+    per-block candidate budget."""
+    import math
+
+    return max(1, int((1.0 + math.sqrt(1.0 + 8.0 * max_block_pairs)) / 2.0))
+
+
+def levenshtein_dense_blocks(
+    blocked: DataFrame,
+    block_cols: list[str],
+    max_block_pairs: int = 5_000_000,
+) -> DataFrame:
+    """Blocks whose self-join pair count n*(n-1)/2 exceeds the budget,
+    with the sub-band fan-out `_nsub = ceil(n / n_max)` that brings the
+    EXPECTED sub-block back inside it.  One hash agg over the blocking
+    key — the estimate costs a count, not a join.  Exposed (not private)
+    so tests and pipelines can observe when the density guard engages."""
+    n_max = _max_block_rows(max_block_pairs)
+    return (
+        blocked.groupBy(*block_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > n_max)
+        .select(
+            *block_cols,
+            F.ceil(F.col("_n") / F.lit(n_max)).cast("int").alias("_nsub"),
+        )
+    )
+
+
+def levenshtein_blocked_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    prefix_len: int = 40,
+    max_distance: int = 24,
+    max_block_pairs: int = 5_000_000,
+) -> DataFrame:
+    """Edit-distance near-match pairs on `prefix_len`-char prefixes,
+    blocked on `block_cols`, with an AUTOMATIC compound-blocking guard
+    against dense blocks (VERDICT r4 item 4 / the SCALE.md block-density
+    caveat).
+
+    Base path: self-equi-join on the blocking key, JVM `levenshtein` on
+    the prefixes inside blocks only — candidates are sum over blocks of
+    n*(n-1)/2, never all-pairs.  The failure mode the guard exists for:
+    blocking keys are chosen for recall, so a corpus where one block
+    DENSITY grows (one dominant source/length at 100 TB) turns that sum
+    quadratic even though the plan shape is fine — measured in SCALE.md's
+    10x key-sharing replication (104x candidates, 5x wall).
+
+    Guard (same discipline as lsh_candidate_pairs' max_bucket): estimate
+    per-block pair counts with one count agg; blocks over
+    `max_block_pairs` get a SECOND blocking dimension — a first-token band
+    `pmod(xxhash64(first_token), ceil(n/n_max))` — bringing expected
+    sub-block pair counts back inside the budget.  Sparse blocks keep
+    `_sub = 0`, so the guard engaging for one block never changes results
+    in any other block.  Recall contract: within a dense block, pairs
+    whose first tokens differ are outside the guard's recall (documented
+    trade — strictly better than max_bucket's drop-the-whole-bucket, which
+    loses every pair).  Near-identical prefixes almost always share the
+    first token; corpora needing cross-token recall should block on
+    MinHash bands instead (minhash_lsh_neardup).
+
+    Determinism: engagement depends only on exact block counts and the
+    budget — no sampling — so results are reproducible run-to-run and the
+    DuckDB oracle twin stays value-exact whenever the budget is not
+    exceeded (driver scale factors; the planted-density stress test covers
+    the engaged path)."""
+    block_cols = list(block_cols) if block_cols else ["source"]
+    first_token = F.substring_index(F.trim(F.col(text_col)), " ", 1)
+    base = df.select(
+        F.col(id_col),
+        *block_cols,
+        F.substring(F.col(text_col), 1, prefix_len).alias("_prefix"),
+        F.xxhash64(first_token).alias("_ftok"),
+    )
+    dense = levenshtein_dense_blocks(base, block_cols, max_block_pairs)
+    banded = (
+        base.join(F.broadcast(dense), block_cols, "left")
+        .withColumn(
+            "_sub",
+            F.when(
+                F.col("_nsub").isNotNull(),
+                F.pmod(F.col("_ftok"), F.col("_nsub")),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_nsub", "_ftok")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col("a._sub") == F.col("b._sub")
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    lev = F.levenshtein(F.col("a._prefix"), F.col("b._prefix"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            lev.cast("long").alias("lev_prefix"),
+        )
+        .filter(F.col("lev_prefix") <= max_distance)
+    )
+
+
 #: Lane layout for the packed SimHash vote aggregation: 3 x 20-bit popcount
 #: lanes per long. A lane counts at most 2^20-1 = 1,048,575 distinct shingles
 #: per doc before carrying into its neighbor — ~1M tokens/doc, far above any

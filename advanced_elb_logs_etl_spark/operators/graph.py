@@ -326,7 +326,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     )
 
 
-def k_hop_reachability(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
+def k_hop_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    hub_degree_threshold: int = 32_768,
+) -> DataFrame:
     """Nodes reachable within k hops of each seed (the seed itself
     included), as [seed, n_reachable].
 
@@ -335,20 +340,75 @@ def k_hop_reachability(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
     Scale: classic frontier BFS — each hop is one hash join of the current
     REACHED set against the mirrored adjacency plus a distinct; lineage
     stays k-deep (k is small and fixed — for iterate-to-convergence walks
-    use pagerank's checkpoint discipline). The reached set is keyed
-    (seed, node), so hop joins shuffle on the frontier node key and skew
-    follows hub degree — for power-law graphs at 100 TB, pre-salt the
-    adjacency on hub nodes or cap frontier degree the way
-    co_occurrence_edges caps groups."""
+    use pagerank's checkpoint discipline).
+
+    Hub-skew defense (VERDICT r4 item 5), EXACT by construction: the hop
+    join shuffles on the frontier node key, so on a power-law graph one
+    hub's adjacency lands in one task and stalls the stage.  Nodes whose
+    degree exceeds ``hub_degree_threshold`` get their adjacency SALTED
+    into ``ceil(d / threshold)`` shards keyed ``(u, salt)`` with
+    ``salt = pmod(xxhash64(v), nsalt)``; the frontier row for a hub is
+    replicated across exactly those salts (explode of a 0..nsalt-1
+    sequence), so every (frontier, neighbor) pair matches exactly once —
+    results are identical to the unsalted join, per-task load is capped at
+    ~threshold edges per key.  Non-hub nodes keep salt 0 and pay one
+    broadcast-hash probe against the (tiny, broadcast) hub table — the
+    salting never engages on them, so sparse graphs are unaffected.  The
+    hub table is degree-derived (one hash agg) and assumed broadcastable:
+    power-law graphs have O(V^(1/alpha)) nodes above any fixed degree
+    threshold.  Planted-hub equivalence is pinned by
+    tests/test_graph_ops.py::test_khop_hub_salting_is_exact."""
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
+    if hub_degree_threshold < 1:
+        raise ValueError(f"hub_degree_threshold must be >= 1, got {hub_degree_threshold}")
     # the adjacency is probed once per hop — checkpoint it so the upstream
     # edge derivation runs once, not k times
     und = _mirror(edges).localCheckpoint(eager=True)
+    hubs = (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .where(F.col("_d") > hub_degree_threshold)
+        .select(
+            "u",
+            F.ceil(F.col("_d") / F.lit(hub_degree_threshold))
+            .cast("int")
+            .alias("_nsalt"),
+        )
+        .localCheckpoint(eager=True)  # tiny; derived once, probed 2k times
+    )
+    und_salted = (
+        und.join(F.broadcast(hubs), "u", "left")
+        .select(
+            "u",
+            "v",
+            F.pmod(F.xxhash64("v"), F.coalesce(F.col("_nsalt"), F.lit(1))).alias(
+                "_salt"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    hub_nodes = hubs.select(F.col("u").alias("node"), "_nsalt")
     reached = seeds.select(F.col("node").alias("seed"), F.col("node"))
     for _ in range(k):
+        frontier = (
+            reached.join(F.broadcast(hub_nodes), "node", "left")
+            .select(
+                "seed",
+                "node",
+                F.explode(
+                    F.sequence(
+                        F.lit(0), F.coalesce(F.col("_nsalt"), F.lit(1)) - F.lit(1)
+                    )
+                ).alias("_salt"),
+            )
+        )
         nxt = (
-            reached.join(und, reached.node == und.u)
+            frontier.join(
+                und_salted,
+                (frontier.node == und_salted.u)
+                & (frontier._salt == und_salted._salt),
+            )
             .select("seed", F.col("v").alias("node"))
         )
         reached = reached.union(nxt).distinct()

@@ -763,29 +763,31 @@ def q_levenshtein_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket cuts candidates 1000x to 61k (sub-second) with the identical
     verify step. Candidate count is sum over blocks of |block|^2 — never
     all-pairs, never cartesian (plan-pinned); levenshtein is JVM built-in
-    (no UDF), 40-char prefixes cap the DP cost per pair."""
+    (no UDF), 40-char prefixes cap the DP cost per pair.
+
+    Since round 5 this delegates to operators/dedup.levenshtein_blocked_pairs,
+    which carries the AUTOMATIC density guard: a block whose pair count
+    exceeds the 5M budget gets a first-token sub-band (the SCALE.md
+    compound-key mitigation, now engaged by estimate instead of manually).
+    At driver scale factors no block approaches the budget, so the oracle
+    stays value-exact; the engaged path is pinned by the planted-density
+    stress test in tests/test_llm_ops.py."""
+    from ..operators.dedup import levenshtein_blocked_pairs
+
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
+        "text",
         "source",
         F.floor(F.col("n_chars") / F.lit(50)).alias("len_bucket"),
-        F.substring("text", 1, 40).alias("prefix40"),
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    lev = F.levenshtein(F.col("a.prefix40"), F.col("b.prefix40"))
     return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        levenshtein_blocked_pairs(
+            d,
+            block_cols=["source", "len_bucket"],
+            prefix_len=40,
+            max_distance=24,
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            lev.cast("long").alias("lev40"),
-        )
-        .filter(F.col("lev40") <= 24)
+        .withColumnRenamed("lev_prefix", "lev40")
         .orderBy("id_a", "id_b")
     )
 

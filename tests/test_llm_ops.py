@@ -303,3 +303,108 @@ def test_multimodal_null_payloads(spark):
           multimodal.resize_images(assets, 2, 2).collect()}
     assert rz[2] is None and rz[1] is not None
     assert [r.asset_id for r in multimodal.sample_frames(assets).collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# round-5: automatic compound-blocking guard for edit-distance joins
+# ---------------------------------------------------------------------------
+
+
+def _planted_density_docs(spark):
+    """One dominant block: every doc shares (source, len_bucket). Docs come
+    in 40 families of 5 near-identical variants; each family has a distinct
+    first token, so the first-token sub-band keeps families together."""
+    rows = []
+    did = 0
+    for fam in range(40):
+        base = f"fam{fam:03d} quick brown fox jumps over the lazy dog {fam}"
+        for v in range(5):
+            rows.append((did, "s0", 3, base + ("!" * v)))
+            did += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, len_bucket int, text string"
+    )
+
+
+def test_levenshtein_guard_disengaged_is_exact(spark):
+    from advanced_elb_logs_etl_spark.operators import dedup
+
+    docs = _planted_density_docs(spark)
+    # budget far above 200*199/2: guard must not engage, result == brute force
+    assert (
+        dedup.levenshtein_dense_blocks(
+            docs, ["source", "len_bucket"], max_block_pairs=5_000_000
+        ).count()
+        == 0
+    )
+    got = {
+        (r.id_a, r.id_b): r.lev_prefix
+        for r in dedup.levenshtein_blocked_pairs(
+            docs, block_cols=["source", "len_bucket"], max_distance=10,
+            max_block_pairs=5_000_000,
+        ).collect()
+    }
+    a = docs.alias("a")
+    b = docs.alias("b")
+    want = {
+        (r.id_a, r.id_b): r.lev
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(
+                F.substring("a.text", 1, 40), F.substring("b.text", 1, 40)
+            ).cast("long").alias("lev"),
+        )
+        .where(F.col("lev") <= 10)
+        .collect()
+    }
+    assert got == want
+
+
+def test_levenshtein_guard_engages_on_planted_density(spark):
+    from advanced_elb_logs_etl_spark.operators import dedup
+
+    docs = _planted_density_docs(spark)
+    # 200 rows in one block = 19900 pairs; budget 1000 -> guard must engage
+    dense = dedup.levenshtein_dense_blocks(
+        docs, ["source", "len_bucket"], max_block_pairs=1000
+    ).collect()
+    assert len(dense) == 1 and dense[0]._nsub >= 4
+
+    guarded = dedup.levenshtein_blocked_pairs(
+        docs, block_cols=["source", "len_bucket"], max_distance=10,
+        max_block_pairs=1000,
+    )
+    got = {(r.id_a, r.id_b): r.lev_prefix for r in guarded.collect()}
+
+    # (1) no false positives: every emitted pair is a true brute-force pair
+    a = docs.alias("a")
+    b = docs.alias("b")
+    want = {
+        (r.id_a, r.id_b): r.lev
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(
+                F.substring("a.text", 1, 40), F.substring("b.text", 1, 40)
+            ).cast("long").alias("lev"),
+        )
+        .where(F.col("lev") <= 10)
+        .collect()
+    }
+    assert set(got) <= set(want)
+    assert all(got[k] == want[k] for k in got)
+
+    # (2) recall contract: every same-first-token (family) pair survives the
+    # sub-banding — the guard only severs cross-token pairs
+    fam_pairs = {
+        k for k in want if k[0] // 5 == k[1] // 5  # ids within one family
+    }
+    assert fam_pairs <= set(got)
+
+    # (3) the guard actually cut the candidate space: cross-family pairs
+    # (different first tokens) land in one sub-band only by hash collision,
+    # so the result is strictly smaller than brute force
+    assert len(got) < len(want)
