@@ -61,6 +61,18 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _EDGE_CACHE[key]
 
 
+def clear_edge_cache() -> None:
+    """Unpersist and drop the shared co-purchase edge frames — benchmark
+    hook for isolated per-query attribution, mirroring
+    catalog_llm.clear_hashed_cache."""
+    while _EDGE_CACHE:
+        _, frame = _EDGE_CACHE.popitem()
+        try:
+            frame.unpersist()
+        except Exception:
+            pass  # stopped context; nothing to release
+
+
 def _seed_nodes(edges: DataFrame) -> DataFrame:
     nodes = (
         edges.select(F.col("u").alias("node"))

@@ -42,6 +42,20 @@ def _hashed_docs(spark: SparkSession, sf_dir: str):
         _HASHED_CACHE[key] = frame
     return _HASHED_CACHE[key]
 
+
+def clear_hashed_cache() -> None:
+    """Unpersist and drop every shared shingle-hash frame.  Benchmarks use
+    this to de-correlate the dedup-cluster queries: in a plain catalog
+    sweep, whichever cluster member runs first pays the cache build for
+    the rest, so per-query attribution swings run-to-run (VERDICT r4
+    item 3)."""
+    while _HASHED_CACHE:
+        _, frame = _HASHED_CACHE.popitem()
+        try:
+            frame.unpersist()
+        except Exception:
+            pass  # stopped context; nothing to release
+
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (twins of functions/hashing.py)
 # ---------------------------------------------------------------------------

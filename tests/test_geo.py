@@ -131,3 +131,77 @@ def test_end_to_end_fetch_and_persist(spark, tmp_path):
     assert rows["5.5.5.5"].countryName == "Wonderland"
     # cache was persisted with the new row
     assert geo.load_geo_cache(spark, cache_path).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# round-5: opt-in executor-side fetch path (VERDICT r4 item 8)
+# ---------------------------------------------------------------------------
+
+
+def _make_wonderland_factory():
+    """Build a cloudpickle-by-value transport factory: deterministic fake
+    fetch (no network) with one planted API failure and one int-lat row.
+    Defined as a nested closure so executors never need to import the test
+    module."""
+    def factory():
+        def transport(ip):
+            if ip == "9.9.9.9":
+                return {"status": "fail", "message": "reserved range", "query": ip}
+            return {"status": "success", "query": ip, "country": f"Wonder-{ip}",
+                    "countryCode": "WL", "region": "W", "regionName": "W",
+                    "city": "Rabbit Hole", "lat": 35, "lon": 0.5, "isp": "Hatter",
+                    "message": None}
+        return transport
+    return factory
+
+
+def test_uncached_ips_frame_matches_driver_list(spark, tmp_path):
+    cache = geo.load_geo_cache(spark, _seed_cache(spark, tmp_path))
+    logs = _logs(spark, ["1.1.1.1", "2.2.2.2", "5.5.5.5", "4.4.4.4", None])
+    frame_ips = sorted(r.ip for r in geo.uncached_ips_frame(logs, cache).collect())
+    assert frame_ips == sorted(geo.find_uncached_ips(logs, cache))
+    # cap semantics preserved: plan-side limit, deterministic sort order
+    capped = [r.ip for r in geo.uncached_ips_frame(logs, cache, max_ips=1).collect()]
+    assert capped == ["4.4.4.4"]
+
+
+def test_executor_side_fetch_and_upsert(spark, tmp_path):
+    cache_path = _seed_cache(spark, tmp_path)
+    logs = _logs(spark, ["1.1.1.1", "5.5.5.5", "9.9.9.9"])
+    out = geo.enrich_with_geolocation(
+        spark, logs, cache_path,
+        transport_factory=_make_wonderland_factory(),
+        inter_request_delay_s=0.0,
+    )
+    rows = {r.client_ip: r for r in out.collect()}
+    assert rows["5.5.5.5"].countryName == "Wonder-5.5.5.5"
+    assert rows["5.5.5.5"].lat == 35.0  # int coord coerced to double
+    assert rows["9.9.9.9"].status == "fail"  # API failure -> stub row kept
+    assert rows["9.9.9.9"].message == "reserved range"
+    assert rows["1.1.1.1"].countryName == "Australia"  # cache hit untouched
+    # both misses persisted to the cache
+    persisted = geo.load_geo_cache(spark, cache_path)
+    assert persisted.count() == 4
+
+
+def test_executor_side_rejects_double_transport(spark, tmp_path):
+    cache_path = _seed_cache(spark, tmp_path)
+    with pytest.raises(ValueError, match="not both"):
+        geo.enrich_with_geolocation(
+            spark, _logs(spark, ["1.1.1.1"]), cache_path,
+            transport=lambda ip: {},
+            transport_factory=_make_wonderland_factory(),
+        )
+
+
+def test_distributed_fetch_single_partition_by_default(spark):
+    """The global-rate-limit contract: the fetch stage must run as ONE
+    task unless the caller opts into a keyed quota."""
+    missing = spark.createDataFrame([("8.8.8.8",), ("7.7.7.7",)], "ip string")
+    fetched = geo.fetch_geolocations_distributed(
+        missing, _make_wonderland_factory(), inter_request_delay_s=0.0
+    )
+    assert fetched.rdd.getNumPartitions() == 1
+    got = {r.query: r for r in fetched.collect()}
+    assert set(got) == {"8.8.8.8", "7.7.7.7"}
+    assert got["8.8.8.8"].country == "Wonder-8.8.8.8"

@@ -21,7 +21,20 @@ def main() -> int:
         return 2
     def load(path):
         d = json.load(open(path))
-        d = d.get("parsed", d)  # driver BENCH_r{N}.json wraps bench output
+        if "parsed" in d:  # driver BENCH_r{N}.json wraps bench output
+            if d["parsed"] is None:
+                # The driver stores only a TAIL of bench stdout; when the
+                # JSON line didn't fit, "parsed" is null and the tail is an
+                # incomplete fragment. Comparing fragments silently produced
+                # misleading per-query deltas (VERDICT r4 item 9) — refuse
+                # loudly instead and point at the full builder-side records.
+                raise SystemExit(
+                    f"{path}: driver bench record is TRUNCATED ('parsed' is "
+                    "null — the tail is not a complete bench JSON line). "
+                    "Use the full per-query records in BENCH_HISTORY.md, or "
+                    "re-run bench.py locally and compare its output file."
+                )
+            d = d["parsed"]
         return d["queries"]
 
     old = load(sys.argv[1])
