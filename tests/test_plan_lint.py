@@ -14,10 +14,12 @@ sys.path.insert(0, "/root/repo/tools")
 def test_catalog_plan_lint(spark):
     from plan_lint import lint
 
-    findings, allowed = lint("/root/testdata/sf0.001")
+    findings, allowed, unused = lint("/root/testdata/sf0.001")
     assert not findings, findings
-    # the allowlist should be exercised, not stale — at least the two-phase
-    # scan and report-frame patterns must appear
+    # the allowlist must shrink, not accrete: every entry must be exercised
+    # by the current catalog (stale entries get pruned, VERDICT r4 item 7)
+    assert not unused, unused
+    # ... and the report-frame patterns must actually appear
     hit = {name for name, _ in allowed}
     assert "rfm_segmentation" in hit and "referential_integrity_audit" in hit
 
