@@ -23,6 +23,7 @@ __all__ = [
     "chi_square",
     "welch_t_stats",
     "ewma_window",
+    "auc_mann_whitney",
 ]
 
 
@@ -280,6 +281,51 @@ def welch_t_stats(
         mean_b.alias("mean_b"),
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
+    )
+
+
+def auc_mann_whitney(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact tie-aware ROC AUC as a relational computation — the
+    Mann-Whitney U identity, no per-pair work:
+
+        U = sum over distinct scores s of  pos_s * (neg_below(s) + neg_s/2)
+        AUC = U / (P * N)
+
+    Plan: ONE hash agg to per-distinct-score (pos, neg) counts (the
+    data-sized reduction happens first), the two-phase range scan for the
+    cumulative negative count, a 1-row fold.  Everything stays in the
+    integer domain via the doubled form U2 = sum pos_s * (2*neg_below +
+    neg_s); AUC = U2 / (2*P*N) is ONE double division of exact BIGINTs —
+    bit-identical across engines, no rounding needed.
+
+    ``label_col`` must be an int/bool 0-1 column.  Returns 1 row:
+    (auc double, n_pos bigint, n_neg bigint).
+    """
+    lab = F.col(label_col).cast("long")
+    per_score = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(lab).alias("pos"),
+        F.sum(F.lit(1) - lab).alias("neg"),
+    )
+    cum = global_cumsum(per_score, ["s"], ["neg"])
+    u2 = cum.select(
+        (F.col("pos") * (F.lit(2) * (F.col("cum_neg") - F.col("neg")) + F.col("neg")))
+        .alias("u2c"),
+        "pos",
+        "neg",
+    ).groupBy().agg(
+        F.sum("u2c").alias("u2"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+    )
+    return u2.select(
+        (
+            F.col("u2").cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
     )
 
 

@@ -95,11 +95,24 @@ FRONT_OF_CATALOG: list[str] = [
     "stream_hourly_agg_equiv",
     "stream_dedup_equiv",
     "stream_join_equiv",
-    # -- positions 39-50: oldest-green rotation (latest row r2): §2 core +
-    # the dedup/similarity wave.
+    # -- positions 39-45: NEW round-5 evaluation/drift wave (catalog_r5.py)
+    # — inside the window so zero never-checked entries remain after r5.
+    "auc_mann_whitney",
+    "calibration_bins",
+    "cohens_kappa",
+    "psi_value_drift",
+    "km_survival",
+    "impute_battery",
+    "two_proportion_ztest",
+    # -- positions 46-50: oldest-green rotation (latest row r2): flagship
+    # §2 core + the dedup wave heads.
     "sessionize",
     "rolling_5min_count",
     "pipeline_e2e_hourly",
+    "dedup_exact",
+    "minhash_lsh_neardup",
+    # ---- position 51+ (outside the 50-entry window): the r6 rotation
+    # queue — remaining r2-green entries first, then the r3-green cycle ----
     "null_coding_cast",
     "date_parts",
     "path_features",
@@ -107,10 +120,6 @@ FRONT_OF_CATALOG: list[str] = [
     "anti_join_uncached",
     "union_distinct_names",
     "dedup_keep_last",
-    "dedup_exact",
-    "minhash_lsh_neardup",
-    # ---- position 51+ (outside the 50-entry window): the r6 rotation
-    # queue — remaining r2-green entries first, then the r3-green cycle ----
     "simhash_neardup",
     "ann_cosine_topk",
     "text_stats",

@@ -1,0 +1,485 @@
+"""Round-5 catalog wave: model-evaluation and data-drift statistics as
+distributed relational computations — exact tie-aware AUC (Mann-Whitney),
+calibration/reliability bins, Cohen's kappa inter-labeler agreement,
+population-stability-index drift, Kaplan-Meier-style survival (horizon
+censoring), deterministic group imputation, and a two-proportion z-test.
+
+These extend the training-data-pipeline surface toward the evaluation
+side: a 100 TB corpus pipeline ends in exactly these queries (did the
+filter shift the score distribution? do two labeling passes agree? what
+is the label AUC of a quality score?).
+
+Same contract as plans.catalog: every query has a value-exact DuckDB
+oracle twin — integer-count ratios emitted as single double divisions
+(bit-identical cross-engine), accumulated doubles DECIMAL-snapped via
+dround, deterministic tiebreaks on orderings.  Scale notes per query; the
+wave's theme is COUNT-FIRST shapes: every statistic reduces the data with
+one hash agg before any ordering/scan work, so nothing here touches a
+single-partition window (plan-lint enforced).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dround
+from ..operators import stats
+from .catalog import _t, _us, register
+
+_DR6 = "CAST(round(CAST({x} AS DECIMAL(28,8)), 6) AS DOUBLE)"
+
+#: Deterministic 0/1 label shared by the evaluation queries: purchases are
+#: the positive class. Spark and SQL twins use the identical expression.
+_IS_PURCHASE = "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+
+
+# ---------------------------------------------------------------------------
+# auc_mann_whitney — exact tie-aware ROC AUC, relationally
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH per_score AS (
+  SELECT value AS s,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS pos,
+         sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)::BIGINT AS neg
+  FROM events GROUP BY value
+), cum AS (
+  SELECT pos, neg,
+         sum(neg) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum_neg
+  FROM per_score
+), u AS (
+  SELECT sum(pos * (2 * (cum_neg - neg) + neg))::BIGINT AS u2,
+         sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg
+  FROM cum
+)
+SELECT CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc,
+       n_pos, n_neg
+FROM u
+"""
+
+
+@register("auc_mann_whitney", _AUC_ORACLE)
+def q_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware AUC of `value` as a score for the purchase label,
+    via the Mann-Whitney U identity (operators/stats.auc_mann_whitney):
+    one hash agg to per-distinct-score counts, the two-phase range scan
+    for cumulative negatives, a 1-row fold.  The doubled-U integer form
+    makes the result ONE division of exact BIGINTs — no rounding anywhere.
+
+    Scale: per-pair formulations are O(P*N) and impossible at 100 TB; this
+    is O(distinct scores) after a linear reduction, and the only ordered
+    step is the range-partitioned scan (no single-partition window)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "value", F.expr(_IS_PURCHASE).alias("lab")
+    )
+    return stats.auc_mann_whitney(ev, "value", "lab")
+
+
+# ---------------------------------------------------------------------------
+# calibration_bins — reliability diagram table
+# ---------------------------------------------------------------------------
+
+_CALIB_ORACLE = f"""
+SELECT least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bin,
+       count(*)::BIGINT AS n,
+       sum({_IS_PURCHASE})::BIGINT AS n_pos,
+       CAST(sum({_IS_PURCHASE}) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate,
+       {_DR6.format(x='avg(value)')} AS mean_score
+FROM events
+GROUP BY 1 ORDER BY bin
+"""
+
+
+@register("calibration_bins", _CALIB_ORACLE)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability/calibration table: fixed-width score bins (clamped
+    floor(value/50) into 0..9), per-bin count, positive count, positive
+    rate (exact int ratio — one double division), and the DECIMAL-snapped
+    mean score.  The companion to AUC: AUC ranks, calibration checks the
+    probability scale.
+
+    Scale: a projection plus ONE hash agg on a 10-value key — the
+    cheapest possible shape; fixed bin edges (not data-derived quantiles)
+    keep the query one-pass and the oracle bit-identical."""
+    ev = _t(spark, sf_dir, "events")
+    lab = F.expr(_IS_PURCHASE)
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(50.0)).cast("long"), F.lit(0)),
+        F.lit(9),
+    )
+    return (
+        ev.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(lab).alias("n_pos"),
+            (F.sum(lab).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "pos_rate"
+            ),
+            dround(F.avg("value"), 6).alias("mean_score"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohens_kappa — inter-labeler agreement over a contingency table
+# ---------------------------------------------------------------------------
+
+#: Second "rater": a deterministic value-derived pseudo-label over the same
+#: category space as event_type — models two labeling passes of one corpus.
+_RATER_B = (
+    "['click','error','purchase','signup','view']"
+    "[(CAST(floor(value / 100.0) AS BIGINT) % 5) + 1]"
+)
+
+_KAPPA_ORACLE = f"""
+WITH labeled AS (
+  SELECT event_type AS ra, {_RATER_B} AS rb FROM events
+), cells AS (
+  SELECT ra, rb, count(*)::BIGINT AS c FROM labeled GROUP BY ra, rb
+), tot AS (
+  SELECT sum(c)::BIGINT AS n, sum(CASE WHEN ra = rb THEN c ELSE 0 END)::BIGINT AS agree
+  FROM cells
+), marg AS (
+  SELECT sum(ra_tot * rb_tot)::BIGINT AS chance_num
+  FROM (SELECT ra AS k, sum(c)::BIGINT AS ra_tot FROM cells GROUP BY ra) a
+  JOIN (SELECT rb AS k, sum(c)::BIGINT AS rb_tot FROM cells GROUP BY rb) b USING (k)
+)
+SELECT {_DR6.format(x='''(CAST(agree AS DOUBLE) / n - CAST(chance_num AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+       / (1.0 - CAST(chance_num AS DOUBLE) / (CAST(n AS DOUBLE) * n))''')} AS kappa,
+       agree AS n_agree, n
+FROM tot, marg
+"""
+
+
+@register("cohens_kappa", _KAPPA_ORACLE)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the event_type labels and a deterministic
+    value-derived second labeling over the same category space — the
+    inter-annotator-agreement statistic as pure contingency-table math:
+    kappa = (p_o - p_e) / (1 - p_e) with p_o, p_e from exact BIGINT cell
+    counts and marginals; only the final expression is float (snapped).
+
+    Scale: ONE hash agg to the |categories|^2 contingency cells (25 rows),
+    then bounded re-aggs — same count-first discipline as chi_square."""
+    ev = _t(spark, sf_dir, "events")
+    cats = ["click", "error", "purchase", "signup", "view"]
+    rb = F.element_at(
+        F.array(*[F.lit(c) for c in cats]),
+        (F.floor(F.col("value") / F.lit(100.0)).cast("long") % 5 + 1).cast("int"),
+    )
+    cells = (
+        ev.select(F.col("event_type").alias("ra"), rb.alias("rb"))
+        .groupBy("ra", "rb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cells.groupBy().agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("c")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    ra_tot = cells.groupBy(F.col("ra").alias("k")).agg(F.sum("c").alias("ra_tot"))
+    rb_tot = cells.groupBy(F.col("rb").alias("k")).agg(F.sum("c").alias("rb_tot"))
+    marg = (
+        ra_tot.join(rb_tot, "k")
+        .groupBy()
+        .agg(F.sum(F.col("ra_tot") * F.col("rb_tot")).alias("chance_num"))
+    )
+    nd = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / nd
+    pe = F.col("chance_num").cast("double") / (nd * nd)
+    return tot.crossJoin(F.broadcast(marg)).select(
+        dround((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        F.col("agree").alias("n_agree"),
+        "n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# psi_value_drift — population stability index between two time halves
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = f"""
+WITH binned AS (
+  SELECT least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bin,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS is_a
+  FROM events
+), cells AS (
+  SELECT bin,
+         sum(is_a)::BIGINT AS ca, sum(1 - is_a)::BIGINT AS cb
+  FROM binned GROUP BY bin
+), tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM cells),
+terms AS (
+  SELECT bin, ca, cb,
+         (CAST(ca + 1 AS DOUBLE) / (na + 10) - CAST(cb + 1 AS DOUBLE) / (nb + 10))
+         * ln((CAST(ca + 1 AS DOUBLE) / (na + 10)) / (CAST(cb + 1 AS DOUBLE) / (nb + 10)))
+         AS term
+  FROM cells, tot
+)
+SELECT {_DR6.format(x='sum(term)')} AS psi,
+       count(*)::BIGINT AS n_bins,
+       sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b
+FROM terms
+"""
+
+
+@register("psi_value_drift", _PSI_ORACLE)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the value distribution between the
+    first and second half of the month — THE production drift monitor for
+    feature/score pipelines.  Fixed-width bins (data-independent edges keep
+    it one-pass and cross-engine exact), Laplace-smoothed proportions
+    ((c+1)/(n+B)) so empty bins contribute finite terms deterministically,
+    and the PSI sum DECIMAL-snapped.
+
+    Scale: projection + ONE hash agg on the 10-bin key + a 1-row total —
+    drift monitoring at 100 TB must be exactly this cheap."""
+    ev = _t(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(50.0)).cast("long"), F.lit(0)),
+        F.lit(9),
+    )
+    is_a = (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).cast("long")
+    cells = (
+        ev.select(bin_.alias("bin"), is_a.alias("is_a"))
+        .groupBy("bin")
+        .agg(F.sum("is_a").alias("ca"), F.sum(F.lit(1) - F.col("is_a")).alias("cb"))
+    )
+    tot = cells.groupBy().agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + 10)
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + 10)
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select("ca", "cb", ((pa - pb) * F.log(pa / pb)).alias("term"))
+        .groupBy()
+        .agg(
+            dround(F.sum("term"), 6).alias("psi"),
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("ca").alias("n_a"),
+            F.sum("cb").alias("n_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# km_survival — discrete survival curve, horizon censoring
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH signup AS (
+  SELECT user_id, min(epoch_us(ts)) AS s_us FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT s.user_id, min(epoch_us(e.ts)) AS p_us
+  FROM signup s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+   AND epoch_us(e.ts) >= s.s_us
+  GROUP BY s.user_id
+), days AS (
+  SELECT s.user_id,
+         CASE WHEN c.p_us IS NOT NULL
+              THEN (c.p_us - s.s_us) // 86400000000 END AS d
+  FROM signup s LEFT JOIN conv c ON s.user_id = c.user_id
+), spine AS (SELECT unnest(generate_series(0, 13)) AS day),
+agg AS (
+  SELECT sp.day,
+         count(CASE WHEN d.d = sp.day THEN 1 END)::BIGINT AS d_events,
+         count(CASE WHEN d.d <= sp.day THEN 1 END)::BIGINT AS cum_events
+  FROM spine sp CROSS JOIN days d
+  GROUP BY sp.day
+), tot AS (SELECT count(*)::BIGINT AS n_users FROM days)
+SELECT day, d_events,
+       (n_users - cum_events + d_events)::BIGINT AS n_at_risk,
+       CAST(n_users - cum_events AS DOUBLE) / CAST(n_users AS DOUBLE) AS surv
+FROM agg, tot
+ORDER BY day
+"""
+
+
+@register("km_survival", _KM_ORACLE)
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete time-to-conversion survival over days 0..13 after signup,
+    with censoring only at the horizon — under which the Kaplan-Meier
+    product telescopes to the exact empirical form
+    S(t) = (U - cum_events(t)) / U, one division of exact BIGINTs per day
+    (no float product chain, no window at all).
+
+    Plan: per-user signup/first-purchase hash aggs, the day histogram,
+    then a 14-row day spine CROSS-broadcast against the (tiny) histogram
+    for cumulative counts — bounded join, no global window, no explode of
+    user rows per day.
+
+    Scale: user-keyed aggs are the data-sized work (linear, hash-
+    partitioned); everything after the histogram is O(horizon)."""
+    ev = _t(spark, sf_dir, "events")
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(_us(F.col("ts"))).alias("s_us"))
+    )
+    conv = (
+        signup.join(
+            ev.where(F.col("event_type") == "purchase").select(
+                "user_id", _us(F.col("ts")).alias("p_us")
+            ),
+            "user_id",
+        )
+        .where(F.col("p_us") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("p_us"))
+    )
+    days = signup.join(conv, "user_id", "left").select(
+        "user_id",
+        F.expr("(p_us - s_us) DIV 86400000000").alias("d"),
+    )
+    hist = days.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    tot = days.groupBy().agg(F.count(F.lit(1)).alias("n_users"))
+    spine = _t(spark, sf_dir, "events").sparkSession.range(0, 14).select(
+        F.col("id").alias("day")
+    )
+    # 14-row spine x bounded histogram: broadcast, no window
+    agg = (
+        spine.crossJoin(F.broadcast(hist))
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("d") == F.col("day"), F.col("c")).otherwise(0)).alias(
+                "d_events"
+            ),
+            F.sum(F.when(F.col("d") <= F.col("day"), F.col("c")).otherwise(0)).alias(
+                "cum_events"
+            ),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "d_events",
+            (F.col("n_users") - F.col("cum_events") + F.col("d_events")).alias(
+                "n_at_risk"
+            ),
+            (
+                (F.col("n_users") - F.col("cum_events")).cast("double")
+                / F.col("n_users").cast("double")
+            ).alias("surv"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# impute_battery — deterministic group imputation report
+# ---------------------------------------------------------------------------
+
+_IMPUTE_ORACLE = f"""
+WITH holed AS (
+  SELECT event_type,
+         CASE WHEN event_id % 10 = 3 THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       {_DR6.format(x='avg(v)')} AS mean_fill,
+       {_DR6.format(x='median(v)')} AS median_fill,
+       {_DR6.format(x='''avg(v) * sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                        + sum(COALESCE(v, 0))''')} AS imputed_sum
+FROM holed
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("impute_battery", _IMPUTE_ORACLE)
+def q_impute_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise imputation report over a deterministically holed column
+    (event_id % 10 == 3 -> null — same planted-null discipline as
+    null_semantics_battery): per group the null count, the mean and exact-
+    median fill values, and the post-imputation sum (nulls replaced by the
+    group mean) — verifying fill-value math without materializing a filled
+    copy of the data.
+
+    Scale: ONE hash agg per group; the exact median is Spark's
+    percentile(0.5) within the same agg (matches DuckDB median on even
+    counts via midpoint interpolation). Null-aware avg ignores the holes
+    on both engines by SQL semantics."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 10 == 3, F.lit(None)).otherwise(F.col("value"))
+    holed = ev.select("event_type", v.alias("v"))
+    n_null = F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+    return (
+        holed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            n_null.alias("n_null"),
+            dround(F.avg("v"), 6).alias("mean_fill"),
+            dround(F.expr("percentile(v, 0.5)"), 6).alias("median_fill"),
+            dround(
+                F.avg("v") * n_null + F.sum(F.coalesce(F.col("v"), F.lit(0.0))), 6
+            ).alias("imputed_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# two_proportion_ztest — A/B conversion-rate test
+# ---------------------------------------------------------------------------
+
+_ZTEST_ORACLE = f"""
+WITH arms AS (
+  SELECT user_id % 2 AS arm,
+         max({_IS_PURCHASE}) AS converted
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)::BIGINT AS x0,
+         sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)::BIGINT AS x1
+  FROM arms
+)
+SELECT {_DR6.format(x='''(CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1)
+       / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1)) * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+              * (1.0 / n0 + 1.0 / n1))''')} AS z_stat,
+       {_DR6.format(x='CAST(x0 AS DOUBLE) / n0')} AS rate_0,
+       {_DR6.format(x='CAST(x1 AS DOUBLE) / n1')} AS rate_1,
+       n0, n1
+FROM c
+"""
+
+
+@register("two_proportion_ztest", _ZTEST_ORACLE)
+def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of per-user conversion (any purchase) between
+    the two experiment arms user_id % 2 — the A/B-test primitive, computed
+    from four exact counts with the pooled-variance formula; the z and
+    rates are snapped at the edge.
+
+    Scale: per-user conversion is one user-keyed hash agg (linear), then a
+    1-row combine — experiment readouts must not cost more than this."""
+    ev = _t(spark, sf_dir, "events")
+    arms = (
+        ev.groupBy("user_id")
+        .agg(F.max(F.expr(_IS_PURCHASE)).alias("converted"))
+        .select((F.col("user_id") % 2).alias("arm"), "converted")
+    )
+    c = arms.groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias("x0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias("x1"),
+    )
+    r0 = F.col("x0").cast("double") / F.col("n0")
+    r1 = F.col("x1").cast("double") / F.col("n1")
+    p = (F.col("x0") + F.col("x1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (r0 - r1) / F.sqrt(
+        p * (F.lit(1.0) - p) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return c.select(
+        dround(z, 6).alias("z_stat"),
+        dround(r0, 6).alias("rate_0"),
+        dround(r1, 6).alias("rate_1"),
+        "n0",
+        "n1",
+    )

@@ -406,13 +406,26 @@ def test_grouping_sets_single_expand_single_agg(spark):
 
 
 def test_ks_and_rfm_use_range_scan_not_global_window(spark):
-    """The two-phase scan queries must show RangePartitioning; any
-    SinglePartition exchange in their plans may only carry the tiny
-    per-partition offset/total frames (asserted indirectly: the range
-    exchange exists at all — a single-partition rewrite would drop it)."""
+    """The two-phase scan underpinning ks/rfm must be range-partitioned.
+    Since global_cumsum gained its eager pin (round 5), the scan executes
+    at checkpoint time and the QUERY plans show a pinned RDD scan — so the
+    range-partitioning contract is asserted on the operator's lazy form
+    (pin=False), plus the query plans must NOT have re-grown a global
+    data window."""
+    from advanced_elb_logs_etl_spark.operators import stats
+
+    ev = load_table(spark, SF, "events").select("event_id", "value")
+    lazy = _plan(
+        stats.global_cumsum(ev, ["value", "event_id"], ["value"], pin=False)
+    ).lower()
+    assert "rangepartitioning" in lazy
     for name in ("ks_two_sample_values", "rfm_segmentation"):
-        plan = _plan(CATALOG[name][0](spark, SF)).lower()
-        assert "rangepartitioning" in plan, name
+        plan = _plan(CATALOG[name][0](spark, SF))
+        for line in plan.splitlines():
+            s = line.lstrip(" :+-*")
+            # a Window with no 3-group (exprs, part, order) shape would be
+            # a global data window — none may appear in these plans now
+            assert not s.startswith("Window "), (name, s)
 
 
 def test_chi2_and_mi_margins_broadcast(spark):

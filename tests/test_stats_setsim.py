@@ -304,3 +304,28 @@ def test_internal_caches_are_released(spark):
     docs = load_table(spark, SF, "documents").limit(60)
     setsim.prefix_filtered_jaccard_join(docs, "doc_id", "text", 0.6).collect()
     assert cm.isEmpty()
+
+
+def test_auc_mann_whitney_matches_pairwise_definition(spark):
+    """Exact tie-aware AUC vs the O(P*N) definition on a small frame with
+    planted ties (including a tied pos/neg pair)."""
+    rows = [(0.1, 0), (0.2, 0), (0.2, 1), (0.5, 0), (0.5, 1),
+            (0.7, 1), (0.7, 1), (0.9, 0), (1.0, 1)]
+    df = spark.createDataFrame(rows, "score double, lab int")
+    got = stats.auc_mann_whitney(df, "score", "lab").first()
+    pos = [s for s, l in rows if l == 1]
+    neg = [s for s, l in rows if l == 0]
+    u = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    assert math.isclose(got.auc, u / (len(pos) * len(neg)), rel_tol=0, abs_tol=0)
+
+
+def test_auc_mann_whitney_extremes(spark):
+    perfect = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (0.1, 0), (0.2, 0)], "score double, lab int"
+    )
+    assert stats.auc_mann_whitney(perfect, "score", "lab").first().auc == 1.0
+    inverted = spark.createDataFrame(
+        [(0.1, 1), (0.2, 1), (1.0, 0), (2.0, 0)], "score double, lab int"
+    )
+    assert stats.auc_mann_whitney(inverted, "score", "lab").first().auc == 0.0

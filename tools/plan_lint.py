@@ -58,6 +58,9 @@ CARTESIAN_ALLOW: dict[str, str] = {
     "ntile_latency_buckets": "1-row count frame of the scalable_ntile pass",
     "unigram_logprob_score": "1-row corpus-token-total frame (broadcast IDF-style denominator)",
     "time_to_conversion": "1-row signup-count frame joined to the 1-row latency report",
+    "cohens_kappa": "1-row agreement total x 1-row chance-agreement frame",
+    "psi_value_drift": "10-bin cell frame x 1-row population totals",
+    "km_survival": "14-row day spine x bounded day histogram + 1-row user total",
 }
 
 #: (query -> reason) for Window nodes with an empty partition spec. Every
