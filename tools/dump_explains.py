@@ -99,6 +99,13 @@ HEADLINERS = {
                                     "self-join; one keyed window + 1-row fold",
     "feature_hashing_vectors": "explode -> (doc,bucket) agg -> per-doc agg; no vocabulary "
                                "state, no join, no window",
+    "auc_mann_whitney": "per-distinct-score hash agg FIRST, then the range-partitioned "
+                        "cumulative scan (pinned) and a 1-row fold — no per-pair work, "
+                        "no single-partition data window",
+    "km_survival": "user-keyed aggs are the only data-sized work; the survival curve is a "
+                   "14-row spine x bounded histogram broadcast — no window, no float chain",
+    "psi_value_drift": "projection + ONE 10-key hash agg + broadcast 1-row totals — the "
+                       "cheapest possible drift-monitor shape",
 }
 
 
