@@ -377,41 +377,53 @@ def k_hop_reachability(
         )
         .localCheckpoint(eager=True)  # tiny; derived once, probed 2k times
     )
-    und_salted = (
-        und.join(F.broadcast(hubs), "u", "left")
-        .select(
-            "u",
-            "v",
-            F.pmod(F.xxhash64("v"), F.coalesce(F.col("_nsalt"), F.lit(1))).alias(
-                "_salt"
-            ),
-        )
-        .localCheckpoint(eager=True)
-    )
-    hub_nodes = hubs.select(F.col("u").alias("node"), "_nsalt")
     reached = seeds.select(F.col("node").alias("seed"), F.col("node"))
-    for _ in range(k):
-        frontier = (
-            reached.join(F.broadcast(hub_nodes), "node", "left")
+    if hubs.isEmpty():
+        # No hubs (the common case below web scale): skip the salted
+        # adjacency copy and the per-hop frontier explode entirely — the
+        # plain BFS is the salted plan with every salt pinned to 0, so
+        # results are identical and the guard costs one tiny degree agg.
+        for _ in range(k):
+            nxt = (
+                reached.join(und, reached.node == und.u)
+                .select("seed", F.col("v").alias("node"))
+            )
+            reached = reached.union(nxt).distinct()
+    else:
+        und_salted = (
+            und.join(F.broadcast(hubs), "u", "left")
             .select(
-                "seed",
-                "node",
-                F.explode(
-                    F.sequence(
-                        F.lit(0), F.coalesce(F.col("_nsalt"), F.lit(1)) - F.lit(1)
-                    )
-                ).alias("_salt"),
+                "u",
+                "v",
+                F.pmod(F.xxhash64("v"), F.coalesce(F.col("_nsalt"), F.lit(1))).alias(
+                    "_salt"
+                ),
             )
+            .localCheckpoint(eager=True)
         )
-        nxt = (
-            frontier.join(
-                und_salted,
-                (frontier.node == und_salted.u)
-                & (frontier._salt == und_salted._salt),
+        hub_nodes = hubs.select(F.col("u").alias("node"), "_nsalt")
+        for _ in range(k):
+            frontier = (
+                reached.join(F.broadcast(hub_nodes), "node", "left")
+                .select(
+                    "seed",
+                    "node",
+                    F.explode(
+                        F.sequence(
+                            F.lit(0), F.coalesce(F.col("_nsalt"), F.lit(1)) - F.lit(1)
+                        )
+                    ).alias("_salt"),
+                )
             )
-            .select("seed", F.col("v").alias("node"))
-        )
-        reached = reached.union(nxt).distinct()
+            nxt = (
+                frontier.join(
+                    und_salted,
+                    (frontier.node == und_salted.u)
+                    & (frontier._salt == und_salted._salt),
+                )
+                .select("seed", F.col("v").alias("node"))
+            )
+            reached = reached.union(nxt).distinct()
     return (
         reached.groupBy("seed")
         .agg(F.count(F.lit(1)).alias("n_reachable"))
