@@ -104,15 +104,19 @@ FRONT_OF_CATALOG: list[str] = [
     "km_survival",
     "impute_battery",
     "two_proportion_ztest",
-    # -- positions 46-50: oldest-green rotation (latest row r2): flagship
-    # §2 core + the dedup wave heads.
+    # -- positions 46-47: late round-5 additions (VARIANT path + the 5th
+    # streaming equivalence) — in-window so they get r5 rows too.
+    "variant_extract_stats",
+    "stream_sliding_window_equiv",
+    # -- positions 48-50: oldest-green rotation (latest row r2): flagship
+    # §2 core.
     "sessionize",
     "rolling_5min_count",
     "pipeline_e2e_hourly",
-    "dedup_exact",
-    "minhash_lsh_neardup",
     # ---- position 51+ (outside the 50-entry window): the r6 rotation
     # queue — remaining r2-green entries first, then the r3-green cycle ----
+    "dedup_exact",
+    "minhash_lsh_neardup",
     "null_coding_cast",
     "date_parts",
     "path_features",

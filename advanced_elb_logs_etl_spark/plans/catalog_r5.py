@@ -483,3 +483,110 @@ def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n0",
         "n1",
     )
+
+
+# ---------------------------------------------------------------------------
+# variant_extract_stats — Spark 4 VARIANT semi-structured path
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = f"""
+WITH x AS (
+  SELECT event_type,
+         (props->>'k')::BIGINT AS k,
+         (props->>'missing')::BIGINT AS m
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(k)::BIGINT AS sum_k,
+       {_DR6.format(x='median(k)')} AS median_k,
+       count(m)::BIGINT AS n_missing_path
+FROM x GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("variant_extract_stats", _VARIANT_ORACLE)
+def q_variant_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    parse_json(props) -> binary variant encoding -> typed
+    try_variant_get("$.k", "long"), plus the missing-path contract
+    (try_variant_get on an absent key yields NULL, counted as 0 by
+    count()).  Contrast json_extract_summary (JsonPath on strings): the
+    variant path parses each document ONCE into a traversable binary and
+    is the scalable choice when several fields are extracted from large
+    documents.
+
+    Scale: parse + extraction are a narrow projection fused into the scan
+    stage; only the 5-group aggregate shuffles.  The exact median keeps
+    the oracle value-exact (integer k domain)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "long")
+    m = F.try_variant_get(v, "$.missing", "long")
+    return (
+        ev.select("event_type", k.alias("k"), m.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            dround(F.expr("percentile(k, 0.5)"), 6).alias("median_k"),
+            F.count("m").alias("n_missing_path"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_sliding_window_equiv — 5th streaming<->batch equivalence query
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+WITH offsets AS (SELECT unnest(generate_series(0, 4)) AS i),
+wins AS (
+  SELECT e.user_id,
+         ((epoch_us(e.ts) // 60000000) - o.i) * 60000000 AS w_start_us
+  FROM events e CROSS JOIN offsets o
+)
+SELECT user_id, w_start_us AS window_start_us, count(*)::BIGINT AS n_events
+FROM wins
+GROUP BY user_id, w_start_us
+ORDER BY user_id, window_start_us
+"""
+
+
+@register("stream_sliding_window_equiv", _SLIDING_ORACLE)
+def q_stream_sliding_window_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (5 minutes, 1-minute slide) executed by
+    the STREAMING engine (window() with slide + watermark, availableNow)
+    vs the batch identity: each event belongs to exactly 5 slide-aligned
+    windows, so the batch twin is a 5-way offset expansion + hash agg.
+    Window starts are epoch-minute-aligned UTC instants, so
+    unix_micros(window.start) matches the oracle's integer bucket math
+    exactly.
+
+    Scale: streaming sliding windows hold one state row per (key, open
+    window) — 5x the tumbling state, evicted by the watermark in
+    production append mode; complete mode here is for the equivalence
+    check (see replay.py)."""
+    from ..streaming.replay import replay_stream
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+
+    def build(s: DataFrame) -> DataFrame:
+        return (
+            s.withWatermark("ts", "1 hour")
+            .groupBy(
+                F.window(F.col("ts"), "5 minutes", "1 minute").alias("w"),
+                F.col("user_id"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+    out = replay_stream(
+        spark, ev, build, "stream_sliding_window", output_mode="complete"
+    )
+    return out.select(
+        "user_id",
+        _us(F.col("w.start")).alias("window_start_us"),
+        "n_events",
+    ).orderBy("user_id", "window_start_us")

@@ -335,3 +335,36 @@ def test_setsim_prefix_join_property(spark, docs, threshold):
     assert set(got) == set(want), (docs, threshold)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# round-5: exact tie-aware AUC vs the O(P*N) pairwise definition
+# ---------------------------------------------------------------------------
+
+_auc_rows = st.lists(
+    st.tuples(
+        st.sampled_from([0.0, 0.25, 0.25, 0.5, 1.0, 2.0, 3.5]),  # dense ties
+        st.integers(min_value=0, max_value=1),
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_auc_rows)
+def test_auc_property_matches_pairwise(spark, rows):
+    """For ANY score/label mix with both classes present, the relational
+    Mann-Whitney AUC equals the exact pairwise definition — including
+    heavy score ties within and across classes."""
+    from advanced_elb_logs_etl_spark.operators import stats
+
+    pos = [s for s, l in rows if l == 1]
+    neg = [s for s, l in rows if l == 0]
+    if not pos or not neg:
+        return  # AUC undefined with one class; nothing to compare
+    df = spark.createDataFrame(rows, "score double, lab int")
+    got = stats.auc_mann_whitney(df, "score", "lab").first()
+    u2 = sum(2 if p > n else 1 if p == n else 0 for p in pos for n in neg)
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    assert got.auc == u2 / (2 * len(pos) * len(neg)), rows
