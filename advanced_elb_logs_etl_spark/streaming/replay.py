@@ -47,6 +47,8 @@ def replay_stream(
     query_name: str,
     output_mode: str = "complete",
     timeout_sec: int = 300,
+    staging_partitions: int = 8,
+    shuffle_partitions: int | None = 16,
 ) -> DataFrame:
     """Replay ``batch_df`` through ``build(stream_df)`` as a real streaming
     query (availableNow trigger, memory sink) and return the final sink
@@ -54,13 +56,26 @@ def replay_stream(
 
     The temp staging/checkpoint directory is removed before returning; the
     result is localCheckpoint-pinned first so nothing re-reads it.
-    """
+
+    Harness tuning (measured at sf0.1 on the session-window query,
+    5.7 s -> 1.5 s): the staging write coalesces to ``staging_partitions``
+    files (a 32-way write costs more in per-file stream-source overhead
+    than the parallelism returns at fixture scale), and
+    ``spark.sql.shuffle.partitions`` is temporarily lowered to
+    ``shuffle_partitions`` for the stateful replay (state-store instances
+    scale with shuffle partitions; restored in a finally). These are
+    HARNESS knobs — a production streaming job sizes its real source and
+    state partitions to the stream, not to a replayed fixture; pass
+    ``shuffle_partitions=None`` to leave the session untouched."""
     tmp = tempfile.mkdtemp(prefix="sparkgraft_replay_")
     name = f"{query_name}_{uuid.uuid4().hex[:8]}"
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         src = os.path.join(tmp, "src")
         ckpt = os.path.join(tmp, "ckpt")
-        batch_df.write.parquet(src)
+        batch_df.coalesce(staging_partitions).write.parquet(src)
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         stream = spark.readStream.schema(batch_df.schema).parquet(src)
         out = build(stream)
         q = (
@@ -79,6 +94,7 @@ def replay_stream(
             raise q.exception()
         result = spark.table(name).localCheckpoint(eager=True)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         shutil.rmtree(tmp, ignore_errors=True)
         spark.catalog.dropTempView(name)
     return result

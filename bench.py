@@ -43,6 +43,11 @@ _WIDE_OUTPUT = {
     "winnow_fingerprints",
     "alb_parse_roundtrip",
     "scd2_intervals",
+    # streaming-equivalence queries with O(windows x keys) outputs: time
+    # the drained streaming run + plan, not driver-side row marshalling
+    "stream_session_window_equiv",
+    "stream_hourly_agg_equiv",
+    "stream_sliding_window_equiv",
 }
 
 
