@@ -108,13 +108,16 @@ FRONT_OF_CATALOG: list[str] = [
     # streaming equivalence) — in-window so they get r5 rows too.
     "variant_extract_stats",
     "stream_sliding_window_equiv",
-    # -- positions 48-50: oldest-green rotation (latest row r2): flagship
+    # -- position 48: DOULION-style sampled triangle count (late r5
+    # addition, in-window).
+    "triangle_count_sampled",
+    # -- positions 49-50: oldest-green rotation (latest row r2): flagship
     # §2 core.
     "sessionize",
-    "rolling_5min_count",
     "pipeline_e2e_hourly",
     # ---- position 51+ (outside the 50-entry window): the r6 rotation
     # queue — remaining r2-green entries first, then the r3-green cycle ----
+    "rolling_5min_count",
     "dedup_exact",
     "minhash_lsh_neardup",
     "null_coding_cast",

@@ -184,3 +184,75 @@ def q_graph_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     single exact-integer division."""
     ed = _copurchase_edges(spark, sf_dir)
     return graph.neighbor_jaccard_topk(ed, _seed_nodes(ed), per_seed=5)
+
+
+# ---------------------------------------------------------------------------
+# triangle_count_sampled — DOULION-style sparsified census (100 TB path)
+# ---------------------------------------------------------------------------
+
+_TRI_SAMPLED_ORACLE = f"""
+WITH {_GRAPH_CTE},
+samp AS (
+  SELECT u, v FROM ed
+  WHERE ('0x' || substr(md5('tri:' || u || '_' || v), 1, 15))::BIGINT % 3 = 0
+),
+tri AS (
+  SELECT count(*)::BIGINT AS t FROM samp e1
+    JOIN samp e2 ON e1.v = e2.u
+    JOIN samp e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT count(*) FROM ed)::BIGINT AS n_edges,
+       (SELECT count(*) FROM samp)::BIGINT AS n_sampled_edges,
+       t AS tri_sampled,
+       (t * 27)::BIGINT AS tri_estimate
+FROM tri
+"""
+
+
+@register("triangle_count_sampled", _TRI_SAMPLED_ORACLE)
+def q_triangle_count_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION-style sparsified triangle count — the documented 100 TB
+    mitigation for the exact census's O(m^1.5) (SCALE.md graph wave):
+    keep each edge iff a deterministic md5 hash-coin lands in 1/p (p=3
+    here), count triangles on the sparsified graph with the SAME
+    degree-ordered orientation as the exact census, scale by p^3 = 27.
+    The hash-coin (functions/hashing.h60 % p) replaces DOULION's RNG so
+    the estimate is reproducible run-to-run AND value-exact against the
+    SQL twin — determinism is what makes an approximate algorithm
+    testable under this repo's oracle gate.
+
+    Scale: sparsification is a narrow filter fused into the edge scan;
+    the wedge join then runs on ~m/p edges, cutting its m^1.5 term by
+    ~p^1.5 and keeping the whole census under the broadcast threshold far
+    longer. Estimator variance is the published DOULION bound (unbiased
+    under pairwise-independent sampling; the md5 coin approximates it).
+    The exact census (`triangle_census`) remains the ground-truth twin."""
+    ed = _copurchase_edges(spark, sf_dir)
+    coin = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("tri:"),
+                    F.col("u").cast("string"),
+                    F.lit("_"),
+                    F.col("v").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    samp = ed.where(coin % 3 == 0)
+    tri = graph.triangle_stats(samp).select(
+        F.col("n_edges").alias("n_sampled_edges"),
+        F.col("n_triangles").alias("tri_sampled"),
+    )
+    n_edges = ed.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(F.broadcast(tri)).select(
+        "n_edges",
+        "n_sampled_edges",
+        "tri_sampled",
+        (F.col("tri_sampled") * F.lit(27)).cast("long").alias("tri_estimate"),
+    )

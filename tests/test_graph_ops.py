@@ -141,3 +141,23 @@ def test_khop_hub_salting_is_exact(spark):
     }
     assert two[0] == 61  # hub + 60 leaves (path adds no new nodes at k=2)
     assert two[100] == 3
+
+
+def test_sampled_triangle_estimate_tracks_exact(spark):
+    """The DOULION-style md5-coin estimator must land near the exact
+    census on the sf0.001 co-purchase graph (loose bound — the point is
+    catching a broken estimator scale factor or a biased coin, not
+    pinning variance)."""
+    from advanced_elb_logs_etl_spark.plans.catalog import CATALOG
+
+    exact = CATALOG["triangle_census"][0](spark, "/root/testdata/sf0.001").first()
+    samp = CATALOG["triangle_count_sampled"][0](
+        spark, "/root/testdata/sf0.001"
+    ).first()
+    assert samp.n_edges == exact.n_edges
+    # the 1/3 coin keeps roughly a third of edges
+    assert 0.25 < samp.n_sampled_edges / samp.n_edges < 0.42
+    assert samp.tri_estimate == samp.tri_sampled * 27
+    if exact.n_triangles >= 100:
+        rel = abs(samp.tri_estimate - exact.n_triangles) / exact.n_triangles
+        assert rel < 0.5, (samp.tri_estimate, exact.n_triangles)

@@ -59,6 +59,7 @@ CARTESIAN_ALLOW: dict[str, str] = {
     "unigram_logprob_score": "1-row corpus-token-total frame (broadcast IDF-style denominator)",
     "time_to_conversion": "1-row signup-count frame joined to the 1-row latency report",
     "cohens_kappa": "1-row agreement total x 1-row chance-agreement frame",
+    "triangle_count_sampled": "1-row edge count x 1-row sampled-census frame (+ census's internal 1-row combines)",
     "psi_value_drift": "10-bin cell frame x 1-row population totals",
     "km_survival": "14-row day spine x bounded day histogram + 1-row user total",
 }
