@@ -111,12 +111,14 @@ FRONT_OF_CATALOG: list[str] = [
     # -- position 48: DOULION-style sampled triangle count (late r5
     # addition, in-window).
     "triangle_count_sampled",
-    # -- positions 49-50: oldest-green rotation (latest row r2): flagship
-    # §2 core.
-    "sessionize",
+    # -- position 49: distributed BPE trainer (late r5 addition,
+    # rows-only by design — pytest holds the merge-for-merge differential).
+    "bpe_train_merges",
+    # -- position 50: flagship §2 rotation (full reference pipeline).
     "pipeline_e2e_hourly",
     # ---- position 51+ (outside the 50-entry window): the r6 rotation
     # queue — remaining r2-green entries first, then the r3-green cycle ----
+    "sessionize",
     "rolling_5min_count",
     "dedup_exact",
     "minhash_lsh_neardup",

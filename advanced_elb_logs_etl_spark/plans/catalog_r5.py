@@ -590,3 +590,28 @@ def q_stream_sliding_window_equiv(spark: SparkSession, sf_dir: str) -> DataFrame
         _us(F.col("w.start")).alias("window_start_us"),
         "n_events",
     ).orderBy("user_id", "window_start_us")
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges — distributed BPE tokenizer training (iterative)
+# ---------------------------------------------------------------------------
+
+
+@register("bpe_train_merges", None)  # iterative: not SQL-expressible;
+# ground truth is the pure-Python merge-for-merge differential in
+# tests/test_bpe.py (same pattern as the IVF recall pin)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 8 BPE merges from the document corpus (operators/bpe.py).
+    Deterministic: pair argmax ties break on symbol order, so the merge
+    table is stable run-to-run (the driver's rows-only gate still pins
+    row count + schema; the merge VALUES are pinned by the pytest
+    differential against an independent reference implementation).
+
+    Scale: one corpus-sized word-frequency reduction, then every round is
+    O(|vocab|) — explode adjacent symbol pairs, one hash agg, a 1-row
+    argmax to the driver, a narrow merge fold, localCheckpoint. The
+    corpus is touched exactly once regardless of merge count."""
+    from ..operators.bpe import bpe_train_df
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train_df(docs, num_merges=8)

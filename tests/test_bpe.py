@@ -1,0 +1,85 @@
+"""BPE trainer differential tests: the distributed trainer must learn the
+exact same merge sequence as an independent pure-Python reference
+(Sennrich-style get_stats/merge loop over a word-frequency dict)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from advanced_elb_logs_etl_spark.operators import bpe
+
+
+def _reference_bpe(texts: list[str], num_merges: int, min_pair_count: int = 2):
+    """Pure-Python BPE over the word-frequency table, leftmost-greedy
+    non-overlapping merges, (count desc, left asc, right asc) tiebreak."""
+    freq = Counter(
+        w for t in texts for w in t.lower().split() if w
+    )
+    vocab = {tuple(list(w) + [bpe.EOW]): c for w, c in freq.items()}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        stats: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        (a, b), n = min(stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if n < min_pair_count:
+            break
+        merges.append((rank, a, b, n))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest newest newest newest newest",
+    "widest widest widest",
+    "new new newer lowest",
+    "aaa aaa aaaa banana bandana",
+]
+
+
+def test_bpe_matches_reference_merge_for_merge(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    got = bpe.bpe_train(df, num_merges=12)
+    want = _reference_bpe(CORPUS, num_merges=12)
+    assert got == want, (got, want)
+
+
+def test_bpe_overlapping_pair_is_leftmost_greedy(spark):
+    # 'aaaa' + merge (a,a): leftmost-greedy gives [aa, aa, </w>], never
+    # three overlapping matches
+    df = spark.createDataFrame([("aaaa aaaa aaaa",)], "text string")
+    got = bpe.bpe_train(df, num_merges=2)
+    want = _reference_bpe(["aaaa aaaa aaaa"], num_merges=2)
+    assert got == want
+    assert got[0][1] == "a" and got[0][2] == "a"
+
+
+def test_bpe_early_stop_on_min_count(spark):
+    # every word unique and short: after a few merges no pair repeats
+    df = spark.createDataFrame([("xy qz jk",)], "text string")
+    got = bpe.bpe_train(df, num_merges=50, min_pair_count=2)
+    want = _reference_bpe(["xy qz jk"], num_merges=50)
+    assert got == want
+    assert len(got) < 50
+
+
+def test_bpe_df_surface(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    out = bpe.bpe_train_df(df, num_merges=5).collect()
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    assert all(r.pair_count >= 2 for r in out)
