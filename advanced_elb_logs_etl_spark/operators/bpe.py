@@ -33,7 +33,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["word_frequencies", "symbolize", "bpe_train"]
+__all__ = [
+    "word_frequencies",
+    "symbolize",
+    "bpe_train",
+    "bpe_train_df",
+    "bpe_segment_string",
+    "bpe_segment_count",
+]
 
 #: End-of-word marker, as in the original BPE formulation — keeps merges
 #: from crossing word boundaries and distinguishes suffix from prefix.
@@ -142,3 +149,37 @@ def bpe_train_df(
     return spark.createDataFrame(
         rows, "rank int, left string, right string, pair_count long"
     )
+
+
+def bpe_segment_string(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply a FIXED merge table to a word, returning the guarded segment
+    string — the cross-engine-exact BPE APPLY formulation.
+
+    Encoding: each symbol is pipe-guarded and pairs are separated by two
+    spaces ("|c|  |c|  ...  |</w>|"), so a merge is ONE string replace of
+    '|a|  |b|' with '|ab|'.  replace() in both Spark and DuckDB scans
+    left-to-right non-overlapping, which under this encoding is exactly
+    BPE's leftmost-greedy merge ('|a|  |a|  |a|' -> '|aa|  |a|'), and the
+    pipe guards make suffix collisions impossible ('|xa|  |b|' never
+    matches '|a|  |b|').  Callers must ensure symbols cannot contain '|'
+    or spaces (e.g. filter to alphabetic words) — that constraint is what
+    buys SQL expressibility for the apply path; the trainer's array fold
+    has no such restriction.
+    """
+    s = F.concat(
+        F.regexp_replace(word, "(.)", "|$1|  "), F.lit("|" + EOW + "|")
+    )
+    for a, b in merges:
+        s = F.replace(s, F.lit(f"|{a}|  |{b}|"), F.lit(f"|{a + b}|"))
+    return s
+
+
+def bpe_segment_count(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Number of BPE segments of `word` (including the end-of-word symbol)
+    under the fixed merge table: separator count + 1 on the segment
+    string — pure integer math, bit-identical cross-engine."""
+    s = bpe_segment_string(word, merges)
+    return (
+        (F.length(s) - F.length(F.replace(s, F.lit("  "), F.lit("")))) / F.lit(2)
+        + F.lit(1)
+    ).cast("long")

@@ -111,13 +111,16 @@ FRONT_OF_CATALOG: list[str] = [
     # -- position 48: DOULION-style sampled triangle count (late r5
     # addition, in-window).
     "triangle_count_sampled",
-    # -- position 49: distributed BPE trainer (late r5 addition,
-    # rows-only by design — pytest holds the merge-for-merge differential).
+    # -- positions 49-50: the BPE tokenize loop (late r5 additions):
+    # trainer (rows-only by design — pytest holds the merge-for-merge
+    # differential) + value-exact apply/segmenter.
     "bpe_train_merges",
-    # -- position 50: flagship §2 rotation (full reference pipeline).
-    "pipeline_e2e_hourly",
+    "bpe_segment_counts",
     # ---- position 51+ (outside the 50-entry window): the r6 rotation
-    # queue — remaining r2-green entries first, then the r3-green cycle ----
+    # queue — remaining r2-green entries first, then the r3-green cycle.
+    # Zero-never-checked beats §2 re-rotation (the r4/r5 precedent), so
+    # the flagship pipeline_e2e_hourly heads the r6 queue ----
+    "pipeline_e2e_hourly",
     "sessionize",
     "rolling_5min_count",
     "dedup_exact",

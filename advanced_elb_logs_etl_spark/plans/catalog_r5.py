@@ -615,3 +615,87 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return bpe_train_df(docs, num_merges=8)
+
+
+# ---------------------------------------------------------------------------
+# bpe_segment_counts — value-exact BPE APPLY (fixed merge table)
+# ---------------------------------------------------------------------------
+
+#: Fixed literal merge table (common-English merges) — sf-independent, so
+#: the same literals appear in the Spark plan and the SQL twin.
+_BPE_MERGES = [
+    ("e", "r"), ("er", "</w>"), ("t", "h"), ("th", "e"), ("the", "</w>"),
+    ("i", "n"), ("o", "n"), ("a", "n"),
+]
+
+
+def _bpe_sql_segments() -> str:
+    """The SQL twin of bpe.bpe_segment_string: guarded encoding + chained
+    replace() calls for the fixed merge table."""
+    s = "regexp_replace(word, '(.)', '|\\1|  ', 'g') || '|</w>|'"
+    for a, b in _BPE_MERGES:
+        s = f"replace({s}, '|{a}|  |{b}|', '|{a}{b}|')"
+    return s
+
+
+_BPE_SEG_ORACLE = f"""
+WITH words AS (
+  SELECT d.source, w.word
+  FROM documents d,
+       unnest(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+                          x -> regexp_matches(x, '^[a-z]+$'))) AS w(word)
+), seg AS (
+  SELECT source, word,
+         ((length({_bpe_sql_segments()})
+           - length(replace({_bpe_sql_segments()}, '  ', ''))) // 2 + 1)
+         AS n_seg
+  FROM words
+)
+SELECT source,
+       count(*)::BIGINT AS n_words,
+       sum(n_seg)::BIGINT AS total_segments,
+       {_DR6.format(x='CAST(sum(n_seg) AS DOUBLE) / count(*)')} AS avg_segments
+FROM seg GROUP BY source ORDER BY source
+"""
+
+
+@register("bpe_segment_counts", _BPE_SEG_ORACLE)
+def q_bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY under the value-exact gate: segment every alphabetic word
+    with a fixed 8-merge table via the guarded string-replace formulation
+    (operators/bpe.bpe_segment_count — replace() is leftmost-greedy
+    non-overlapping in BOTH engines, which IS the BPE merge rule under
+    the pipe-guard encoding), and aggregate segment counts per source.
+    The alphabetic filter is the encoding's documented precondition
+    (symbols must not contain '|' or spaces).
+
+    Scale: pure narrow string expressions fused into the scan + one
+    5-group hash agg — applying a trained tokenizer is a map, and this
+    pins that map bit-for-bit against an independent SQL engine.  The
+    trainer twin (`bpe_train_merges`) is iterative and rows-only; THIS
+    query gives the tokenize loop its value-exact driver signal."""
+    from ..operators.bpe import bpe_segment_count
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: t.rlike("^[a-z]+$"),
+            )
+        ).alias("word"),
+    )
+    n_seg = bpe_segment_count(F.col("word"), _BPE_MERGES)
+    return (
+        words.select("source", n_seg.alias("n_seg"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_seg").alias("total_segments"),
+            dround(
+                F.sum("n_seg").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_segments"),
+        )
+        .orderBy("source")
+    )

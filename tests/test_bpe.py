@@ -83,3 +83,45 @@ def test_bpe_df_surface(spark):
     out = bpe.bpe_train_df(df, num_merges=5).collect()
     assert [r.rank for r in out] == [1, 2, 3, 4, 5]
     assert all(r.pair_count >= 2 for r in out)
+
+
+def _reference_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    syms = list(word) + [bpe.EOW]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_segment_matches_reference_apply(spark):
+    """The string-replace apply path must segment exactly like the
+    reference apply loop, for merges LEARNED from the corpus — closing
+    the train->apply loop. Includes chain ('aaaa'), suffix-collision
+    ('xa' vs 'a b'), and merged-symbol-reuse cases."""
+    from pyspark.sql import functions as F
+
+    train_df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges = [(a, b) for _, a, b, _ in bpe.bpe_train(train_df, num_merges=10)]
+    words = ["low", "lowest", "newest", "aaaa", "banana", "xa", "q",
+             "widest", "newer"]
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r.word: (r.seg, r.n)
+        for r in wdf.select(
+            "word",
+            bpe.bpe_segment_string(F.col("word"), merges).alias("seg"),
+            bpe.bpe_segment_count(F.col("word"), merges).alias("n"),
+        ).collect()
+    }
+    for w in words:
+        want = _reference_apply(w, merges)
+        want_seg = "|" + "|  |".join(want) + "|"
+        assert got[w][0] == want_seg, (w, got[w][0], want_seg)
+        assert got[w][1] == len(want), (w, got[w][1], want)
