@@ -119,7 +119,9 @@ FRONT_OF_CATALOG: list[str] = [
     # ---- position 51+ (outside the 50-entry window): the r6 rotation
     # queue — remaining r2-green entries first, then the r3-green cycle.
     # Zero-never-checked beats §2 re-rotation (the r4/r5 precedent), so
-    # the flagship pipeline_e2e_hourly heads the r6 queue ----
+    # the one r5 entry without a slot (zorder, locally oracle-green at
+    # sf0.01) plus the flagship pipeline head the r6 queue ----
+    "zorder_clustering_preview",
     "pipeline_e2e_hourly",
     "sessionize",
     "rolling_5min_count",

@@ -699,3 +699,82 @@ def q_bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# zorder_clustering_preview — Morton layout extents (multi-column pruning)
+# ---------------------------------------------------------------------------
+
+#: SQL twin of operators/layout.zvalue for 8-bit buckets: the identical
+#: shift/mask interleave, generated once here so both engines share it.
+def _z_sql(a: str, b: str, bits: int = 8) -> str:
+    cap = (1 << bits) - 1
+    ac = f"least(greatest({a}, 0), {cap})"
+    bc = f"least(greatest({b}, 0), {cap})"
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({ac} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({bc} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH b AS (
+  SELECT (o_custkey % 256)::BIGINT AS ck,
+         ((epoch_us(o_orderdate) // 86400000000) % 256)::BIGINT AS dy,
+         o_totalprice
+  FROM orders
+), z AS (
+  SELECT ck, dy, o_totalprice, ({_z_sql('ck', 'dy')})::BIGINT AS zv FROM b
+)
+SELECT (zv >> 12)::BIGINT AS z_bucket,
+       count(*)::BIGINT AS n_rows,
+       min(ck)::BIGINT AS ck_min, max(ck)::BIGINT AS ck_max,
+       min(dy)::BIGINT AS dy_min, max(dy)::BIGINT AS dy_max,
+       CAST(round(CAST(sum(o_totalprice) AS DECIMAL(28,8)), 2) AS DOUBLE)
+         AS sum_price
+FROM z GROUP BY 1 ORDER BY z_bucket
+"""
+
+
+@register("zorder_clustering_preview", _ZORDER_ORACLE)
+def q_zorder_clustering_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering preview over orders, keyed on
+    (customer bucket, order-day bucket): interleave the two 8-bit keys
+    (operators/layout.zvalue — pure shift/mask Column math, identical SQL
+    twin), group by fixed-width z-buckets (top bits of z — deterministic
+    stand-ins for the files a range-partitioned write produces), and
+    report each bucket's row count and min/max EXTENT in both dimensions.
+
+    Small per-bucket extents in BOTH columns simultaneously is the Morton
+    locality property that makes multi-column parquet min/max pruning
+    work — this query pins the layout transform's arithmetic under the
+    value-exact gate, while `layout.zorder_by` is the physical
+    repartitionByRange form a writer uses.
+
+    Scale: a projection plus one hash agg on the z-bucket key; the
+    physical form adds exactly one range exchange before the write."""
+    from ..operators.layout import zvalue
+
+    orders = _t(spark, sf_dir, "orders")
+    ck = (F.col("o_custkey") % 256).cast("long")
+    dy = (
+        (F.unix_micros(F.col("o_orderdate")) / F.lit(86_400_000_000)).cast("long")
+        % 256
+    )
+    z = zvalue(ck, dy, bits=8)
+    return (
+        orders.select(
+            ck.alias("ck"), dy.alias("dy"), "o_totalprice", z.alias("zv")
+        )
+        .groupBy(F.shiftright(F.col("zv"), 12).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ck").alias("ck_min"),
+            F.max("ck").alias("ck_max"),
+            F.min("dy").alias("dy_min"),
+            F.max("dy").alias("dy_max"),
+            dround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("z_bucket")
+    )
