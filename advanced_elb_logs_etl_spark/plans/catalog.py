@@ -122,6 +122,7 @@ FRONT_OF_CATALOG: list[str] = [
     # the one r5 entry without a slot (zorder, locally oracle-green at
     # sf0.01) plus the flagship pipeline head the r6 queue ----
     "zorder_clustering_preview",
+    "stream_lsh_band_canonical",
     "pipeline_e2e_hourly",
     "sessionize",
     "rolling_5min_count",

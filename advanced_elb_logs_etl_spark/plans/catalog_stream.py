@@ -214,3 +214,55 @@ def q_stream_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = replay_stream(spark, ev, build, "stream_join", output_mode="append")
     return out.orderBy("view_id", "click_id")
+
+
+# ---------------------------------------------------------------------------
+# stream_lsh_band_canonical — streaming MinHash/LSH bucket canonicalization
+# ---------------------------------------------------------------------------
+
+from .catalog_llm import (  # noqa: E402  (shared md5/minhash SQL fragments)
+    _DOCS_SHINGLED,
+    _SIGS,
+    _band_key_sql,
+)
+from ..operators.dedup import NUM_BANDS  # noqa: E402
+
+_LSH_STREAM_ORACLE = f"""
+WITH {_DOCS_SHINGLED},
+sh2 AS (SELECT doc_id, hashes FROM sh WHERE len(hashes) > 0),
+sigs AS (SELECT doc_id, {_SIGS} FROM sh2),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS key FROM sigs" for b in range(NUM_BANDS))}
+)
+SELECT band, key, min(doc_id) AS canonical_doc, count(*)::BIGINT AS n_docs
+FROM bands GROUP BY band, key
+ORDER BY band, key
+"""
+
+
+@register("stream_lsh_band_canonical", _LSH_STREAM_ORACLE)
+def q_stream_lsh_band_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash/LSH near-dup surface under the value-exact gate:
+    the PER-ROW band-key formulation (streaming/neardup.py — shingles ->
+    h60 -> minhash -> band keys as pure Column expressions, no shuffle)
+    runs as a REAL streaming aggregation (per-bucket min-id canonical +
+    population, complete mode via the replay harness) and value-matches
+    the batch md5/minhash SQL twin shared with the batch LSH catalog
+    queries — proving the streaming path computes the exact same band
+    keys as the batch posexplode kernel.
+
+    Scale: the stateless prefix is a narrow map on the stream; state is
+    one row per occupied band bucket, keyed like the batch bucket join;
+    production adds an event-time watermark to bound the horizon."""
+    from ..streaming.neardup import lsh_band_canonical_stream
+    from ..streaming.replay import replay_stream
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = replay_stream(
+        spark,
+        docs,
+        lambda s: lsh_band_canonical_stream(s),
+        "stream_lsh_canonical",
+        output_mode="complete",
+    )
+    return out.orderBy("band", "key")

@@ -348,3 +348,35 @@ def test_attribution_join_stream_horizon(spark, tmp_path):
     rows = spark.sql("SELECT * FROM attr_out").collect()
     assert len(rows) == 1
     assert rows[0].client_ip == "1.1.1.1" and str(rows[0].click_time).endswith("00:05:00")
+
+
+def test_per_row_band_keys_match_batch_kernel(spark):
+    """streaming/neardup.band_key_rows (per-row HOF path) must produce the
+    EXACT band keys the batch posexplode kernel produces — the invariant
+    that lets the streaming LSH surface share the batch oracle."""
+    from pyspark.sql import functions as F
+
+    from advanced_elb_logs_etl_spark.operators import dedup
+    from advanced_elb_logs_etl_spark.sources.testdata import load_table
+    from advanced_elb_logs_etl_spark.streaming.neardup import band_key_rows
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    got = {
+        (r.doc_id, r.band, r.key) for r in band_key_rows(docs).collect()
+    }
+    sigs = dedup.minhash_signatures(docs)
+    want = set()
+    for b in range(dedup.NUM_BANDS):
+        for r in sigs.select("doc_id", dedup._band_key(b).alias("k")).collect():
+            want.add((r.doc_id, b, r.k))
+    # batch kernel keeps all docs incl. shingle-less; per-row path drops
+    # them — compare on the per-row domain and assert only empty docs differ
+    missing = want - got
+    empty_ids = {
+        r.doc_id
+        for r in dedup.with_shingle_hashes(docs)
+        .where(F.size("hashes") == 0)
+        .collect()
+    }
+    assert got <= want
+    assert {d for d, _, _ in missing} <= empty_ids
