@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zvalue", "zorder_by"]
+__all__ = ["zvalue", "zorder_by", "compaction_plan"]
 
 
 def zvalue(a: Column, b: Column, bits: int = 16) -> Column:
@@ -65,4 +65,41 @@ def zorder_by(
     the layout transform."""
     return df.withColumn(z_col, zvalue(a, b, bits)).repartitionByRange(
         num_partitions, F.col(z_col)
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    file_col: str = "file_name",
+    size_col: str = "bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-files compaction planner: assign every file to an output bin
+    of ~``target_bytes`` using contiguous next-fit over the size-DESC
+    ordering — bin = floor(start_offset / target) where start_offset is
+    the exact cumulative size of all larger files.  Deterministic (size
+    then name tiebreak) and fully relational, so the plan is
+    value-checkable; big files land alone in their bins (a file >= target
+    spans its own bin range), small files pack together.
+
+    Input is a file MANIFEST frame — in production `spark.read.parquet(
+    path).select(F.col("_metadata.file_path"), F.col("_metadata.
+    file_size")).distinct()` — which is always orders of magnitude
+    smaller than the data; the cumulative offset still goes through the
+    range-partitioned two-phase scan (stats.global_cumsum), so even a
+    100M-file manifest never hits a single-partition window."""
+    from .stats import global_cumsum
+
+    f = files.select(
+        F.col(file_col).alias("file_name"),
+        F.col(size_col).cast("long").alias("bytes"),
+        (-F.col(size_col).cast("long")).alias("_neg"),
+    )
+    cum = global_cumsum(f, ["_neg", "file_name"], ["bytes"])
+    return cum.select(
+        "file_name",
+        "bytes",
+        F.floor((F.col("cum_bytes") - F.col("bytes")) / F.lit(target_bytes))
+        .cast("long")
+        .alias("bin"),
     )

@@ -123,6 +123,7 @@ FRONT_OF_CATALOG: list[str] = [
     # sf0.01) plus the flagship pipeline head the r6 queue ----
     "zorder_clustering_preview",
     "stream_lsh_band_canonical",
+    "compaction_plan_bins",
     "pipeline_e2e_hourly",
     "sessionize",
     "rolling_5min_count",

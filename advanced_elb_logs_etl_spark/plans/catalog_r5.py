@@ -778,3 +778,76 @@ def q_zorder_clustering_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# compaction_plan_bins — small-files compaction planning (layout ops)
+# ---------------------------------------------------------------------------
+
+_COMPACT_ORACLE = """
+WITH manifest AS (
+  SELECT 'part-' || lpad((l_orderkey % 40)::VARCHAR, 4, '0') AS file_name,
+         (sum(CAST(l_quantity * 100 AS BIGINT)) + 500 * count(*))::BIGINT
+           AS bytes
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT file_name, bytes,
+         sum(bytes) OVER (ORDER BY bytes DESC, file_name
+                          ROWS UNBOUNDED PRECEDING) AS cum_bytes
+  FROM manifest
+), planned AS (
+  SELECT file_name, bytes,
+         ((cum_bytes - bytes) // 20000000)::BIGINT AS bin
+  FROM cum
+)
+SELECT bin,
+       count(*)::BIGINT AS n_files,
+       sum(bytes)::BIGINT AS total_bytes,
+       min(bytes)::BIGINT AS min_file, max(bytes)::BIGINT AS max_file
+FROM planned GROUP BY bin ORDER BY bin
+"""
+
+
+@register("compaction_plan_bins", _COMPACT_ORACLE)
+def q_compaction_plan_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planning (operators/layout.compaction_plan):
+    contiguous next-fit over the size-DESC manifest — bin = exact
+    cumulative start offset // target — then the per-bin report an
+    OPTIMIZE job would execute.  The manifest here is synthesized
+    deterministically from lineitem (40 pseudo-files with exact byte
+    proxies) so the planner's arithmetic sits under the value-exact gate;
+    production feeds `_metadata.file_path`/`file_size` from any parquet
+    scan (single-file test fixtures make the real manifest degenerate).
+
+    Scale: planning is metadata-sized, and the only ordered step is the
+    range-partitioned two-phase scan — a 100M-file manifest plans without
+    a single-partition window."""
+    from ..operators.layout import compaction_plan
+
+    li = _t(spark, sf_dir, "lineitem")
+    manifest = (
+        li.groupBy((F.col("l_orderkey") % 40).alias("g"))
+        .agg(
+            (
+                F.sum((F.col("l_quantity") * 100).cast("long"))
+                + F.lit(500) * F.count(F.lit(1))
+            ).alias("bytes")
+        )
+        .select(
+            F.concat(
+                F.lit("part-"), F.lpad(F.col("g").cast("string"), 4, "0")
+            ).alias("file_name"),
+            "bytes",
+        )
+    )
+    plan = compaction_plan(manifest, target_bytes=20_000_000)
+    return (
+        plan.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("total_bytes"),
+            F.min("bytes").alias("min_file"),
+            F.max("bytes").alias("max_file"),
+        )
+        .orderBy("bin")
+    )

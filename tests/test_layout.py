@@ -57,3 +57,25 @@ def test_zorder_by_partitions_have_small_extents(spark):
         if p.n < 32:  # tiny boundary partitions can't prove anything
             continue
         assert p.sa <= 32 and p.sb <= 32, (p.pid, p.sa, p.sb, p.n)
+
+
+def test_compaction_plan_invariants(spark):
+    """Next-fit packing: bins cover all files, every bin except possibly
+    the last (in start-offset order) reaches the target once its first
+    file starts before a boundary, and big files sit alone."""
+    sizes = [300, 300, 150, 100, 90, 60, 50, 50, 900]  # target 400: 900 alone
+    df = spark.createDataFrame(
+        [(f"f{i:02d}", s) for i, s in enumerate(sizes)], "file_name string, bytes long"
+    )
+    plan = {r.file_name: (r.bin, r.bytes)
+            for r in layout.compaction_plan(df, target_bytes=400).collect()}
+    assert len(plan) == len(sizes)
+    # size-desc order: 900,300,300,150,100,90,60,50,50 ; offsets 0,900,1200,
+    # 1500,1650,1750,1840,1900,1950 ; bins (//400): 0,2,3,3,4,4,4,4,4
+    by_bin: dict = {}
+    for name, (b, sz) in plan.items():
+        by_bin.setdefault(b, []).append(sz)
+    assert sorted(by_bin[0]) == [900]          # oversized file alone
+    assert sorted(by_bin[2]) == [300]
+    assert sorted(by_bin[3]) == [150, 300]
+    assert sorted(by_bin[4]) == [50, 50, 60, 90, 100]
