@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import release_local_checkpoint
+
 __all__ = [
     "word_frequencies",
     "symbolize",
@@ -100,7 +102,6 @@ def bpe_train(
     never collects data-sized state.  The symbol table is checkpointed
     per round: K rounds of nested aggregate() lambdas would otherwise
     stack into one deep codegen expression."""
-    spark = df.sparkSession
     vocab = word_frequencies(df, text_col).select(
         symbolize(F.col("word")).alias("syms"), "cnt"
     )
@@ -131,8 +132,12 @@ def bpe_train(
         vocab = vocab.select(
             _merge_fold(F.col("syms"), a, b).alias("syms"), "cnt"
         ).localCheckpoint(eager=True)
-        prev.unpersist()
-    vocab.unpersist()
+        # localCheckpoint storage is NOT in the CacheManager (DataFrame
+        # .unpersist() / .rdd.unpersist() are both no-ops on it) — release
+        # the superseded round's blocks through the checkpoint's LogicalRDD
+        # leaf so K rounds hold one vocab copy, not K.
+        release_local_checkpoint(prev)
+    release_local_checkpoint(vocab)
     return merges
 
 

@@ -211,7 +211,12 @@ def uncached_ips_frame(
     result STAYS a DataFrame (column ``ip``) — nothing is collected, so
     an arbitrarily large miss set never touches the driver.  Cap
     semantics are identical: at most ``max_ips`` rows, first in sort
-    order (stable backlog drain); ``max_ips=None`` removes the guard."""
+    order (stable backlog drain), and — matching the module contract the
+    driver twin honors — truncation is logged loudly, never silent: one
+    small eager job probes for a ``max_ips + 1``-th miss (plan-side
+    limit, so the probe moves at most ``max_ips + 1`` rows) and warns
+    when the backlog exceeds the cap.  ``max_ips=None`` removes both the
+    guard and the probe."""
     distinct_ips = (
         logs.select(F.col(ip_col).alias("ip")).filter(F.col("ip").isNotNull()).distinct()
     )
@@ -220,6 +225,15 @@ def uncached_ips_frame(
     )
     if max_ips is None:
         return missing
+    if missing.limit(max_ips + 1).count() > max_ips:
+        _logger.warning(
+            "uncached_ips_frame: more than %d uncached IPs; the distributed "
+            "fetch will cover the first %d in sort order (the rest remain "
+            "un-enriched this run — raise max_ips or re-run to drain the "
+            "backlog)",
+            max_ips,
+            max_ips,
+        )
     return missing.orderBy("ip").limit(max_ips)
 
 

@@ -300,10 +300,17 @@ def auc_mann_whitney(
     neg_s); AUC = U2 / (2*P*N) is ONE double division of exact BIGINTs —
     bit-identical across engines, no rounding needed.
 
-    ``label_col`` must be an int/bool 0-1 column.  Returns 1 row:
+    ``label_col`` must be an int/bool 0-1 column.  NULL scores are
+    dropped before ranking (a NULL has no rank: Spark's range scan
+    orders nulls first while other engines order them last, so keeping
+    them would make the result engine-dependent — SQL twins must mirror
+    the filter).  Degenerate single-class input (n_pos or n_neg = 0)
+    yields auc = NULL instead of a division error: AUC is undefined
+    without both classes.  Returns 1 row:
     (auc double, n_pos bigint, n_neg bigint).
     """
     lab = F.col(label_col).cast("long")
+    df = df.where(F.col(score_col).isNotNull())
     per_score = df.groupBy(F.col(score_col).alias("s")).agg(
         F.sum(lab).alias("pos"),
         F.sum(F.lit(1) - lab).alias("neg"),
@@ -320,9 +327,10 @@ def auc_mann_whitney(
         F.sum("neg").alias("n_neg"),
     )
     return u2.select(
-        (
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
             F.col("u2").cast("double")
-            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double"),
         ).alias("auc"),
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),

@@ -43,7 +43,7 @@ WITH per_score AS (
   SELECT value AS s,
          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS pos,
          sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)::BIGINT AS neg
-  FROM events GROUP BY value
+  FROM events WHERE value IS NOT NULL GROUP BY value
 ), cum AS (
   SELECT pos, neg,
          sum(neg) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum_neg
@@ -53,7 +53,8 @@ WITH per_score AS (
          sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg
   FROM cum
 )
-SELECT CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc,
+SELECT CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc,
        n_pos, n_neg
 FROM u
 """

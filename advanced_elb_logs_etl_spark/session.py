@@ -92,3 +92,31 @@ def get_spark(
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     return apply_runtime_confs(spark)
+
+
+def release_local_checkpoint(df) -> bool:
+    """Best-effort release of a ``localCheckpoint(eager=True)`` frame's
+    block storage.
+
+    ``DataFrame.unpersist()`` (and ``df.rdd.unpersist()``) are no-ops for
+    checkpointed frames: localCheckpoint persists the INTERNAL row RDD,
+    which the CacheManager never tracks and ``.rdd`` re-derives rather
+    than returns.  The one handle to the persisted RDD is the
+    ``LogicalRDD`` leaf the checkpoint left as the frame's plan — reach
+    it through the JVM and unpersist (non-blocking).  Iterative
+    operators (BPE training) call this per superseded round so K rounds
+    hold one working-set copy, not K; without it the blocks linger until
+    the ContextCleaner GCs the frame.
+
+    Returns True when storage was released; False (never raises) when
+    the plan is not a checkpoint leaf or the internal API moved — the
+    fallback is the pre-existing GC behavior, not an error.
+    """
+    try:
+        node = df._jdf.queryExecution().logical()
+        if node.getClass().getName().endswith("LogicalRDD"):
+            node.rdd().unpersist(False)
+            return True
+    except Exception:  # pragma: no cover - defensive: internals moved
+        pass
+    return False

@@ -125,3 +125,27 @@ def test_bpe_segment_matches_reference_apply(spark):
         want_seg = "|" + "|  |".join(want) + "|"
         assert got[w][0] == want_seg, (w, got[w][0], want_seg)
         assert got[w][1] == len(want), (w, got[w][1], want)
+
+
+def test_bpe_train_releases_checkpoint_storage(spark):
+    """The per-round localCheckpoint blocks are released as rounds are
+    superseded (ADVICE r5: DataFrame.unpersist is a no-op on checkpointed
+    frames) — after training, no more persistent RDDs exist than before."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    bpe.bpe_train(df, num_merges=4)
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_release_local_checkpoint_helper(spark):
+    from advanced_elb_logs_etl_spark.session import release_local_checkpoint
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    ck = spark.range(10).toDF("x").localCheckpoint(eager=True)
+    assert jsc.getPersistentRDDs().size() == before + 1
+    assert release_local_checkpoint(ck) is True
+    assert jsc.getPersistentRDDs().size() == before
+    # non-checkpoint plans are a safe no-op
+    assert release_local_checkpoint(spark.range(3).toDF("y")) is False

@@ -205,3 +205,21 @@ def test_distributed_fetch_single_partition_by_default(spark):
     got = {r.query: r for r in fetched.collect()}
     assert set(got) == {"8.8.8.8", "7.7.7.7"}
     assert got["8.8.8.8"].country == "Wonder-8.8.8.8"
+
+
+def test_uncached_ips_frame_truncation_warns(spark, tmp_path, caplog):
+    """The distributed miss frame honors the module contract the driver
+    twin already had: capping the backlog is logged loudly, never silent
+    (ADVICE r5)."""
+    import logging
+
+    cache = geo.load_geo_cache(spark, _seed_cache(spark, tmp_path))
+    logs = _logs(spark, ["5.5.5.5", "4.4.4.4", "6.6.6.6"])
+    with caplog.at_level(logging.WARNING, logger=geo.__name__):
+        capped = [r.ip for r in geo.uncached_ips_frame(logs, cache, max_ips=1).collect()]
+        assert capped == ["4.4.4.4"]
+        assert any("more than 1 uncached IPs" in r.message for r in caplog.records)
+        caplog.clear()
+        # under the cap: no warning
+        geo.uncached_ips_frame(logs, cache, max_ips=100).collect()
+        assert not caplog.records

@@ -329,3 +329,25 @@ def test_auc_mann_whitney_extremes(spark):
         [(0.1, 1), (0.2, 1), (1.0, 0), (2.0, 0)], "score double, lab int"
     )
     assert stats.auc_mann_whitney(inverted, "score", "lab").first().auc == 0.0
+
+
+def test_auc_mann_whitney_null_scores_dropped(spark):
+    """NULL scores have no rank: they are filtered before the range scan
+    (engines disagree on null ordering), so a nullable score column gives
+    the same AUC as the non-null subset."""
+    base = [(0.1, 0), (0.4, 1), (0.6, 0), (0.9, 1)]
+    with_nulls = base + [(None, 1), (None, 0), (None, 0)]
+    clean = spark.createDataFrame(base, "score double, lab int")
+    dirty = spark.createDataFrame(with_nulls, "score double, lab int")
+    want = stats.auc_mann_whitney(clean, "score", "lab").first()
+    got = stats.auc_mann_whitney(dirty, "score", "lab").first()
+    assert (got.auc, got.n_pos, got.n_neg) == (want.auc, want.n_pos, want.n_neg)
+
+
+def test_auc_mann_whitney_single_class_is_null(spark):
+    """AUC is undefined without both classes: NULL, not a zero division."""
+    one_class = spark.createDataFrame(
+        [(0.1, 1), (0.5, 1), (0.9, 1)], "score double, lab int"
+    )
+    row = stats.auc_mann_whitney(one_class, "score", "lab").first()
+    assert row.auc is None and row.n_pos == 3 and row.n_neg == 0
