@@ -137,16 +137,39 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "clusters": clusters,
+        "sf": sf,
+    }
+    # Full per-query record -> a file (tools/bench_compare.py and
+    # BENCH_HISTORY.md read it). The driver captures only the LAST ~2000
+    # chars of stdout, so the printed line must be a COMPACT, complete JSON
+    # document: total + count + the top-20 heaviest queries — the r5 record
+    # (BENCH_r05.json parsed:null) showed a 193-query line overflows the
+    # capture and truncates into unparseable tail fragments.
+    full_path = os.path.join(REPO_ROOT, "bench_full_latest.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh)
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     print(
         json.dumps(
             {
                 "metric": "catalog_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "clusters": clusters,
+                "n_queries": len(timings),
+                "queries": top,
+                "clusters_in_sequence": {
+                    c: v["in_sequence_total"] for c, v in clusters.items()
+                },
                 "sf": sf,
-            }
+                "full_record": "bench_full_latest.json",
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
