@@ -49,16 +49,20 @@ __all__ = [
 EOW = "</w>"
 
 
-def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", token_pattern: str | None = None
+) -> DataFrame:
     """(word, cnt) — the one corpus-sized reduction. Lowercased whitespace
-    tokens; empty strings dropped."""
-    words = df.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
-            )
-        ).alias("word")
-    )
+    tokens; empty strings dropped. ``token_pattern`` (an anchored regex,
+    e.g. '^[a-z]+$') optionally restricts the vocabulary — the SQL-twin
+    gate trains on alphabetic words only, the same precondition that buys
+    the apply path its guarded string encoding."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    if token_pattern is None:
+        toks = F.filter(toks, lambda t: t != F.lit(""))
+    else:
+        toks = F.filter(toks, lambda t: t.rlike(token_pattern))
+    words = df.select(F.explode(toks).alias("word"))
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
 
 
@@ -93,6 +97,7 @@ def bpe_train(
     text_col: str = "text",
     num_merges: int = 10,
     min_pair_count: int = 2,
+    token_pattern: str | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``num_merges`` BPE merges from the corpus; returns the merge
     table [(rank, left, right, weighted_pair_count), ...] in learned
@@ -102,7 +107,7 @@ def bpe_train(
     never collects data-sized state.  The symbol table is checkpointed
     per round: K rounds of nested aggregate() lambdas would otherwise
     stack into one deep codegen expression."""
-    vocab = word_frequencies(df, text_col).select(
+    vocab = word_frequencies(df, text_col, token_pattern).select(
         symbolize(F.col("word")).alias("syms"), "cnt"
     )
     vocab = vocab.localCheckpoint(eager=True)
@@ -146,11 +151,12 @@ def bpe_train_df(
     text_col: str = "text",
     num_merges: int = 10,
     min_pair_count: int = 2,
+    token_pattern: str | None = None,
 ) -> DataFrame:
     """bpe_train as a DataFrame [(rank, left, right, pair_count)] for the
     catalog/driver surface."""
     spark = df.sparkSession
-    rows = bpe_train(df, text_col, num_merges, min_pair_count)
+    rows = bpe_train(df, text_col, num_merges, min_pair_count, token_pattern)
     return spark.createDataFrame(
         rows, "rank int, left string, right string, pair_count long"
     )

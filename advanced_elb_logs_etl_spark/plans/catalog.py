@@ -44,129 +44,87 @@ def register(name: str, oracle: str | None):
 # CORRECTNESS_r01/r02) follow.  Names not present in CATALOG are ignored,
 # so this list may safely lead registration.
 FRONT_OF_CATALOG: list[str] = [
-    # -- positions 1-26: the 26 catalog entries with NO driver CORRECTNESS
-    # row in any round (added late in round 4, beyond that round's window) —
-    # VERDICT r4 item 1. Same rotation discipline as the r3/r4 backlogs.
-    "setsim_prefix_join",
-    "grouping_sets_pricing",
-    "ks_two_sample_values",
-    "chi_square_type_bucket",
-    "welch_t_values",
-    "rfm_segmentation",
-    "debounce_events_batch",
-    "centroid_cosine_outliers",
-    "array_hof_battery",
-    "event_cooccurrence_lift",
-    "dedup_keep_best",
-    "correlation_matrix",
-    "ewma_control_chart",
-    "mutual_information",
-    "referential_integrity_audit",
-    "set_ops_battery",
-    "null_semantics_battery",
-    "temperature_mix_sample",
-    "event_transition_matrix",
-    "time_to_conversion",
-    "feature_hashing_vectors",
-    "view_to_purchase_within_hour",
-    "rolling_median_value",
-    "sequence_top_paths",
-    "cohort_ltv_curve",
-    "repeated_kgram_spans",
-    # -- positions 27-31: §2-core re-validation rotation (VERDICT r4 item 2;
-    # exactly the five the judge named — last driver-green in r2).
-    "url_parse",
-    "status_bucket",
-    "dim_enrich_join",
-    "rolling_1h_avg",
-    "error_report",
-    # -- position 32: the only query whose latest driver signal is r1.
-    "winnow_fingerprints",
-    # -- positions 33-34: fresh post-change rows for the two operators this
-    # round modifies (VERDICT items 4 and 5: edit-distance compound-block
-    # guard; k-hop hub-skew defense). Their rows must stay green through the
-    # rewrite, so they re-enter the window.
-    "levenshtein_block_pairs",
-    "khop_reachability",
-    # -- positions 35-37: NEW round-5 streaming<->batch equivalence queries
-    # (VERDICT item 6) — real Structured Streaming runs (availableNow
-    # trigger, memory sink) compared against the batch twin's oracle SQL.
-    "stream_session_window_equiv",
-    "stream_hourly_agg_equiv",
-    "stream_dedup_equiv",
-    "stream_join_equiv",
-    # -- positions 39-45: NEW round-5 evaluation/drift wave (catalog_r5.py)
-    # — inside the window so zero never-checked entries remain after r5.
-    "auc_mann_whitney",
-    "calibration_bins",
-    "cohens_kappa",
-    "psi_value_drift",
-    "km_survival",
-    "impute_battery",
-    "two_proportion_ztest",
-    # -- positions 46-47: late round-5 additions (VARIANT path + the 5th
-    # streaming equivalence) — in-window so they get r5 rows too.
-    "variant_extract_stats",
-    "stream_sliding_window_equiv",
-    # -- position 48: DOULION-style sampled triangle count (late r5
-    # addition, in-window).
-    "triangle_count_sampled",
-    # -- positions 49-50: the BPE tokenize loop (late r5 additions):
-    # trainer (rows-only by design — pytest holds the merge-for-merge
-    # differential) + value-exact apply/segmenter.
-    "bpe_train_merges",
-    "bpe_segment_counts",
-    # ---- position 51+ (outside the 50-entry window): the r6 rotation
-    # queue — remaining r2-green entries first, then the r3-green cycle.
-    # Zero-never-checked beats §2 re-rotation (the r4/r5 precedent), so
-    # the one r5 entry without a slot (zorder, locally oracle-green at
-    # sf0.01) plus the flagship pipeline head the r6 queue ----
+    # ======== ROUND-6 WINDOW (positions 1-50) ========
+    # -- positions 1-3: the 3 catalog entries with NO driver CORRECTNESS
+    # row in any round (added after the r5 window rotated) — VERDICT r5
+    # item 1, the third consecutive round's backlog-first discipline.
     "zorder_clustering_preview",
     "stream_lsh_band_canonical",
     "compaction_plan_bins",
+    # -- positions 4-46: the 43 queries whose freshest driver signal is r2
+    # (3 rounds old) — VERDICT r5 item 2. Order: flagship pipeline + the
+    # §2 window/scalar anchors first, then the LLM dedup path (whose
+    # shared-cache plumbing changed in r5), then the TPC-H/report cycle.
     "pipeline_e2e_hourly",
     "sessionize",
     "rolling_5min_count",
-    "dedup_exact",
-    "minhash_lsh_neardup",
     "null_coding_cast",
     "date_parts",
     "path_features",
+    "dedup_exact",
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "minhash_signatures",
+    "simhash_signatures",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
+    "ann_cosine_topk",
+    "ivf_cosine_topk",
+    "text_stats",
+    "multimodal_meta",
     "bot_origin_summary",
     "anti_join_uncached",
     "union_distinct_names",
     "dedup_keep_last",
-    "simhash_neardup",
-    "ann_cosine_topk",
-    "text_stats",
-    "multimodal_meta",
     "asof_join_state",
     "range_join_windows",
     "pricing_summary",
     "topk_orders",
+    "grouped_topk_orders",
     "funnel_conversion",
     "cohort_retention",
     "pivot_event_counts",
     "percentile_battery",
     "salted_agg_counts",
     "json_extract_summary",
-    "grouped_topk_orders",
     "cube_pricing",
+    "rollup_pricing",
     "value_outliers_z",
     "session_report",
-    "embedding_neardup_pairs",
     "full_outer_nation_suppliers",
+    "semi_join_active",
     "hourly_agg_approx",
-    "ivf_cosine_topk",
     "large_orders_q18",
     "local_supplier_q5",
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
-    "rollup_pricing",
-    "semi_join_active",
     "shipping_priority_q3",
-    "simhash_signatures",
     "volume_shipping_q7",
+    # -- position 47: the BPE trainer, now under a value-exact oracle
+    # (VERDICT r5 item 3: the unrolled fixed-K merge twin replaces the
+    # guaranteed-err rows-only slot).
+    "bpe_train_merges",
+    # -- positions 48-49: sketch queries upgraded from rows-only to
+    # bounded checks (VERDICT r5 item 8): the oracle now verifies
+    # |approx - exact| <= eps * exact as hash-covered booleans.
+    "profile_table_approx",
+    "hll_shard_union",
+    # -- position 50: reserved for THIS round's single new catalog entry;
+    # the round-freeze discipline (VERDICT r5 item 1) allows exactly as
+    # many additions as reserved in-window slots.
+    "stream_first_seen_dedup",
+    # ======== position 51+ (the r7 rotation queue) ========
+    # r3-green entries are next-stalest after this window ships; the r5
+    # window's entries (driver-green freshest) go last. Names not yet in
+    # CATALOG are ignored, so the queue may lead registration.
+    "hourly_agg",
+    "alb_parse_roundtrip",
+    "url_parse",
+    "status_bucket",
+    "dim_enrich_join",
+    "rolling_1h_avg",
+    "error_report",
+    "winnow_fingerprints",
+    "levenshtein_block_pairs",
+    "khop_reachability",
 ]
 
 

@@ -598,15 +598,65 @@ def q_stream_sliding_window_equiv(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
-@register("bpe_train_merges", None)  # iterative: not SQL-expressible;
-# ground truth is the pure-Python merge-for-merge differential in
-# tests/test_bpe.py (same pattern as the IVF recall pin)
+_BPE_TRAIN_K = 8
+
+
+def _bpe_train_oracle(k: int = _BPE_TRAIN_K) -> str:
+    """The VALUE-EXACT twin of the iterative BPE trainer: the fixed-K
+    merge loop UNROLLED into a CTE chain (VERDICT r5 item 3 — the same
+    move as pagerank's unrolled iterations).  Each round re-derives pair
+    counts from the guarded segment-string vocabulary, picks the argmax
+    pair under the trainer's exact tiebreak (n DESC, a, b), and applies
+    the merge as ONE string replace — replace() is leftmost-greedy
+    non-overlapping in both engines, which under the pipe-guard encoding
+    IS the BPE merge rule (see operators/bpe.bpe_segment_string).  The
+    alphabetic-token restriction is the encoding's documented
+    precondition; the Spark side trains under the same
+    ``token_pattern``."""
+    parts = [
+        """WITH words AS (
+  SELECT w.word, count(*)::BIGINT AS cnt
+  FROM documents d,
+       unnest(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+                          x -> regexp_matches(x, '^[a-z]+$'))) AS w(word)
+  GROUP BY w.word
+),
+w0 AS (SELECT regexp_replace(word, '(.)', '|\\1|  ', 'g') || '|</w>|' AS s, cnt FROM words)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(f""",
+p{r} AS (
+  SELECT trim(toks[i], '|') AS a, trim(toks[i+1], '|') AS b, sum(cnt)::BIGINT AS n
+  FROM (SELECT regexp_split_to_array(s, '  ') AS toks, cnt FROM w{r - 1}) t,
+       unnest(range(1, len(toks))) AS u(i)
+  GROUP BY 1, 2
+),
+t{r} AS (SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1)""")
+        if r < k:
+            parts.append(f""",
+w{r} AS (
+  SELECT replace(w.s, '|' || t.a || '|  |' || t.b || '|', '|' || t.a || t.b || '|') AS s, cnt
+  FROM w{r - 1} w, t{r} t
+)""")
+    sel = "\nUNION ALL\n".join(
+        f'SELECT {r} AS rank, a AS "left", b AS "right", n AS pair_count FROM t{r}'
+        for r in range(1, k + 1)
+    )
+    parts.append(f"\nSELECT * FROM (\n{sel}\n) ORDER BY rank")
+    return "".join(parts)
+
+
+@register("bpe_train_merges", _bpe_train_oracle())
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn 8 BPE merges from the document corpus (operators/bpe.py).
-    Deterministic: pair argmax ties break on symbol order, so the merge
-    table is stable run-to-run (the driver's rows-only gate still pins
-    row count + schema; the merge VALUES are pinned by the pytest
-    differential against an independent reference implementation).
+    """Learn 8 BPE merges from the alphabetic word vocabulary of the
+    document corpus (operators/bpe.py) — an ITERATIVE trainer under the
+    VALUE-EXACT gate: the oracle unrolls the same fixed-K loop into a CTE
+    chain over the guarded string encoding, so every learned (left,
+    right, pair_count) row is checked merge-for-merge against an
+    independent engine (plus the pure-Python differential in
+    tests/test_bpe.py).  Determinism: pair argmax ties break on (n DESC,
+    left, right) in both engines; min_pair_count=1 mirrors the oracle's
+    unconditional LIMIT 1 per round.
 
     Scale: one corpus-sized word-frequency reduction, then every round is
     O(|vocab|) — explode adjacent symbol pairs, one hash agg, a 1-row
@@ -615,7 +665,12 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_train_df
 
     docs = _t(spark, sf_dir, "documents")
-    return bpe_train_df(docs, num_merges=8)
+    return bpe_train_df(
+        docs,
+        num_merges=_BPE_TRAIN_K,
+        min_pair_count=1,
+        token_pattern="^[a-z]+$",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -149,3 +149,20 @@ def test_release_local_checkpoint_helper(spark):
     assert jsc.getPersistentRDDs().size() == before
     # non-checkpoint plans are a safe no-op
     assert release_local_checkpoint(spark.range(3).toDF("y")) is False
+
+
+def test_bpe_token_pattern_restricts_vocab(spark):
+    """token_pattern='^[a-z]+$' trains on alphabetic words only — the
+    SQL-twin gate's precondition. Equivalent to the reference trainer run
+    on the filtered corpus."""
+    import re
+
+    texts = ["the cat, the hat! 42 times", "a cat & a hat", "the end."]
+    filtered = [
+        " ".join(w for w in t.lower().split() if re.fullmatch("[a-z]+", w))
+        for t in texts
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe.bpe_train(df, num_merges=4, min_pair_count=1, token_pattern="^[a-z]+$")
+    want = _reference_bpe(filtered, num_merges=4, min_pair_count=1)
+    assert got == want, (got, want)
