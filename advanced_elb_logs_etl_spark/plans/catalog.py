@@ -752,14 +752,57 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum_value", F.round("sum_value", 2))
 
 
-@register("hourly_agg_approx", None)  # sketches are engine-specific: rows-only
+_HOURLY_APPROX_ORACLE = """
+SELECT
+  year(ts)::BIGINT    AS request_year,
+  month(ts)::BIGINT   AS request_month,
+  day(ts)::BIGINT     AS request_day,
+  hour(ts)::BIGINT    AS request_hour,
+  event_type,
+  count(user_id)::BIGINT AS request_count,
+  round(sum(value), 2)   AS sum_value,
+  TRUE AS distinct_within_bound,
+  TRUE AS median_within_band
+FROM events
+WHERE event_type IS NOT NULL
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@register("hourly_agg_approx", _HOURLY_APPROX_ORACLE)
 def q_hourly_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of the hourly battery: approx_count_distinct (HLL)
     and approx percentile replace the exact-distinct expand and the
-    full-sort median — single-pass sketches, one shuffle. Sketch outputs are
-    engine-specific, so the driver records a rows-only check; the exact
-    variant (hourly_agg) carries the value-level correctness burden."""
+    full-sort median — single-pass sketches, one shuffle.
+
+    Sketch VALUES are engine-specific, so the hash covers the sketch's
+    ERROR BOUND instead (VERDICT r5 item 8): per group,
+    ``distinct_within_bound`` asserts |approx − exact| ≤
+    max(0.15·exact, 5) — 0.15 is a 3-sigma envelope at the default rsd
+    0.05, and the absolute floor of 5 covers Spark's HLL++ small-range
+    behavior (no sparse representation: tiny groups routinely land ±1-4
+    off; measured max |err| = 4 across every group at sf0.1) — and
+    ``median_within_band`` asserts the approx median is one of the
+    group's two DISCRETE middle elements — percentile_approx returns an
+    actual element with rank error ≤ n/accuracy, which at gate scale
+    (n ≪ accuracy=10000) means exactly rank ⌈n/2⌉; an interpolated
+    quantile band would wrongly reject 2-element groups whose approx
+    median is the lower element. The oracle emits literal
+    TRUE, so any bound violation flips the value hash. This gate query
+    deliberately computes BOTH exact and approx aggregates; the
+    production form drops the exact lanes (that's the whole point of the
+    sketch), and the exact twin (hourly_agg) carries the value-level
+    burden for them."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    approx_d = F.approx_count_distinct("user_id")
+    exact_d = F.count_distinct("user_id")
+    approx_m = F.percentile_approx("value", 0.5)
+    # discrete middle elements (1-based): rank floor((n+1)/2) and
+    # floor(n/2)+1 of the sorted non-null values — equal for odd n
+    _sorted_vals = F.sort_array(F.collect_list("value"))
+    _n_vals = F.size(_sorted_vals)
+    _mid_lo = F.floor((_n_vals + F.lit(1)) / F.lit(2)).cast("int")
+    _mid_hi = (F.floor(_n_vals / F.lit(2)) + F.lit(1)).cast("int")
     return ev.groupBy(
         F.year("ts").cast("long").alias("request_year"),
         F.month("ts").cast("long").alias("request_month"),
@@ -768,9 +811,17 @@ def q_hourly_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count("user_id").alias("request_count"),
-        F.approx_count_distinct("user_id").alias("unique_client_ips_approx"),
-        F.percentile_approx("value", 0.5).alias("median_value_approx"),
         F.round(F.sum("value"), 2).alias("sum_value"),
+        (
+            F.abs(approx_d - exact_d).cast("double")
+            <= F.greatest(F.lit(0.15) * exact_d.cast("double"), F.lit(5.0))
+        ).alias("distinct_within_bound"),
+        F.when(approx_m.isNull(), F.lit(True))
+        .otherwise(
+            (approx_m >= F.try_element_at(_sorted_vals, _mid_lo))
+            & (approx_m <= F.try_element_at(_sorted_vals, _mid_hi))
+        )
+        .alias("median_within_band"),
     )
 
 

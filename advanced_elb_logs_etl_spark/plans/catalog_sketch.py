@@ -42,16 +42,37 @@ def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("hll_shard_union", None)
+_HLL_UNION_ORACLE = """
+SELECT count(DISTINCT user_id)::BIGINT AS n_exact,
+       TRUE AS within_bound
+FROM events
+"""
+
+
+@register("hll_shard_union", _HLL_UNION_ORACLE)
 def q_hll_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users estimated by building one DataSketches HLL sketch
     per event_type shard and unioning the sketches — the stored-rollup
-    pattern. Approximate by design -> rows-only driver check; the
-    relative error is pinned against the exact count in
-    tests/test_sketches.py."""
+    pattern.
+
+    The estimate itself is engine-specific, so the hash covers the ERROR
+    BOUND (VERDICT r5 item 8): ``within_bound`` asserts the merged-sketch
+    estimate lands within 5% of the exact distinct count (lg_k=12 →
+    rsd ≈ 1.6%, so 5% is a 3-sigma envelope), and the exact count is
+    hash-covered directly. The 1-row×1-row crossJoin stitches the two
+    scalar frames (plan-lint allowlisted). tests/test_sketches.py keeps
+    the tighter relative-error pin."""
     ev = _t(spark, sf_dir, "events")
     sk = sketches.hll_partitioned_sketches(ev, "event_type", "user_id", lg_k=12)
-    return sketches.hll_merge_estimate(sk)
+    est = sketches.hll_merge_estimate(sk)
+    exact = ev.agg(F.count_distinct("user_id").alias("n_exact"))
+    return est.crossJoin(exact).select(
+        "n_exact",
+        (
+            F.abs(F.col("estimate") - F.col("n_exact")).cast("double")
+            <= F.lit(0.05) * F.col("n_exact").cast("double")
+        ).alias("within_bound"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -266,3 +266,38 @@ def q_stream_lsh_band_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     )
     return out.orderBy("band", "key")
+
+
+# ---------------------------------------------------------------------------
+# stream_first_seen_dedup — first-seen-wins near-dup policy (round 6)
+# ---------------------------------------------------------------------------
+
+from .catalog_llm import _DEDUP_CORPUS_ORACLE  # noqa: E402
+
+
+@register("stream_first_seen_dedup", _DEDUP_CORPUS_ORACLE)
+def q_stream_first_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION streaming dedup policy (VERDICT r5 item 6) under the
+    value-exact gate: documents replay through a real micro-batch query
+    whose foreachBatch sink applies first-seen-wins — docs colliding with
+    an earlier batch's kept docs drop at LSH-candidate level against a
+    band-key store; within a batch the exact verified-pairs → connected
+    components → min-id rule runs (streaming/neardup.py).  The replay is
+    ONE micro-batch, for which the policy is value-identical to batch
+    dedup_corpus — hence the shared recursive-CTE closure oracle; the
+    arrival-order-dependent multi-batch path is pinned by the hermetic
+    invariants in tests/test_streaming_firstseen.py (the documented
+    reason it cannot sit under a parallel-replay oracle itself).
+
+    Scale: per batch, one (band, key)-keyed semi-join probe against the
+    store + the batch dedup pipeline at micro-batch size; the store
+    grows by NUM_BANDS rows per KEPT doc and is retention-prunable."""
+    from ..streaming.neardup import replay_first_seen_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = replay_first_seen_dedup(spark, docs.select("doc_id", "text"), num_batches=1)
+    return (
+        kept.select("doc_id")
+        .join(docs.select("doc_id", "lang", "source"), ["doc_id"], "inner")
+        .orderBy("doc_id")
+    )

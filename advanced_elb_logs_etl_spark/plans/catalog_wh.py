@@ -75,15 +75,47 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("profile_table_approx", None)  # HLL sketch values are engine-specific: rows-only
+_PROFILE_APPROX_ORACLE = f"""
+SELECT col_name, n_rows, n_nulls, n_distinct,
+       TRUE AS distinct_within_bound
+FROM ({_PROFILE_ORACLE})
+ORDER BY col_name
+"""
+
+
+@register("profile_table_approx", _PROFILE_APPROX_ORACLE)
 def q_profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile_table with exact=False — the 100 TB default: n_distinct comes
     from approx_count_distinct (HLL++, rsd 0.05), so the plan is a plain
     partial+final hash agg with NO Expand (pinned in test_warehouse.py).
-    Sketch estimates differ across engines, hence rows-only; the exact twin
-    above carries the value-hash burden."""
-    return warehouse.profile_table(
-        _t(spark, sf_dir, "orders"), [c for c, _ in _ORDERS_COLS], exact=False
+
+    Sketch estimates differ across engines, so the hash covers the BOUND
+    (VERDICT r5 item 8): per column, ``distinct_within_bound`` asserts the
+    approx distinct count lands within 15% (3-sigma at rsd 0.05) of the
+    exact profile's, and the exact n_rows/n_nulls/n_distinct lanes are
+    hash-covered directly. The gate query runs both profiles on purpose;
+    production runs only the approx one (no Expand)."""
+    cols = [c for c, _ in _ORDERS_COLS]
+    orders = _t(spark, sf_dir, "orders")
+    ex = warehouse.profile_table(orders, cols).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct"
+    )
+    ap = warehouse.profile_table(orders, cols, exact=False).select(
+        "col_name", F.col("n_distinct").alias("_nd_approx")
+    )
+    return (
+        ex.join(ap, "col_name")
+        .select(
+            "col_name",
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            (
+                F.abs(F.col("_nd_approx") - F.col("n_distinct")).cast("double")
+                <= F.lit(0.15) * F.col("n_distinct").cast("double")
+            ).alias("distinct_within_bound"),
+        )
+        .orderBy("col_name")
     )
 
 

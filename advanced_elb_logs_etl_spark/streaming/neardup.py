@@ -22,22 +22,42 @@ Streaming near-dup semantics offered:
   Production streams bound it further with a watermark on an event-time
   column (candidates need only collide within the horizon).
 
-A first-seen-wins filter (emit a doc only if none of its band keys was
-seen before) is inherently arrival-order dependent — fine in production,
-but not value-testable under parallel replay; the min-canonical form is
-the order-free equivalent, which is why it is the one under the oracle
-gate.
+- ``first_seen_dedup_stream`` (+ its pure-batch kernel
+  ``first_seen_batch_step``): the PRODUCTION POLICY layer — keep a doc
+  only if it does not near-collide with anything already kept.  Arrival
+  granularity is the micro-batch: docs colliding with a PREVIOUS batch's
+  kept docs are dropped at LSH-candidate level (the key store holds band
+  keys only, so state stays bounded — no stored shingle sets to
+  Jaccard-verify against; that is the standard state-bounds trade and is
+  documented per call), while WITHIN a batch the exact batch rule runs
+  (verified pairs → connected components → min-id survivor, i.e.
+  operators/dedup.dedup_corpus).  A single-batch replay is therefore
+  value-identical to batch dedup_corpus — which is how this
+  arrival-order-dependent policy still gets a value-exact driver row.
+  The foreachBatch sink (not transformWithState) is deliberate: the
+  per-doc decision needs ALL of a doc's band keys at once — per-key
+  state cannot coordinate it — and batch-id-keyed parquet writes make
+  retries idempotent and the store restart-safe.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.hashing import minhash_signature, shingle_hashes, shingles
 from ..operators.dedup import NUM_BANDS, NUM_HASHES, _band_key
 
-__all__ = ["band_key_rows", "lsh_band_canonical_stream"]
+__all__ = [
+    "band_key_rows",
+    "lsh_band_canonical_stream",
+    "first_seen_batch_step",
+    "first_seen_dedup_stream",
+    "replay_first_seen_dedup",
+]
 
 
 def band_key_rows(
@@ -79,3 +99,187 @@ def lsh_band_canonical_stream(
         F.min(id_col).alias("canonical_doc"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+#: Band-key store schema: one row per (band, key) owned by a kept doc.
+KEY_STORE_SCHEMA = T.StructType(
+    [
+        T.StructField("band", T.IntegerType()),
+        T.StructField("key", T.StringType()),
+    ]
+)
+
+
+def first_seen_batch_step(
+    batch_docs: DataFrame,
+    seen_keys: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of the first-seen-wins near-dup policy, as a pure
+    batch computation (unit-testable without a stream):
+
+    1. docs sharing ANY band key with ``seen_keys`` are dropped — they
+       are LSH candidates of an earlier KEPT doc (candidate-level, not
+       Jaccard-verified: the store is band keys only, so cross-batch
+       state stays bounded);
+    2. the survivors run the exact batch rule: verified near-dup pairs →
+       connected components → min-id survivor per component (identical
+       semantics to operators/dedup.dedup_corpus, so a one-batch stream
+       equals the batch operator row-for-row);
+    3. returns (kept_docs, new_keys): the kept rows and the band keys
+       they now own.
+
+    Scale: the seen-keys probe is one distinct + semi/anti join keyed on
+    (band, key) — the same key the LSH bucket join shuffles on; the
+    within-batch step is the batch dedup pipeline at micro-batch size.
+    The store grows by NUM_BANDS rows per kept doc (bounded by the kept
+    corpus, not the stream); production bounds it further by retention
+    (drop keys older than the dedup horizon)."""
+    from ..operators.dedup import minhash_neardup_pairs, neardup_components
+
+    bands = band_key_rows(batch_docs, id_col, text_col)
+    if seen_keys is not None:
+        blocked = (
+            bands.join(seen_keys.select("band", "key"), ["band", "key"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        candidates = batch_docs.join(blocked, [id_col], "left_anti")
+    else:
+        candidates = batch_docs
+    pairs = minhash_neardup_pairs(candidates, id_col, text_col, threshold)
+    comps = neardup_components(pairs)
+    victims = comps.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias("_victim")
+    )
+    kept = candidates.join(
+        victims, candidates[id_col] == F.col("_victim"), "left_anti"
+    )
+    new_keys = band_key_rows(kept, id_col, text_col).select("band", "key")
+    return kept, new_keys
+
+
+def first_seen_dedup_stream(
+    docs_stream: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+):
+    """Attach the first-seen-wins policy to a streaming docs frame.
+
+    Returns a configured ``DataStreamWriter`` (caller adds trigger /
+    checkpoint and ``.start()``s it).  Each micro-batch reads the band-key
+    store under ``store_dir``/keys, runs ``first_seen_batch_step``, and
+    writes the batch's kept docs and new keys under batch-id-keyed
+    subdirectories (``batch=N``) with overwrite — a retried batch
+    rewrites its own output instead of double-appending, so the sink is
+    idempotent and the store doubles as the restart state."""
+    kept_dir = os.path.join(store_dir, "kept")
+    keys_dir = os.path.join(store_dir, "keys")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            seen = spark.read.schema(KEY_STORE_SCHEMA).parquet(keys_dir)
+        except Exception:
+            seen = None
+        kept, new_keys = first_seen_batch_step(
+            batch_df, seen, id_col, text_col, threshold
+        )
+        # kept feeds two writes; pin it so the CC loop runs once
+        kept = kept.localCheckpoint(eager=True)
+        kept.write.mode("overwrite").parquet(
+            os.path.join(kept_dir, f"batch={batch_id}")
+        )
+        new_keys.write.mode("overwrite").parquet(
+            os.path.join(keys_dir, f"batch={batch_id}")
+        )
+
+    return docs_stream.writeStream.foreachBatch(_process).outputMode("update")
+
+
+def replay_first_seen_dedup(
+    spark: SparkSession,
+    docs: DataFrame,
+    num_batches: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    timeout_sec: int = 300,
+    with_batch_col: bool = False,
+) -> DataFrame:
+    """Replay a batch docs frame through the streaming first-seen policy
+    (real micro-batch engine: staged parquet source, foreachBatch sink,
+    availableNow trigger) and return the kept rows
+    (``with_batch_col=True`` appends the micro-batch id each row was kept
+    in, recovered from the store's ``batch=N`` partitioning).
+
+    ``num_batches=1`` stages one source file group processed as ONE
+    micro-batch — the configuration whose result is value-identical to
+    batch dedup_corpus (the catalog/driver gate).  ``num_batches>1``
+    splits the input into that many single-file micro-batches
+    (maxFilesPerTrigger=1) in ``id_col`` order, exercising the
+    cross-batch key-store path with a deterministic arrival order."""
+    import shutil
+    import tempfile
+    import uuid
+
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_firstseen_")
+    try:
+        src = os.path.join(tmp, "src")
+        ckpt = os.path.join(tmp, "ckpt")
+        store = os.path.join(tmp, "store")
+        if num_batches <= 1:
+            docs.coalesce(8).write.parquet(src)
+        else:
+            # one file per micro-batch, ordered by id: file N holds the
+            # N-th id-range slice so arrival order is reproducible
+            docs.repartitionByRange(num_batches, F.col(id_col)).sortWithinPartitions(
+                id_col
+            ).write.parquet(src)
+            # pin arrival order: the file source orders same-trigger
+            # candidates by modification time, and one write job stamps
+            # near-identical mtimes — restamp part files in name order
+            # (part-N holds the N-th id range) with strictly increasing
+            # times so batch N is exactly id-slice N
+            import time as _time
+
+            base = _time.time() - 3600
+            parts = sorted(
+                f for f in os.listdir(src)
+                if f.startswith("part-") and not f.endswith(".crc")
+            )
+            for i, fname in enumerate(parts):
+                os.utime(os.path.join(src, fname), (base + i, base + i))
+        reader = spark.readStream.schema(docs.schema)
+        if num_batches > 1:
+            reader = reader.option("maxFilesPerTrigger", 1).option(
+                "latestFirst", "false"
+            )
+        stream = reader.parquet(src)
+        writer = first_seen_dedup_stream(stream, store, id_col, text_col, threshold)
+        q = (
+            writer.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(f"first_seen_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:  # pragma: no cover - defensive timeout path
+            q.stop()
+            raise TimeoutError("first-seen replay did not drain")
+        if q.exception() is not None:
+            raise q.exception()
+        cols = list(docs.columns) + (["batch"] if with_batch_col else [])
+        kept = (
+            spark.read.schema(docs.schema)
+            .option("recursiveFileLookup", "false")
+            .parquet(os.path.join(store, "kept"))
+            .select(*cols)
+        )
+        return kept.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,124 @@
+"""First-seen-wins streaming near-dup policy (streaming/neardup.py):
+single-batch replay must equal batch dedup_corpus row-for-row; multi-batch
+replay must honor the cross-batch key-store blocking invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advanced_elb_logs_etl_spark.operators.dedup import dedup_corpus
+from advanced_elb_logs_etl_spark.streaming.neardup import (
+    band_key_rows,
+    first_seen_batch_step,
+    replay_first_seen_dedup,
+)
+
+# Corpus with planted near-dup structure: (101, 102) near-identical,
+# (201, 202, 203) a near-dup chain, the rest unique. Short docs (ids 9xx)
+# have <3 tokens -> no shingles -> always kept, never blocking.
+_BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away home "
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _corpus_rows():
+    return [
+        (101, _BASE + "alpha beta gamma delta epsilon zeta eta theta"),
+        (102, _BASE + "alpha beta gamma delta epsilon zeta eta iota"),
+        (201, _BASE + "one two three four five six seven eight nine ten"),
+        (202, _BASE + "one two three four five six seven eight nine zen"),
+        (203, _BASE + "one two three four five six seven eight nine axe"),
+        (301, "completely different content about spark structured streaming "
+              "micro batches and state stores with watermark semantics here"),
+        (401, "yet another unrelated document that talks about parquet file "
+              "layouts z ordering and compaction planning for data lakes"),
+        (901, "too short"),
+    ]
+
+
+def test_single_batch_equals_dedup_corpus(spark):
+    docs = _docs(spark, _corpus_rows())
+    got = sorted(
+        r.doc_id
+        for r in replay_first_seen_dedup(spark, docs, num_batches=1).collect()
+    )
+    want = sorted(r.doc_id for r in dedup_corpus(docs).collect())
+    assert got == want and len(got) < len(_corpus_rows())
+
+
+def test_batch_step_blocks_on_seen_keys(spark):
+    """A doc whose band keys are already owned is dropped before the
+    within-batch rule; unrelated docs pass."""
+    first = _docs(spark, _corpus_rows()[:2])  # 101 kept, 102 its victim
+    kept1, keys1 = first_seen_batch_step(first, None)
+    assert [r.doc_id for r in kept1.collect()] == [101]
+
+    second = _docs(
+        spark,
+        [
+            # near-identical to 101 -> candidate-blocked by the store
+            (111, _BASE + "alpha beta gamma delta epsilon zeta eta theta"),
+            (301, "completely different content about spark structured "
+                  "streaming micro batches and state stores here today"),
+        ],
+    )
+    kept2, keys2 = first_seen_batch_step(second, keys1)
+    assert [r.doc_id for r in kept2.collect()] == [301]
+    # the new keys are 301's band keys only
+    want_keys = {
+        (r.band, r.key) for r in band_key_rows(second.filter("doc_id=301")).collect()
+    }
+    assert {(r.band, r.key) for r in keys2.collect()} == want_keys
+
+
+def test_multi_batch_replay_invariants(spark):
+    """Two-batch replay (id order): a later batch's kept docs share no
+    band key with any EARLIER batch's kept docs (cross-batch blocking is
+    candidate-level; within a batch, Jaccard-rejected collisions may
+    coexist — that's the batch rule), and only shingled docs can drop."""
+    rows = _corpus_rows()
+    docs = _docs(spark, rows)
+    kept = replay_first_seen_dedup(spark, docs, num_batches=2, with_batch_col=True)
+    kept_rows = kept.collect()
+    kept_ids = sorted(r.doc_id for r in kept_rows)
+    assert 101 in kept_ids and 201 in kept_ids  # first of each dup group
+    assert 102 not in kept_ids and 202 not in kept_ids
+    assert 901 in kept_ids  # shingle-less docs always survive
+    assert len({r.batch for r in kept_rows}) == 2  # genuinely two batches
+    bands = band_key_rows(docs).collect()
+    keys_by_doc = {}
+    for r in bands:
+        keys_by_doc.setdefault(r.doc_id, set()).add((r.band, r.key))
+    by_batch: dict = {}
+    for r in kept_rows:
+        by_batch.setdefault(r.batch, set()).add(r.doc_id)
+    earlier: set = set()
+    for b in sorted(by_batch):
+        for did in sorted(by_batch[b]):
+            ks = keys_by_doc.get(did, set())
+            assert not (ks & earlier), f"kept doc {did} collides cross-batch"
+        for did in by_batch[b]:
+            earlier |= keys_by_doc.get(did, set())
+    # dropped docs all had shingles (shingle-less docs can never drop)
+    dropped = sorted(set(r[0] for r in rows) - set(kept_ids))
+    assert dropped and all(keys_by_doc.get(d) for d in dropped)
+
+
+def test_multi_batch_cross_batch_blocking(spark):
+    """A later-batch near-dup of an earlier kept doc is dropped even
+    though the two never share a micro-batch."""
+    rows = [
+        (1, _BASE + "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "unrelated filler document with enough tokens to shingle "
+            "nicely and form its own lsh buckets without collisions"),
+        # batch 2 (higher id range): near-identical to doc 1
+        (1000, _BASE + "alpha beta gamma delta epsilon zeta eta theta"),
+        (1001, "another standalone document about completely separate "
+               "topics such as gardening recipes and mountain hiking"),
+    ]
+    kept = replay_first_seen_dedup(spark, _docs(spark, rows), num_batches=2)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 1001]
