@@ -1179,12 +1179,21 @@ LIMIT 10
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3 shape: selective dim filter -> 3-way join -> partial-agg ->
     top-k. All three filters reach their scans (PushedFilters); customer is
-    broadcast; the top-10 is TakeOrderedAndProject."""
+    broadcast into orders; the orders⨝lineitem join is HINTED shuffle_hash —
+    left to its size estimates the planner broadcasts the filtered
+    lineitem (the FACT side: ~half the table survives the shipdate
+    filter), which costs a relation build per run here and is exactly the
+    wrong side at 100 TB; a shuffled hash join on l_orderkey is
+    scale-correct and measured 0.65 s vs 1.05 s isolated-warm at sf0.1
+    (r6 adjudication of the r5 bench outlier). The top-10 is
+    TakeOrderedAndProject."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-06-01")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-06-01")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .hint("shuffle_hash")
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
