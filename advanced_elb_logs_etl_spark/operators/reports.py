@@ -160,18 +160,36 @@ def compact_parquet(
     src: str,
     dst: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    bin_packed: bool = False,
 ) -> int:
     """Small-file compaction — the maintenance pass every long-running
     100 TB ingest needs: streaming/hourly sinks accrete thousands of tiny
     part files, and scan cost becomes file-open-bound. Rewrites `src` to
-    `dst` as ceil(total_bytes / target) files and returns the file count.
+    `dst` and returns the output file count.
 
     Sizing comes from the actual on-disk bytes (not row counts), so heavily
     compressed columns don't over-coalesce — measured through the Hadoop
     FileSystem API, so s3a://-style remote paths size correctly (an
     os.walk would silently report 0 there and coalesce everything into one
-    task). Plain repartition (round-robin) is the right shuffle here:
-    compaction has no key, and round-robin gives uniform file sizes.
+    task).
+
+    Two modes:
+    - default: ceil(total/target) output files via round-robin
+      repartition — compaction has no key, round-robin gives uniform
+      sizes, but every row moves through the shuffle;
+    - ``bin_packed=True``: drives operators/layout.compaction_plan over
+      the real file manifest — whole input files are assigned to
+      size-packed output bins (big files alone, small files packed), the
+      scan is joined to the broadcast plan on ``_metadata.file_path`` and
+      hash-repartitioned on the bin id (a bin never splits across tasks,
+      so each bin becomes EXACTLY one output file; range partitioning
+      would sample-merge adjacent small bins). Rows from one input file
+      stay together (their row-group clustering survives compaction — the
+      reason OPTIMIZE-style compaction bin-packs instead of
+      re-shuffling). The write stages as ``bin=K`` directories and the
+      driver renames each bin's single file into the flat layout — a
+      file-count-scale metadata pass through the Hadoop FS API.
+
     Writing to a NEW location then swapping is deliberate — overwriting a
     dataset while reading it is undefined; on a real lake the swap is the
     catalog/table-format's job (RENAME or REPLACE TABLE), documented
@@ -182,13 +200,68 @@ def compact_parquet(
     jsc = spark.sparkContext._jsc
     hpath = jvm.org.apache.hadoop.fs.Path(src)
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    manifest: list[tuple[str, int]] = []
     total = 0
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         st = it.next()
         if st.getPath().getName().endswith(".parquet"):
             total += st.getLen()
-    n = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(src)
-    df.repartition(n).write.mode("overwrite").parquet(dst)
+            manifest.append((st.getPath().toUri().getPath(), st.getLen()))
+    if not bin_packed:
+        n = max(1, math.ceil(total / target_file_bytes))
+        df = spark.read.parquet(src)
+        df.repartition(n).write.mode("overwrite").parquet(dst)
+        return n
+    from .layout import compaction_plan
+
+    mdf = spark.createDataFrame(manifest, "file_name string, bytes long")
+    plan = compaction_plan(mdf, target_bytes=target_file_bytes).select(
+        "file_name", "bin"
+    )
+    # bin ids are sparse (a file larger than target SPANS several bin
+    # indices, and the next file starts past them) — the output file
+    # count is the number of OCCUPIED bins; part files keep the original
+    # bin id in their name, so gaps in the numbering are expected
+    n = plan.select("bin").distinct().count()
+    df = spark.read.parquet(src).withColumn(
+        # _metadata.file_path is a URI (file:///...); the manifest stores
+        # the bare path — normalize both sides to the path component
+        "_fpath",
+        F.regexp_replace(F.col("_metadata.file_path"), "^[a-z]+:(//)?", ""),
+    )
+    joined = df.join(F.broadcast(plan), df._fpath == plan.file_name, "inner").drop(
+        "file_name"
+    )
+    staging = dst.rstrip("/") + "__binstage"
+    (
+        joined.repartition(n, F.col("bin"))
+        # keep one input file's rows contiguous inside its bin
+        .sortWithinPartitions("bin", "_fpath")
+        .drop("_fpath")
+        .write.mode("overwrite")
+        .partitionBy("bin")
+        .parquet(staging)
+    )
+    # flatten: each bin directory holds exactly one part file (one task
+    # owned the whole bin) — rename it to dst/part-<bin>.parquet
+    dpath = jvm.org.apache.hadoop.fs.Path(dst)
+    dfs = dpath.getFileSystem(jsc.hadoopConfiguration())
+    if dfs.exists(dpath):
+        dfs.delete(dpath, True)
+    dfs.mkdirs(dpath)
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    for status in dfs.listStatus(spath):
+        name = status.getPath().getName()
+        if not name.startswith("bin="):
+            continue
+        b = int(name.split("=", 1)[1])
+        for fstat in dfs.listStatus(status.getPath()):
+            fname = fstat.getPath().getName()
+            if fname.endswith(".parquet"):
+                dfs.rename(
+                    fstat.getPath(),
+                    jvm.org.apache.hadoop.fs.Path(dpath, f"part-{b:05d}.parquet"),
+                )
+    dfs.delete(spath, True)
     return n

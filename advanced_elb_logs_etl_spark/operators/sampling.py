@@ -130,6 +130,8 @@ def write_training_shards(
     n_shards: int,
     key_col: str = "doc_id",
     order_col: str | None = None,
+    zorder: tuple | None = None,
+    zorder_bits: int = 16,
 ) -> None:
     """Materialize a curated corpus as exactly `n_shards` shard files with
     deterministic membership: shard = pmod(xxhash64(key), n_shards) — the
@@ -141,13 +143,26 @@ def write_training_shards(
     rows sort within each shard by the sampling hash (or `order_col`) so
     iteration order is reproducible too. Writes
     path/shard=<k>/part-*.parquet via partitionBy for pruning-friendly
-    reads."""
+    reads.
+
+    ``zorder=(col_a, col_b)`` (two non-negative integer bucket Columns)
+    opts into Morton-curve INTRA-SHARD ordering instead of the hash
+    order (operators/layout.zvalue): each shard file's row groups then
+    carry tight min/max ranges in BOTH dimensions, so predicate scans on
+    either column skip most row groups — shard membership (and therefore
+    dataloader addressing) is unchanged, only the order within each file
+    moves. Mutually exclusive with ``order_col`` (z-order IS the order)."""
+    if zorder is not None and order_col is not None:
+        raise ValueError("pass either order_col or zorder, not both")
     shard = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
-    order = (
-        F.col(order_col)
-        if order_col is not None
-        else hash_uniform(F.col(key_col), SAMPLE_SEED)
-    )
+    if zorder is not None:
+        from .layout import zvalue
+
+        order = zvalue(zorder[0], zorder[1], bits=zorder_bits)
+    elif order_col is not None:
+        order = F.col(order_col)
+    else:
+        order = hash_uniform(F.col(key_col), SAMPLE_SEED)
     (
         df.withColumn("shard", shard.cast("int"))
         .repartition(n_shards, F.col("shard"))
