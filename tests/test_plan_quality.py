@@ -247,9 +247,17 @@ def test_winsorize_broadcasts_bounds(spark):
 
 def test_profile_approx_has_no_expand(spark):
     """profile_table(exact=False) must drop the multi-distinct Expand —
-    the whole point of the approx path at 100 TB."""
-    exact_plan = _plan(CATALOG["profile_table"][0](spark, SF))
-    approx_plan = _plan(CATALOG["profile_table_approx"][0](spark, SF))
+    the whole point of the approx path at 100 TB. Pinned on the OPERATOR:
+    the catalog gate query (profile_table_approx) deliberately runs both
+    profiles to hash-cover the sketch's error bound, so its plan carries
+    the exact lane's Expand by design."""
+    from advanced_elb_logs_etl_spark.operators import warehouse
+    from advanced_elb_logs_etl_spark.sources.testdata import load_table
+
+    orders = load_table(spark, SF, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    exact_plan = _plan(warehouse.profile_table(orders, cols))
+    approx_plan = _plan(warehouse.profile_table(orders, cols, exact=False))
     assert "Expand" in exact_plan  # sanity: exact path does expand
     assert "Expand" not in approx_plan
 
