@@ -116,6 +116,7 @@ def first_seen_batch_step(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    hashed: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch of the first-seen-wins near-dup policy, as a pure
     batch computation (unit-testable without a stream):
@@ -136,10 +137,46 @@ def first_seen_batch_step(
     within-batch step is the batch dedup pipeline at micro-batch size.
     The store grows by NUM_BANDS rows per kept doc (bounded by the kept
     corpus, not the stream); production bounds it further by retention
-    (drop keys older than the dedup horizon)."""
-    from ..operators.dedup import minhash_neardup_pairs, neardup_components
+    (drop keys older than the dedup horizon).
 
-    bands = band_key_rows(batch_docs, id_col, text_col)
+    Kernels: inside foreachBatch this IS a batch computation, so band
+    keys come from the posexplode/groupBy kernel over ONE persisted
+    shingle-hash frame shared by every consumer (blocking probe,
+    LSH pairs, verification, new-keys emission) — the same md5-once
+    discipline as dedup_corpus; the per-row Column kernel
+    (band_key_rows) is for stateless stream projections, and the two
+    produce identical keys (pinned by
+    test_per_row_band_keys_match_batch_kernel), so a store written by
+    either kernel blocks correctly against the other.  Pass ``hashed``
+    (a persisted with_shingle_hashes frame) to own the cache lifecycle —
+    the streaming sink does, releasing it only after the batch's writes;
+    otherwise one is created and released here (the returned plans then
+    recompute the hash pass once when materialized — fine for tests,
+    wasteful in the sink)."""
+    from ..operators.dedup import (
+        NUM_BANDS,
+        _band_key,
+        minhash_neardup_pairs,
+        minhash_signatures,
+        neardup_components,
+        with_shingle_hashes,
+    )
+
+    own_cache = hashed is None
+    if own_cache:
+        hashed = with_shingle_hashes(batch_docs, id_col, text_col).persist()
+    sigs = minhash_signatures(batch_docs, id_col, text_col, hashed=hashed)
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _band_key(b).alias("key"))
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
     if seen_keys is not None:
         blocked = (
             bands.join(seen_keys.select("band", "key"), ["band", "key"], "left_semi")
@@ -147,17 +184,28 @@ def first_seen_batch_step(
             .distinct()
         )
         candidates = batch_docs.join(blocked, [id_col], "left_anti")
+        cand_hashed = hashed.join(blocked, [id_col], "left_anti")
     else:
         candidates = batch_docs
-    pairs = minhash_neardup_pairs(candidates, id_col, text_col, threshold)
+        cand_hashed = hashed
+    pairs = minhash_neardup_pairs(
+        candidates, id_col, text_col, threshold, hashed=cand_hashed
+    )
     comps = neardup_components(pairs)
+    if own_cache:
+        # the CC loop's eager edge checkpoint has materialized the pair
+        # pipeline; a caller-owned cache stays hot for the output plans
+        hashed.unpersist()
     victims = comps.filter(F.col("doc_id") != F.col("component")).select(
         F.col("doc_id").alias("_victim")
     )
     kept = candidates.join(
         victims, candidates[id_col] == F.col("_victim"), "left_anti"
     )
-    new_keys = band_key_rows(kept, id_col, text_col).select("band", "key")
+    new_keys = (
+        bands.join(kept.select(id_col), [id_col], "left_semi")
+        .select("band", "key")
+    )
     return kept, new_keys
 
 
@@ -181,22 +229,31 @@ def first_seen_dedup_stream(
     keys_dir = os.path.join(store_dir, "keys")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import with_shingle_hashes
+
         spark = batch_df.sparkSession
         try:
             seen = spark.read.schema(KEY_STORE_SCHEMA).parquet(keys_dir)
         except Exception:
             seen = None
-        kept, new_keys = first_seen_batch_step(
-            batch_df, seen, id_col, text_col, threshold
-        )
-        # kept feeds two writes; pin it so the CC loop runs once
-        kept = kept.localCheckpoint(eager=True)
-        kept.write.mode("overwrite").parquet(
-            os.path.join(kept_dir, f"batch={batch_id}")
-        )
-        new_keys.write.mode("overwrite").parquet(
-            os.path.join(keys_dir, f"batch={batch_id}")
-        )
+        # own the shingle-hash cache for the whole batch: blocking probe,
+        # LSH pairs, verification, kept docs, and new keys all read ONE
+        # md5 pass (same lifecycle discipline as dedup_corpus)
+        hashed = with_shingle_hashes(batch_df, id_col, text_col).persist()
+        try:
+            kept, new_keys = first_seen_batch_step(
+                batch_df, seen, id_col, text_col, threshold, hashed=hashed
+            )
+            # kept feeds two writes; pin it so the CC loop runs once
+            kept = kept.localCheckpoint(eager=True)
+            kept.write.mode("overwrite").parquet(
+                os.path.join(kept_dir, f"batch={batch_id}")
+            )
+            new_keys.write.mode("overwrite").parquet(
+                os.path.join(keys_dir, f"batch={batch_id}")
+            )
+        finally:
+            hashed.unpersist()
 
     return docs_stream.writeStream.foreachBatch(_process).outputMode("update")
 
@@ -222,13 +279,20 @@ def replay_first_seen_dedup(
     batch dedup_corpus (the catalog/driver gate).  ``num_batches>1``
     splits the input into that many single-file micro-batches
     (maxFilesPerTrigger=1) in ``id_col`` order, exercising the
-    cross-batch key-store path with a deterministic arrival order."""
+    cross-batch key-store path with a deterministic arrival order.
+
+    Harness tuning (same rationale as replay_stream): shuffle partitions
+    are temporarily lowered to 16 for the replay — the per-batch CC loop
+    runs several small shuffles whose task overhead dominates at fixture
+    scale — and restored in a finally."""
     import shutil
     import tempfile
     import uuid
 
     tmp = tempfile.mkdtemp(prefix="sparkgraft_firstseen_")
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
         src = os.path.join(tmp, "src")
         ckpt = os.path.join(tmp, "ckpt")
         store = os.path.join(tmp, "store")
@@ -282,4 +346,5 @@ def replay_first_seen_dedup(
         )
         return kept.localCheckpoint(eager=True)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         shutil.rmtree(tmp, ignore_errors=True)
