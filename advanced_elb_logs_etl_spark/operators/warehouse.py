@@ -24,7 +24,6 @@ def profile_table(
     columns: list[str] | None = None,
     exact: bool = True,
     rsd: float = 0.05,
-    compare_approx: bool = False,
 ) -> DataFrame:
     """Single-pass per-column profile: rows, nulls, distincts, numeric
     min/max (timestamps as epoch-microseconds), and average string length.
@@ -48,8 +47,6 @@ def profile_table(
     """
     cols = columns or df.columns
     schema = dict(df.dtypes)
-    if compare_approx:
-        exact = True
     distinct_agg = (
         F.count_distinct if exact else (lambda c: F.approx_count_distinct(c, rsd))
     )
@@ -74,10 +71,6 @@ def profile_table(
             F.max(num).alias(f"__mx_{c}"),
             avg_len.alias(f"__al_{c}"),
         ]
-        if compare_approx:
-            aggs.append(
-                F.approx_count_distinct(F.col(c), rsd).alias(f"__nda_{c}")
-            )
     one = df.agg(*aggs)
     # Unpivot the single aggregate row: stack(n, 'name', nn, nd, mn, mx, al, ...)
     stack_args: list[Column] = []
@@ -90,24 +83,21 @@ def profile_table(
             F.col(f"__mx_{c}"),
             F.col(f"__al_{c}"),
         ]
-        if compare_approx:
-            stack_args.append(F.col(f"__nda_{c}"))
-    out_fields = ["col_name", "n_notnull", "n_distinct", "min_num", "max_num", "avg_len"]
-    if compare_approx:
-        out_fields.append("n_distinct_approx")
-    keep = ["n_distinct", "min_num", "max_num", "avg_len"] + (
-        ["n_distinct_approx"] if compare_approx else []
-    )
     return (
         one.select(
             F.col("__rows").alias("n_rows"),
-            F.stack(F.lit(len(cols)), *stack_args).alias(*out_fields),
+            F.stack(F.lit(len(cols)), *stack_args).alias(
+                "col_name", "n_notnull", "n_distinct", "min_num", "max_num", "avg_len"
+            ),
         )
         .select(
             "col_name",
             "n_rows",
             (F.col("n_rows") - F.col("n_notnull")).alias("n_nulls"),
-            *keep,
+            "n_distinct",
+            "min_num",
+            "max_num",
+            "avg_len",
         )
         .orderBy("col_name")
     )

@@ -93,21 +93,29 @@ def q_profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r5 item 8): per column, ``distinct_within_bound`` asserts the
     approx distinct count lands within 15% (3-sigma at rsd 0.05) of the
     exact profile's, and the exact n_rows/n_nulls/n_distinct lanes are
-    hash-covered directly. ONE aggregation pass computes both distinct
-    forms (profile_table(compare_approx=True) — the approx sketch rides
-    the exact profile's Expand plan instead of re-scanning the table);
-    production runs only the approx profile (no Expand)."""
+    hash-covered directly. The gate query runs both profiles on purpose
+    (two aggregation passes joined on col_name — MEASURED faster than
+    folding the approx sketches into the exact profile's aggregation,
+    1.3 s vs 3.0 s isolated-warm at sf0.1: extra aggregates on a
+    multi-distinct plan ride the Expand and get evaluated per lane);
+    production runs only the approx one (no Expand)."""
     cols = [c for c, _ in _ORDERS_COLS]
     orders = _t(spark, sf_dir, "orders")
-    both = warehouse.profile_table(orders, cols, compare_approx=True)
+    ex = warehouse.profile_table(orders, cols).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct"
+    )
+    ap = warehouse.profile_table(orders, cols, exact=False).select(
+        "col_name", F.col("n_distinct").alias("_nd_approx")
+    )
     return (
-        both.select(
+        ex.join(ap, "col_name")
+        .select(
             "col_name",
             "n_rows",
             "n_nulls",
             "n_distinct",
             (
-                F.abs(F.col("n_distinct_approx") - F.col("n_distinct")).cast("double")
+                F.abs(F.col("_nd_approx") - F.col("n_distinct")).cast("double")
                 <= F.lit(0.15) * F.col("n_distinct").cast("double")
             ).alias("distinct_within_bound"),
         )
