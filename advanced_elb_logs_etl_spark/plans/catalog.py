@@ -792,7 +792,10 @@ def q_hourly_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately computes BOTH exact and approx aggregates; the
     production form drops the exact lanes (that's the whole point of the
     sketch), and the exact twin (hourly_agg) carries the value-level
-    burden for them."""
+    burden for them. The middle-element check's collect_list is
+    per-group-bounded and GATE-ONLY — at 100 TB an (hour, type) group
+    can hold billions of rows, so the production check (if any) samples
+    groups; none of the production aggregates materialize a group."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     approx_d = F.approx_count_distinct("user_id")
     exact_d = F.count_distinct("user_id")
