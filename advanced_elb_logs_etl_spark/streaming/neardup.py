@@ -57,6 +57,7 @@ __all__ = [
     "first_seen_batch_step",
     "first_seen_dedup_stream",
     "replay_first_seen_dedup",
+    "prune_key_store",
 ]
 
 
@@ -348,3 +349,37 @@ def replay_first_seen_dedup(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def prune_key_store(spark: SparkSession, store_dir: str, keep_last_batches: int) -> int:
+    """Retention pruning for the first-seen band-key store: drop the key
+    partitions of all but the newest ``keep_last_batches`` micro-batches
+    and return how many batch partitions were removed.
+
+    Semantics: a doc kept longer ago than the retention horizon stops
+    blocking new arrivals — the standard bounded-state trade for
+    long-running streams (state stays O(kept docs within horizon), and
+    re-admitted near-dups are the accepted cost, exactly as a watermark
+    expires streaming dedup state).  The KEPT output is never pruned —
+    retention bounds the BLOCKING state, not the corpus.
+
+    Driver-side FS metadata pass (file-count scale, same Hadoop FS API
+    as the compaction manifest — works on object stores); batch ids
+    order the partitions, so "newest" needs no timestamps."""
+    keys_dir = os.path.join(store_dir, "keys")
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    kpath = jvm.org.apache.hadoop.fs.Path(keys_dir)
+    fs = kpath.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(kpath):
+        return 0
+    batches = []
+    for status in fs.listStatus(kpath):
+        name = status.getPath().getName()
+        if name.startswith("batch="):
+            batches.append((int(name.split("=", 1)[1]), status.getPath()))
+    batches.sort()
+    to_drop = batches[: max(0, len(batches) - keep_last_batches)]
+    for _, path in to_drop:
+        fs.delete(path, True)
+    return len(to_drop)

@@ -122,3 +122,47 @@ def test_multi_batch_cross_batch_blocking(spark):
     ]
     kept = replay_first_seen_dedup(spark, _docs(spark, rows), num_batches=2)
     assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 1001]
+
+
+def test_prune_key_store_retention(spark, tmp_path):
+    """Retention pruning drops the oldest batches' BLOCKING state (a
+    pruned doc stops blocking new arrivals) but never touches the kept
+    output."""
+    import os
+
+    from advanced_elb_logs_etl_spark.streaming.neardup import (
+        KEY_STORE_SCHEMA,
+        first_seen_batch_step,
+        prune_key_store,
+    )
+
+    store = str(tmp_path / "store")
+    keys_dir = os.path.join(store, "keys")
+    doc = (1, _BASE + "alpha beta gamma delta epsilon zeta eta theta")
+    near = (99, _BASE + "alpha beta gamma delta epsilon zeta eta theta")
+    # simulate three batches writing key partitions
+    for bid, rows in enumerate([[doc], [(2, "some other sufficiently long "
+                                        "unrelated document text here ok")],
+                                [(3, "third unrelated batch document with "
+                                     "plenty of words to shingle fine")]]):
+        seen = (
+            spark.read.schema(KEY_STORE_SCHEMA).parquet(keys_dir)
+            if os.path.isdir(keys_dir)
+            else None
+        )
+        _, new_keys = first_seen_batch_step(_docs(spark, rows), seen)
+        new_keys.write.mode("overwrite").parquet(
+            os.path.join(keys_dir, f"batch={bid}")
+        )
+    # near-dup of batch-0's doc is blocked while its keys are retained
+    seen = spark.read.schema(KEY_STORE_SCHEMA).parquet(keys_dir)
+    kept, _ = first_seen_batch_step(_docs(spark, [near]), seen)
+    assert kept.count() == 0
+    # prune to the last 2 batches: batch=0's keys go, doc 99 re-admits
+    assert prune_key_store(spark, store, keep_last_batches=2) == 1
+    assert sorted(os.listdir(keys_dir)) == ["batch=1", "batch=2"]
+    seen = spark.read.schema(KEY_STORE_SCHEMA).parquet(keys_dir)
+    kept, _ = first_seen_batch_step(_docs(spark, [near]), seen)
+    assert [r.doc_id for r in kept.collect()] == [99]
+    # pruning an absent store is a no-op
+    assert prune_key_store(spark, str(tmp_path / "nope"), 1) == 0
