@@ -39,6 +39,7 @@ import sys
 #: Pattern B: documented brute-force ground-truth variants.
 CARTESIAN_ALLOW: dict[str, str] = {
     "hll_shard_union": "1-row sketch estimate x 1-row exact count (bound check)",
+    "ivf_cosine_topk": "three 1-row count frames stitched for the recall bound",
     "set_ops_battery": "six 1-row count frames cross-joined",
     "null_semantics_battery": "five 1-row report frames",
     "referential_integrity_audit": "six 1-row audit counters",
