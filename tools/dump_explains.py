@@ -33,7 +33,7 @@ HEADLINERS = {
     "minhash_lsh_neardup": "banding equi-join on (band, key); no cross join anywhere",
     "ngram_jaccard_pairs": "inverted-index equi-join on shingle hash + partial-agg pair counts",
     "ann_cosine_topk": "broadcast of the query vectors; corpus scan stays shuffle-free until top-k",
-    "shipping_priority_q3": "all three filters pushed to their scans; broadcast dim; TakeOrdered top-10",
+    "shipping_priority_q3": "filters pushed to all three scans; customer broadcast into orders; o-lineitem HINTED ShuffledHashJoin (never broadcast the fact side); TakeOrdered top-10",
     "local_supplier_q5": "region filter prunes through two dim hops; 3 broadcast joins",
     "pipeline_e2e_hourly": "full pipeline: 2 broadcast joins, no SortMergeJoin, no Python; "
                            "only shuffles are the dim distinct + countDistinct expand + final agg",
@@ -56,7 +56,9 @@ HEADLINERS = {
     "sequential_dedup_runs": "lag + running sum share one (user, ts, id) Exchange+Sort; downstream "
                              "aggs reuse the partitioning",
     "levenshtein_block_pairs": "self-join blocked on the source equi key — no CartesianProduct",
-    "profile_table_approx": "HLL distincts: plain partial+final agg, NO Expand (contrast profile_table)",
+    "profile_table_approx": "bound-check gate: exact profile (Expand) + approx profile (no Expand) joined on col_name — two passes measured faster than sketches riding the Expand",
+    "zorder_clustering_preview": "Morton z-value is pure codegen integer math; one repartitionByRange-equivalent bucket agg",
+    "compaction_plan_bins": "size-DESC cumulative offsets via the range-partitioned two-phase scan - no single-task window",
     "session_window_batch": "native session_window: single hash partition by user, engine-side "
                             "interval merge, no lag/cumsum plumbing",
     "incremental_agg_merge": "two partial hash aggs unioned + tiny merge agg — the re-aggregable "
