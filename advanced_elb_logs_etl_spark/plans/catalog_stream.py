@@ -264,6 +264,9 @@ def q_stream_lsh_band_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: lsh_band_canonical_stream(s),
         "stream_lsh_canonical",
         output_mode="complete",
+        # O(corpus)-sized result: drain executor-side (parquet foreachBatch)
+        # instead of marshalling every bucket row onto the driver
+        sink="parquet",
     )
     return out.orderBy("band", "key")
 
