@@ -4,11 +4,15 @@ The batch LSH pipeline (operators/dedup.py) computes shingle hashes with
 a posexplode + groupBy pass — the codegen-fast BATCH kernel, but a
 shuffle, so it cannot run per-row on a stream.  This module provides the
 PER-ROW formulation: shingles -> h60 -> minhash signature -> band keys
-as pure Column expressions (functions/hashing.py HOF forms), which
-attach to a readStream unchanged — no shuffle, no state, identical
-values to the batch kernel (both reduce to h60 over the same distinct
-shingle set; pinned by the value-exact oracle of the replay query in
-plans/catalog_stream2.py).
+as pure Column expressions in the EVALUATE-ONCE shape (one aggregate
+fold + a lambda-bound band build — see band_key_rows; streaming
+projections get no common-subexpression elimination, so the naive
+16-signature-column form re-ran the md5 pass 17x per row under a
+micro-batch plan).  The kernel attaches to a readStream unchanged — no
+shuffle, no state, identical values to the batch kernel (both reduce to
+h60 over the same distinct shingle set; pinned by the kernel-parity
+test and the value-exact oracle of the replay query in
+plans/catalog_stream.py).
 
 Streaming near-dup semantics offered:
 
@@ -48,8 +52,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.hashing import minhash_signature, shingle_hashes, shingles
-from ..operators.dedup import NUM_BANDS, NUM_HASHES, _band_key
+from ..functions.hashing import (
+    MINHASH_P,
+    _minhash_coefficients,
+    shingle_hashes,
+    shingles,
+)
+from ..operators.dedup import NUM_BANDS, NUM_HASHES, ROWS_PER_BAND
 
 __all__ = [
     "band_key_rows",
@@ -67,24 +76,70 @@ def band_key_rows(
     """(id, band, key) LSH band rows via PER-ROW Column expressions —
     attachable to batch and streaming frames alike (no shuffle).  Docs
     with no shingles (fewer than 3 tokens) are dropped: their signature
-    is all-null and their band keys would be engine-dependent."""
+    is all-null and their band keys would be engine-dependent.
+
+    EVALUATE-ONCE SHAPE (the r6 streaming-perf fix): batch projections
+    get common-subexpression elimination, but STREAMING projections do
+    not — the naive form (16 ``array_min(transform(hashes, ...))``
+    signature columns referencing one ``hashes`` expression) re-runs the
+    md5 shingle pass 17x per row under a micro-batch plan, measured
+    16.8 s vs 3.1 s at sf0.1 for this kernel alone.  So the whole
+    signature is ONE ``F.aggregate`` fold over ``hashes`` (evaluated
+    once; the accumulator carries all 16 running minima plus the shingle
+    count), and the band array is built inside a single-element
+    ``F.transform`` whose lambda variable BINDS the signature array —
+    lambda variables are materialized values, so the 16 references to it
+    are free.  Values are bit-identical to the old form and to the batch
+    posexplode kernel (pinned by
+    test_per_row_band_keys_match_batch_kernel and the driver oracle);
+    empty-shingle docs yield an empty band array, which explode drops —
+    same semantics as the old size guard."""
+    coefs = _minhash_coefficients(NUM_HASHES)
     hashes = shingle_hashes(shingles(F.col(text_col)))
-    sigs = df.select(
-        F.col(id_col),
-        *minhash_signature(hashes, NUM_HASHES),
-        F.size(hashes).alias("_n_sh"),
-    ).where(F.col("_n_sh") > 0)
-    return sigs.select(
-        F.col(id_col),
-        F.explode(
+    # accumulator slots: [mh0..mh{k-1}, n_shingles]; every permutation
+    # value is < MINHASH_P, so P is a safe +infinity
+    init = F.array(
+        *([F.lit(MINHASH_P).cast("long")] * NUM_HASHES + [F.lit(0).cast("long")])
+    )
+
+    def _merge(acc, h):
+        hp = h % MINHASH_P
+        return F.array(
+            *[
+                F.least(
+                    F.element_at(acc, j + 1),
+                    (F.lit(coefs[j][0]) * hp + F.lit(coefs[j][1])) % MINHASH_P,
+                )
+                for j in range(NUM_HASHES)
+            ]
+            + [F.element_at(acc, NUM_HASHES + 1) + 1]
+        )
+
+    sig = F.aggregate(hashes, init, _merge)
+
+    def _band_structs(s):
+        def key(b):
+            mhs = [
+                F.element_at(s, b * ROWS_PER_BAND + r + 1)
+                for r in range(ROWS_PER_BAND)
+            ]
+            # identical formula to dedup._band_key (md5 of ','-joined mh)
+            return F.md5(F.concat_ws(",", *[c.cast("string") for c in mhs]))
+
+        return F.when(
+            F.element_at(s, NUM_HASHES + 1) > 0,
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band"), _band_key(b).alias("key"))
+                    F.struct(F.lit(b).alias("band"), key(b).alias("key"))
                     for b in range(NUM_BANDS)
                 ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+            ),
+        ).otherwise(F.array().cast("array<struct<band:int,key:string>>"))
+
+    bands = F.element_at(F.transform(F.array(sig), _band_structs), 1)
+    return df.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, "bk.band", "bk.key"
+    )
 
 
 def lsh_band_canonical_stream(
