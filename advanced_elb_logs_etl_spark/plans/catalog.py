@@ -87,8 +87,14 @@ FRONT_OF_CATALOG: list[str] = [
     "percentile_battery",
     "salted_agg_counts",
     "json_extract_summary",
-    "cube_pricing",
-    "rollup_pricing",
+    # -- round-6 session-2 additions, rotated IN-WINDOW per the freeze
+    # discipline (VERDICT r5 item 1: the window rotates after the last
+    # addition).  They displace cube_pricing/rollup_pricing to the head
+    # of the r7 queue: both are structural twins of grouping_sets_pricing
+    # (driver-green r5) over operators untouched since r2, so they are
+    # the lowest-information refreshes in the window.
+    "substring_dedup_spans",
+    "dsir_importance_topk",
     "value_outliers_z",
     "session_report",
     "full_outer_nation_suppliers",
@@ -112,9 +118,13 @@ FRONT_OF_CATALOG: list[str] = [
     # many additions as reserved in-window slots.
     "stream_first_seen_dedup",
     # ======== position 51+ (the r7 rotation queue) ========
-    # r3-green entries are next-stalest after this window ships; the r5
-    # window's entries (driver-green freshest) go last. Names not yet in
-    # CATALOG are ignored, so the queue may lead registration.
+    # cube/rollup_pricing first (displaced from the r6 window by the two
+    # round-6 additions above); then r3-green entries (next-stalest after
+    # this window ships); the r5 window's entries (driver-green freshest)
+    # go last. Names not yet in CATALOG are ignored, so the queue may
+    # safely lead registration.
+    "cube_pricing",
+    "rollup_pricing",
     "hourly_agg",
     "alb_parse_roundtrip",
     "url_parse",

@@ -64,6 +64,7 @@ CARTESIAN_ALLOW: dict[str, str] = {
     "triangle_count_sampled": "1-row edge count x 1-row sampled-census frame (+ census's internal 1-row combines)",
     "psi_value_drift": "10-bin cell frame x 1-row population totals",
     "km_survival": "14-row day spine x bounded day histogram + 1-row user total",
+    "dsir_importance_topk": "B-row bucket frame x two 1-row corpus-total frames",
 }
 
 #: (query -> reason) for Window nodes with an empty partition spec. Every
