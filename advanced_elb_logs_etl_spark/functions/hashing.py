@@ -41,24 +41,30 @@ def ngram_fold(toks: Column, n: int) -> Column:
       generate_series(1, len(toks)-(n-1)), i -> toks[i] || ' ' || ...)
     ELSE [] END
 
-    Built by zip_with-folding n shifted slices of the token array, NOT
-    transform(sequence, i -> element_at(toks, i+k)): array HOFs are
-    interpreted (CodegenFallback) with no common-subexpression elimination,
-    so the element_at form re-evaluates its operand per lambda call —
-    measured ~5x slower (16s -> 3s for repetition_stats at sf0.1). The
-    slice inputs are evaluated once per ROW; the lambda only concatenates.
+    Evaluate-once shape: array HOFs are interpreted (CodegenFallback) with
+    no common-subexpression elimination, so any form that references the
+    `toks` EXPRESSION more than once re-runs it that many times per row —
+    the original zip_with fold referenced it ~2x per fold step (slice
+    source + out_len), i.e. ~15 regex splits per row at n=8 (measured
+    2.5 s -> 0.8 s for the 8-gram pass over 5k docs at sf0.1).  The fix is
+    the repo's standard bound-lambda-variable trick (see
+    streaming/neardup.py band_key_rows): materialize the token array ONCE
+    as a 1-element array, then build every gram inside the lambda, where
+    `tk` is a cheap variable reference; per output position one n-slice +
+    one concat_ws, no intermediate gram arrays at all.
     """
-    out_len = F.size(toks) - (n - 1)
-    grams = F.slice(toks, 1, out_len)
-    for k in range(1, n):
-        grams = F.zip_with(
-            grams,
-            F.slice(toks, 1 + k, out_len),
-            lambda a, b: F.concat(a, F.lit(" "), b),
+    empty = F.array().cast("array<string>")
+    if n == 1:
+        return F.when(F.size(toks) >= 1, toks).otherwise(empty)
+
+    def _body(tk: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
         )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+        return F.when(F.size(tk) >= n, grams).otherwise(empty)
+
+    return F.transform(F.array(toks), _body).getItem(0)
 
 
 def shingles(col: Column, n: int = 3) -> Column:

@@ -49,17 +49,21 @@ def hashed_feature_rows(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = BUCKETS,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, bucket) with multiplicity: unigrams + bigrams hashed into
-    `buckets` via the md5-once h60 kernel (bag-of-ngrams, the DSIR
-    feature map).
+    """(id, [keep_cols...,] bucket) with multiplicity: unigrams + bigrams
+    hashed into `buckets` via the md5-once h60 kernel (bag-of-ngrams, the
+    DSIR feature map).  `keep_cols` carries extra per-doc columns through
+    (e.g. the domain label, so one persisted frame can serve as both the
+    raw and the filtered target side).
 
     SQL twin: UNNEST(list_concat(toks, bigrams)) with
     bucket = ('0x' || substr(md5(g), 1, 15))::BIGINT % buckets."""
+    extra = [F.col(c) for c in (keep_cols or [])]
     toks = tokens(F.col(text_col))
     grams = F.concat(toks, ngram_fold(toks, 2))
-    return df.select(F.col(id_col), F.explode(grams).alias("gram")).select(
-        F.col(id_col), (h60(F.col("gram")) % F.lit(buckets)).alias("bucket")
+    return df.select(F.col(id_col), *extra, F.explode(grams).alias("gram")).select(
+        F.col(id_col), *extra, (h60(F.col("gram")) % F.lit(buckets)).alias("bucket")
     )
 
 
@@ -101,13 +105,22 @@ def importance_weights(
     text_col: str = "text",
     buckets: int = BUCKETS,
     alpha: float = ALPHA,
+    raw_rows: DataFrame | None = None,
+    target_rows: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_features, weight_micro): per-document DSIR importance score
     in micro-nats — the exact-integer sum of its features' bucket log
     ratios.  Positive = looks more like the target domain than the raw
-    corpus."""
-    raw_rows = hashed_feature_rows(df, id_col, text_col, buckets)
-    target_rows = hashed_feature_rows(target_df, id_col, text_col, buckets)
+    corpus.
+
+    Pass (persisted) `raw_rows`/`target_rows` feature frames to share the
+    tokenize+hash pass across the model-count aggregations and the
+    scoring join (the partial aggs defeat ReuseExchange, so the explode
+    otherwise runs once per consumer)."""
+    if raw_rows is None:
+        raw_rows = hashed_feature_rows(df, id_col, text_col, buckets)
+    if target_rows is None:
+        target_rows = hashed_feature_rows(target_df, id_col, text_col, buckets)
     ratios = bucket_log_ratios(raw_rows, target_rows, buckets, alpha)
     return (
         raw_rows.join(F.broadcast(ratios), "bucket")
@@ -127,12 +140,16 @@ def select_top_k(
     text_col: str = "text",
     buckets: int = BUCKETS,
     alpha: float = ALPHA,
+    raw_rows: DataFrame | None = None,
+    target_rows: DataFrame | None = None,
 ) -> DataFrame:
     """The k documents most target-like by importance weight, ties broken
     by id — deterministic on any cluster.  orderBy().limit() compiles to
     TakeOrdered (per-partition top-k, then a k-row merge on the driver
     scheduler side — never a global sort shuffle)."""
-    w = importance_weights(df, target_df, id_col, text_col, buckets, alpha)
+    w = importance_weights(
+        df, target_df, id_col, text_col, buckets, alpha, raw_rows, target_rows
+    )
     return w.orderBy(F.col("weight_micro").desc(), F.col(id_col)).limit(k)
 
 

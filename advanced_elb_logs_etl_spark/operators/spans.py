@@ -96,6 +96,7 @@ def duplicate_spans(
     width: int = WIDTH,
     min_count: int = 2,
     keep_first: bool = True,
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal duplicated spans per document: (id, span_start, span_end,
     span_windows), token positions 1-based inclusive.
@@ -103,10 +104,16 @@ def duplicate_spans(
     Flagged windows [pos, pos+width-1] merge when they overlap OR touch
     (next_start <= prev_end + 1), the standard interval-union rule, via
     the gaps-and-islands window pattern partitioned BY DOCUMENT (never a
-    global sort)."""
-    flagged = duplicate_window_rows(
-        window_hash_rows(df, id_col, text_col, width), id_col, min_count, keep_first
-    )
+    global sort).
+
+    Pass a (persisted) `rows` frame (from window_hash_rows) to share the
+    tokenize+hash pass across the count aggregation and the join back —
+    the partial agg under the count's exchange defeats Spark's
+    ReuseExchange, so without it the explode executes once per consumer
+    (same convention as dedup.minhash_signatures' `hashed=`)."""
+    if rows is None:
+        rows = window_hash_rows(df, id_col, text_col, width)
+    flagged = duplicate_window_rows(rows, id_col, min_count, keep_first)
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
     spans = (

@@ -26,6 +26,45 @@ from ..operators import importance, spans
 from .catalog import _t, register
 
 # ---------------------------------------------------------------------------
+# Shared persisted feature frames (same FIFO-evicting convention as
+# catalog_llm._hashed_docs): both round-6 queries feed one narrow exploded
+# frame into multiple aggregations whose partial-agg exchanges defeat
+# Spark's ReuseExchange, so without the persist the tokenize+hash explode
+# executes once per consumer (measured 4 vs 1 Generate nodes for spans,
+# 10 for DSIR at sf0.1).  At 100 TB the same knob applies with
+# MEMORY_AND_DISK — the frames are 8-byte-column rows, ~24 B/token.
+# ---------------------------------------------------------------------------
+
+_R6_CACHE: dict[tuple, object] = {}
+_R6_CACHE_MAX = 4
+
+
+def _cached(spark: SparkSession, sf_dir: str, kind: str, build):
+    key = (id(spark.sparkContext), sf_dir, kind)
+    if key not in _R6_CACHE:
+        while len(_R6_CACHE) >= _R6_CACHE_MAX:
+            oldest = next(iter(_R6_CACHE))
+            old = _R6_CACHE.pop(oldest)
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # stopped context; nothing to release
+        frame = build().persist()
+        _R6_CACHE[key] = frame
+    return _R6_CACHE[key]
+
+
+def clear_r6_cache() -> None:
+    """Unpersist and drop the round-6 shared feature frames (bench
+    isolation hook, mirroring catalog_llm.clear_hashed_cache)."""
+    while _R6_CACHE:
+        _, frame = _R6_CACHE.popitem()
+        try:
+            frame.unpersist()
+        except Exception:
+            pass  # stopped context; nothing to release
+
+# ---------------------------------------------------------------------------
 # substring_dedup_spans — repeated-substring spans, keep-first policy
 # ---------------------------------------------------------------------------
 
@@ -77,8 +116,12 @@ def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence rides the same agg as min(struct)) -> hash join back ->
     per-DOCUMENT gaps-and-islands window.  No global sort, no driver."""
     docs = _t(spark, sf_dir, "documents")
+    rows = _cached(
+        spark, sf_dir, "span_rows",
+        lambda: spans.window_hash_rows(docs, "doc_id", "text", width=8),
+    )
     return spans.duplicate_spans(
-        docs, "doc_id", "text", width=8, min_count=2, keep_first=True
+        docs, "doc_id", "text", width=8, min_count=2, keep_first=True, rows=rows
     )
 
 
@@ -137,7 +180,18 @@ def q_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation-order-proof and hash-checked value-for-value.
 
     Scale shape: two B-bounded hash aggs (the two "models"), a broadcast
-    B-row ratio join, one per-doc agg, TakeOrdered top-k."""
+    B-row ratio join, one per-doc agg, TakeOrdered top-k.  One persisted
+    feature frame (with the source label kept) serves as both the raw
+    corpus and, filtered, the target side."""
     docs = _t(spark, sf_dir, "documents")
     target = docs.filter(F.col("source") == _TARGET)
-    return importance.select_top_k(docs, target, _K, "doc_id", "text")
+    feat = _cached(
+        spark, sf_dir, "dsir_rows",
+        lambda: importance.hashed_feature_rows(docs, keep_cols=["source"]),
+    )
+    raw_rows = feat.select("doc_id", "bucket")
+    target_rows = feat.filter(F.col("source") == _TARGET).select("doc_id", "bucket")
+    return importance.select_top_k(
+        docs, target, _K, "doc_id", "text",
+        raw_rows=raw_rows, target_rows=target_rows,
+    )
