@@ -100,8 +100,10 @@ def main() -> None:
     # stays stable. Report BOTH the stable subtotal and isolated per-query
     # numbers (shared cache cleared before each member, so every isolated
     # number includes its own cache build — comparable round-over-round).
+    from advanced_elb_logs_etl_spark.plans.catalog import clear_lines_cache  # noqa: E402
     from advanced_elb_logs_etl_spark.plans.catalog_graph import clear_edge_cache  # noqa: E402
     from advanced_elb_logs_etl_spark.plans.catalog_llm import clear_hashed_cache  # noqa: E402
+    from advanced_elb_logs_etl_spark.plans.catalog_r6 import clear_r6_cache  # noqa: E402
 
     _CLUSTERS = {
         "dedup_shared_shingles": (
@@ -111,6 +113,14 @@ def main() -> None:
         "graph_shared_edges": (
             ["triangle_census", "khop_reachability", "graph_jaccard_topk"],
             clear_edge_cache,
+        ),
+        "parse_shared_lines": (
+            ["alb_parse_roundtrip", "pipeline_e2e_hourly"],
+            clear_lines_cache,
+        ),
+        "r6_shared_features": (
+            ["substring_dedup_spans", "dsir_importance_topk"],
+            clear_r6_cache,
         ),
     }
     clusters: dict[str, dict] = {}

@@ -191,6 +191,55 @@ def test_userinfo_url_hostname(spark):
     assert r.protocol == "http"
 
 
+def test_timestamp_token_twin_matches_csv_verdict(spark):
+    """timestamp_token_ok (the cheap pushed-down gate) must agree with
+    'parse_timestamp_utc(from_csv-bound c1) IS NOT NULL' on every
+    line_ok-passing line — the exactness argument in its docstring,
+    pinned over an adversarial field-2 corpus (quoted timestamps, quoted
+    with trailing space, unterminated quotes, doubled-quote escapes,
+    quote-embedded tokens, sentinel bytes, empty quotes)."""
+    from pyspark.sql import functions as F
+
+    from advanced_elb_logs_etl_spark.operators.parse import (
+        _CSV_OPTIONS,
+        _CSV_SCHEMA,
+        line_ok,
+        parse_timestamp_utc,
+        timestamp_token_ok,
+    )
+
+    ts = "2025-05-26T23:55:02.179979Z"
+    field2 = [
+        ts,                      # normal
+        f'"{ts}"',               # quoted timestamp (tokenizer strips -> parses)
+        f'"{ts} "',              # quoted with trailing space -> c1 has a space
+        f'"{ts}',                # unterminated quote -> field eats later tokens
+        '"',                     # lone quote
+        '""',                    # quoted empty
+        f'"{ts}""x"',            # doubled-quote escape
+        f'x"{ts}',               # quote embedded mid-token
+        f'{ts}"',                # trailing quote, unquoted
+        "BADTIME",               # plain unparseable
+        "2025-05-26T23:55:02Z",  # whole-second format
+        "",                # the CSV nullValue sentinel byte
+    ]
+    tail = " ".join(["f"] * 27)
+    lines = [f"h2 {f2} {tail}" for f2 in field2]
+    df = spark.createDataFrame([(l,) for l in lines], "value string").filter(
+        line_ok(F.col("value"))
+    )
+    got = df.select(
+        F.col("value"),
+        timestamp_token_ok(F.col("value")).alias("twin"),
+        parse_timestamp_utc(
+            F.from_csv(F.col("value"), _CSV_SCHEMA, _CSV_OPTIONS).getItem("c1")
+        ).isNotNull().alias("real"),
+    ).collect()
+    assert got, "corpus must survive the line gate"
+    for r in got:
+        assert bool(r.twin) == bool(r.real), r.value[:80]
+
+
 def test_parse_observation_counts_rejects(spark):
     """Observation-based malformed-line accounting: the reference's
     per-entry warning log (:95-97) becomes executor-collected metrics on
