@@ -108,9 +108,28 @@ def timestamp_token_ok(raw: Column) -> Column:
     predicate — measured from_csv x5 in the physical plan, 2.8 s vs
     0.7 s for the parse at sf0.1).
 
-    The twin tokenizes field 2 with a bounded split (never the full CSV
-    parse) and replicates the tokenizer's quote handling just enough to
-    be verdict-identical for line_ok-passing lines:
+    The twin locates the CSV field-1 token with bounded string ops
+    (never the full CSV parse) and replicates the tokenizer's quote
+    handling just enough to be verdict-identical on line_ok-passing
+    lines.  Locating field 1 requires knowing where field 0 ENDS, and
+    the tokenizer's handling of a quote-corrupted field 0 was pinned
+    empirically (univocity via from_csv, PERMISSIVE + STOP_AT_DELIMITER
+    defaults; every bullet is a case in
+    tests/test_parse.py::test_timestamp_token_twin_matches_csv_verdict):
+
+    - field 0 does not start with a quote: quotes inside it are literal
+      and the field ends at the first space -> field 1 is naive token 1;
+    - field 0 starts with a quote and the line has NO second quote: the
+      open quote consumes the rest of the line, c1 is null -> reject
+      (the reference's shlex raises on the same input, :95-97);
+    - field 0 starts with a quote and a second quote exists: whether the
+      quoting is well-formed ('"h2 x" ...'), closed-then-junk
+      ('"h2"x ...'), doubled ('"h2""x" ...'), or immediately re-opened
+      ('""h2 ...'), the tokenizer always begins field 1 after the FIRST
+      SPACE FOLLOWING THE SECOND QUOTE character; no such space means
+      field 0 ate the line -> c1 null -> reject.
+
+    The extracted token then gets the field-level quote treatment:
 
     - unquoted token: identical to the CSV-bound c1 (the nullValue
       sentinel string fails the parse exactly like the null it becomes);
@@ -118,23 +137,39 @@ def timestamp_token_ok(raw: Column) -> Column:
       quote escapes are NOT unescaped, but any content containing a
       quote fails both timestamp formats under either reading;
     - unterminated quote ("X with no closing quote inside the token):
-      the CSV field consumes later tokens too, so the bound c1 contains a
-      space (>= 29 tokens exist past it) and can never match either
-      space-free format -> reject, same verdict;
+      the CSV field consumes later tokens too, so the bound c1 contains
+      a space and can never match either space-free format -> reject,
+      same verdict. (line_ok guarantees >= 29 post-blanking tokens, so
+      an unterminated quote this late always has trailing tokens to
+      swallow — the c1-parses-at-EOL divergence is unreachable.)
     - a token that parses must be timestamp-shaped, hence quote-free and
       space-free, hence byte-identical to c1 -> c1 parses identically.
 
     tests/test_parse.py::test_timestamp_token_twin_matches_csv_verdict
-    pins the equivalence over the adversarial corpus.
+    pins the equivalence over the adversarial corpus (field-0 x field-1
+    shape cross product).
     """
-    tok = F.get(F.split(raw, " ", 3), 1)
+    # Field-1 token when field 0 is unquoted: naive token 1.
+    tok1 = F.get(F.split(raw, " ", 3), 1)
+    # Field-1 token when field 0 starts with a quote: the token after
+    # the first space that follows the SECOND quote char (see docstring).
+    starts0 = raw.startswith('"')
+    after_open = F.substr(raw, F.lit(2))
+    q2 = F.instr(after_open, '"')  # 1-based; 0 = no second quote
+    after_q2 = F.substr(after_open, q2 + 1)
+    sp = F.instr(after_q2, " ")  # 0 = field 0 consumed the line
+    tok_q0 = F.get(F.split(F.substr(after_q2, sp + 1), " ", 2), 0)
+    tok = F.when(~starts0, tok1).when((q2 > 0) & (sp > 0), tok_q0)
+    # tok is NULL on the reject branches; NULL AND FALSE below is FALSE.
     starts = tok.startswith('"')
     ends = tok.endswith('"') & (F.length(tok) >= 2)
     stripped = F.when(
         starts & ends, F.substring(tok, 2, F.length(tok) - 2)
     ).otherwise(tok)
     partial = starts & ~ends
-    return ~partial & parse_timestamp_utc(stripped).isNotNull()
+    return F.coalesce(
+        ~partial & parse_timestamp_utc(stripped).isNotNull(), F.lit(False)
+    )
 
 
 def _parse_request(request: Column) -> dict[str, Column]:

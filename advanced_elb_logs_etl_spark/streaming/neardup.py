@@ -271,47 +271,94 @@ def first_seen_dedup_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    prune_keep_last: int | None = None,
+    prune_every: int = 8,
 ):
     """Attach the first-seen-wins policy to a streaming docs frame.
 
     Returns a configured ``DataStreamWriter`` (caller adds trigger /
     checkpoint and ``.start()``s it).  Each micro-batch reads the band-key
-    store under ``store_dir``/keys, runs ``first_seen_batch_step``, and
-    writes the batch's kept docs and new keys under batch-id-keyed
-    subdirectories (``batch=N``) with overwrite — a retried batch
-    rewrites its own output instead of double-appending, so the sink is
-    idempotent and the store doubles as the restart state."""
-    kept_dir = os.path.join(store_dir, "kept")
-    keys_dir = os.path.join(store_dir, "keys")
+    store under ``store_dir``/keys (batches strictly BEFORE its own id —
+    see _first_seen_process_batch for the retry-safety contract), runs
+    ``first_seen_batch_step``, and writes the batch's kept docs and new
+    keys under batch-id-keyed subdirectories (``batch=N``) with
+    overwrite — a retried batch rewrites its own output instead of
+    double-appending, so the sink is idempotent and the store doubles as
+    the restart state.
 
+    Retention as POLICY: pass ``prune_keep_last=K`` to auto-prune the
+    blocking key store to the newest K batch partitions every
+    ``prune_every`` micro-batches (after the batch's own writes), so the
+    bounded-state claim holds on a long-running stream without operator
+    intervention.  Kept output is never pruned; a doc whose keys age out
+    stops blocking new arrivals (the watermark-expiry trade,
+    prune_key_store docstring)."""
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.dedup import with_shingle_hashes
-
-        spark = batch_df.sparkSession
-        try:
-            seen = spark.read.schema(KEY_STORE_SCHEMA).parquet(keys_dir)
-        except Exception:
-            seen = None
-        # own the shingle-hash cache for the whole batch: blocking probe,
-        # LSH pairs, verification, kept docs, and new keys all read ONE
-        # md5 pass (same lifecycle discipline as dedup_corpus)
-        hashed = with_shingle_hashes(batch_df, id_col, text_col).persist()
-        try:
-            kept, new_keys = first_seen_batch_step(
-                batch_df, seen, id_col, text_col, threshold, hashed=hashed
-            )
-            # kept feeds two writes; pin it so the CC loop runs once
-            kept = kept.localCheckpoint(eager=True)
-            kept.write.mode("overwrite").parquet(
-                os.path.join(kept_dir, f"batch={batch_id}")
-            )
-            new_keys.write.mode("overwrite").parquet(
-                os.path.join(keys_dir, f"batch={batch_id}")
-            )
-        finally:
-            hashed.unpersist()
+        _first_seen_process_batch(
+            batch_df, batch_id, store_dir, id_col, text_col, threshold
+        )
+        if prune_keep_last is not None and batch_id % max(1, prune_every) == 0:
+            prune_key_store(batch_df.sparkSession, store_dir, prune_keep_last)
 
     return docs_stream.writeStream.foreachBatch(_process).outputMode("update")
+
+
+def _first_seen_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+) -> None:
+    """One foreachBatch invocation of the first-seen policy (module-level
+    so retry semantics are unit-testable without a live stream).
+
+    RESTART SAFETY: a retried micro-batch N (failure after the store
+    writes, before the checkpoint commit) re-runs with the same
+    ``batch_id`` over a store that may already contain its own failed
+    attempt's ``keys/batch=N`` partition.  Reading the store flat would
+    make the batch's docs collide with their own band keys and be
+    dropped — the retry would then overwrite ``kept/batch=N`` with an
+    empty frame, silently losing the batch (ADVICE r6).  The store is
+    therefore read WITH its ``batch`` partition column and filtered to
+    ``batch < batch_id``, so any attempt of batch N sees exactly the
+    state the first attempt saw: batches 0..N-1.  (Batch ids are
+    monotone per checkpoint, so this is also a no-op for clean runs.)
+    """
+    from ..operators.dedup import with_shingle_hashes
+
+    kept_dir = os.path.join(store_dir, "kept")
+    keys_dir = os.path.join(store_dir, "keys")
+    spark = batch_df.sparkSession
+    try:
+        seen = (
+            spark.read.schema(KEY_STORE_SCHEMA)
+            .option("basePath", keys_dir)
+            .parquet(keys_dir)
+            .filter(F.col("batch") < F.lit(int(batch_id)))
+            .select("band", "key")
+        )
+    except Exception:
+        seen = None
+    # own the shingle-hash cache for the whole batch: blocking probe,
+    # LSH pairs, verification, kept docs, and new keys all read ONE
+    # md5 pass (same lifecycle discipline as dedup_corpus)
+    hashed = with_shingle_hashes(batch_df, id_col, text_col).persist()
+    try:
+        kept, new_keys = first_seen_batch_step(
+            batch_df, seen, id_col, text_col, threshold, hashed=hashed
+        )
+        # kept feeds two writes; pin it so the CC loop runs once
+        kept = kept.localCheckpoint(eager=True)
+        kept.write.mode("overwrite").parquet(
+            os.path.join(kept_dir, f"batch={batch_id}")
+        )
+        new_keys.write.mode("overwrite").parquet(
+            os.path.join(keys_dir, f"batch={batch_id}")
+        )
+    finally:
+        hashed.unpersist()
 
 
 def replay_first_seen_dedup(
@@ -323,6 +370,8 @@ def replay_first_seen_dedup(
     threshold: float = 0.8,
     timeout_sec: int = 300,
     with_batch_col: bool = False,
+    prune_keep_last: int | None = None,
+    prune_every: int = 8,
 ) -> DataFrame:
     """Replay a batch docs frame through the streaming first-seen policy
     (real micro-batch engine: staged parquet source, foreachBatch sink,
@@ -380,7 +429,10 @@ def replay_first_seen_dedup(
                 "latestFirst", "false"
             )
         stream = reader.parquet(src)
-        writer = first_seen_dedup_stream(stream, store, id_col, text_col, threshold)
+        writer = first_seen_dedup_stream(
+            stream, store, id_col, text_col, threshold,
+            prune_keep_last=prune_keep_last, prune_every=prune_every,
+        )
         q = (
             writer.option("checkpointLocation", ckpt)
             .trigger(availableNow=True)

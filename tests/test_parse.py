@@ -195,9 +195,12 @@ def test_timestamp_token_twin_matches_csv_verdict(spark):
     """timestamp_token_ok (the cheap pushed-down gate) must agree with
     'parse_timestamp_utc(from_csv-bound c1) IS NOT NULL' on every
     line_ok-passing line — the exactness argument in its docstring,
-    pinned over an adversarial field-2 corpus (quoted timestamps, quoted
-    with trailing space, unterminated quotes, doubled-quote escapes,
-    quote-embedded tokens, sentinel bytes, empty quotes)."""
+    pinned over an adversarial corpus that varies BOTH field 0 and
+    field 1 (quoted fields, quoted with embedded space, unterminated
+    quotes, doubled-quote escapes, close-then-junk, quote-embedded
+    tokens, sentinel bytes, empty quotes) — the field-0 axis pins the
+    alignment premise that the twin's extracted token is the tokenizer's
+    c1, not merely the naive second whitespace token."""
     from pyspark.sql import functions as F
 
     from advanced_elb_logs_etl_spark.operators.parse import (
@@ -223,8 +226,36 @@ def test_timestamp_token_twin_matches_csv_verdict(spark):
         "2025-05-26T23:55:02Z",  # whole-second format
         "",                # the CSV nullValue sentinel byte
     ]
+    # Field-0 shapes (the ADVICE r6 gap: the old corpus only varied the
+    # timestamp field, so token-0 quote corruption that shifts the CSV
+    # field binding was never exercised).  Every univocity behavior the
+    # twin's docstring claims is a row here.
+    field0 = [
+        "h2",            # normal
+        '"h2',           # unterminated quote -> field 0 eats the line, c1 null
+        '"h2 x"',        # quoted with space -> field 0 spans two naive tokens
+        '"h2"',          # properly quoted
+        '"h2"x',         # closed quote then junk before the delimiter
+        'x"h2',          # quote mid-token, unquoted start
+        '""',            # quoted empty
+        '"',             # lone quote -> unterminated
+        '"h2""x"',       # doubled-quote escape
+        '"h2 ""x"',      # space inside + doubled quote
+        '"h2 x""',       # space inside, doubled quote at token end
+        '"h2 x"y z',     # closed quote, junk, extra token -> c1 is 'z'
+        '""h2',          # immediately re-opened quote
+        '"" x',          # empty quoted field 0, then junk field 1
+        '"a b" "c',      # quoted field 0, unterminated quoted field 1
+    ]
     tail = " ".join(["f"] * 27)
     lines = [f"h2 {f2} {tail}" for f2 in field2]
+    lines += [f"{f0} {ts} {tail}" for f0 in field0]
+    # cross the interesting field-0 shapes with adversarial field-1 shapes
+    lines += [
+        f"{f0} {f2} {tail}"
+        for f0 in ('"h2 x"', '"h2"x', '"h2""x"', '""')
+        for f2 in field2
+    ]
     df = spark.createDataFrame([(l,) for l in lines], "value string").filter(
         line_ok(F.col("value"))
     )

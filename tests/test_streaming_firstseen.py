@@ -124,6 +124,95 @@ def test_multi_batch_cross_batch_blocking(spark):
     assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 1001]
 
 
+def test_retried_batch_does_not_self_collide(spark, tmp_path):
+    """Restart safety (ADVICE r6): a RETRIED micro-batch re-runs with the
+    same batch id over a store already holding its own failed attempt's
+    keys/batch=N partition.  The store read must exclude batch >= N, or
+    the batch's docs collide with their own band keys and the retry
+    overwrites kept/batch=N with an empty frame — silently losing the
+    batch.  Simulated by invoking the foreachBatch step twice with the
+    same batch_id."""
+    import os
+
+    from advanced_elb_logs_etl_spark.streaming.neardup import (
+        _first_seen_process_batch,
+    )
+
+    store = str(tmp_path / "store")
+    rows = _corpus_rows()
+    other = (
+        "a totally disjoint second batch corpus about orbital mechanics "
+        "launch windows hohmann transfers and delta v budgets for probes "
+    )
+    batch0 = _docs(spark, rows[:2])   # 101 kept, 102 its victim
+    batch1 = _docs(
+        spark,
+        [
+            # within-batch dup pair on a text DISJOINT from batch 0 (so
+            # candidate-level cross-batch blocking can't touch it)
+            (201, other + "one two three four five six seven eight"),
+            (202, other + "one two three four five six seven nine"),
+            (301, "completely different content about spark structured "
+                  "streaming micro batches and state stores here today"),
+            (901, "too short"),
+        ],
+    )
+    _first_seen_process_batch(batch0, 0, store, "doc_id", "text", 0.8)
+    _first_seen_process_batch(batch1, 1, store, "doc_id", "text", 0.8)
+    kept1 = os.path.join(store, "kept", "batch=1")
+    first_attempt = sorted(
+        r.doc_id for r in spark.read.parquet(kept1).collect()
+    )
+    assert first_attempt == [201, 301, 901]
+    # retry batch 1 (same id, store now holds keys/batch=1 from attempt 1)
+    _first_seen_process_batch(batch1, 1, store, "doc_id", "text", 0.8)
+    retry_attempt = sorted(
+        r.doc_id for r in spark.read.parquet(kept1).collect()
+    )
+    assert retry_attempt == first_attempt, "retry must be idempotent"
+    # and batch 2 still sees both prior batches' blocking state
+    near_prior = _docs(spark, [(998, rows[0][1]), (999, batch1.collect()[0].text)])
+    _first_seen_process_batch(near_prior, 2, store, "doc_id", "text", 0.8)
+    kept2 = spark.read.parquet(os.path.join(store, "kept", "batch=2"))
+    assert kept2.count() == 0
+
+
+def test_auto_prune_block_then_readmit_in_stream(spark):
+    """Retention as policy (VERDICT r6 #7): with prune_keep_last set, the
+    running stream prunes its own blocking state every prune_every
+    batches — a near-dup arriving while the original's keys are live is
+    dropped; after the prune ages those keys out, a later near-dup is
+    re-admitted.  All inside ONE stream run, no manual prune call."""
+    uniq = [
+        "standalone filler document number %d with plenty of distinct "
+        "token content to shingle and occupy its own lsh buckets %s"
+        % (i, " ".join(f"w{i}x{j}" for j in range(8)))
+        for i in range(4)
+    ]
+    rows = [
+        # batch 0: the original
+        (1, _BASE + "alpha beta gamma delta epsilon zeta eta theta"),
+        # batch 1: near-dup arrives while keys live -> blocked; + filler
+        (100, _BASE + "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, uniq[0]),
+        # batch 2: filler (its write triggers the prune that drops batch<=1)
+        (200, uniq[1]),
+        # batch 3: near-dup arrives after the prune -> re-admitted
+        (300, _BASE + "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    kept = replay_first_seen_dedup(
+        spark,
+        _docs(spark, rows),
+        num_batches=4,
+        prune_keep_last=1,
+        prune_every=2,
+    )
+    kept_ids = sorted(r.doc_id for r in kept.collect())
+    assert 1 in kept_ids and 101 in kept_ids and 200 in kept_ids
+    assert 100 not in kept_ids, "near-dup with live keys must block"
+    assert 300 in kept_ids, "near-dup after retention prune must re-admit"
+
+
 def test_prune_key_store_retention(spark, tmp_path):
     """Retention pruning drops the oldest batches' BLOCKING state (a
     pruned doc stops blocking new arrivals) but never touches the kept
