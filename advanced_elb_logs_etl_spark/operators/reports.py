@@ -155,6 +155,17 @@ def sample_json(df: DataFrame, n: int = 5) -> list[str]:
     return df.limit(n).toJSON().collect()
 
 
+def _canon_file_uri(col: Column) -> Column:
+    """Scheme- and slash-count-insensitive canonical form of a file URI,
+    applied to BOTH sides of the compaction manifest⨝scan join: strip an
+    optional '<scheme>:' plus ALL leading slashes, keeping the authority
+    (bucket) and path.  'file:/tmp/x', 'file:///tmp/x' and '/tmp/x' all
+    collapse to 'tmp/x'; 's3a://bucket/k' collapses to 'bucket/k' — the
+    bucket survives, unlike java.net.URI.getPath() which drops it
+    (the ADVICE r6 empty-join bug)."""
+    return F.regexp_replace(col, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?/*", "")
+
+
 def compact_parquet(
     spark,
     src: str,
@@ -207,7 +218,10 @@ def compact_parquet(
         st = it.next()
         if st.getPath().getName().endswith(".parquet"):
             total += st.getLen()
-            manifest.append((st.getPath().toUri().getPath(), st.getLen()))
+            # FULL URI string (scheme + authority + path): on object
+            # stores toUri().getPath() drops the scheme AND the bucket,
+            # which silently empty-joined against the scan (ADVICE r6)
+            manifest.append((st.getPath().toString(), st.getLen()))
     if not bin_packed:
         n = max(1, math.ceil(total / target_file_bytes))
         df = spark.read.parquet(src)
@@ -217,7 +231,7 @@ def compact_parquet(
 
     mdf = spark.createDataFrame(manifest, "file_name string, bytes long")
     plan = compaction_plan(mdf, target_bytes=target_file_bytes).select(
-        "file_name", "bin"
+        _canon_file_uri(F.col("file_name")).alias("file_name"), "bin"
     )
     # bin ids are sparse (a file larger than target SPANS several bin
     # indices, and the next file starts past them) — the output file
@@ -225,11 +239,28 @@ def compact_parquet(
     # bin id in their name, so gaps in the numbering are expected
     n = plan.select("bin").distinct().count()
     df = spark.read.parquet(src).withColumn(
-        # _metadata.file_path is a URI (file:///...); the manifest stores
-        # the bare path — normalize both sides to the path component
+        # Hadoop Path.toString() and _metadata.file_path may render the
+        # SAME file with different scheme/slash styles (file:/x vs
+        # file:///x); both sides go through the one canonicalizer so the
+        # equi-join can't silently miss (see _canon_file_uri)
         "_fpath",
-        F.regexp_replace(F.col("_metadata.file_path"), "^[a-z]+:(//)?", ""),
+        _canon_file_uri(F.col("_metadata.file_path")),
     )
+    # guard the join before the heavyweight write: every manifest file
+    # must match exactly one scanned file, else the staged output would
+    # silently drop rows (the s3a empty-output failure mode, ADVICE r6)
+    matched = (
+        df.select("_fpath")
+        .distinct()
+        .join(F.broadcast(plan), F.col("_fpath") == plan.file_name, "inner")
+        .count()
+    )
+    if matched != len(manifest):
+        raise RuntimeError(
+            f"compact_parquet: manifest/scan path mismatch — {len(manifest)} "
+            f"manifest files but {matched} matched the scan's "
+            "_metadata.file_path; refusing to write a partial dataset"
+        )
     joined = df.join(F.broadcast(plan), df._fpath == plan.file_name, "inner").drop(
         "file_name"
     )

@@ -119,6 +119,14 @@ def replay_stream(
             raise q.exception()
         if sink == "memory":
             result = spark.table(name).localCheckpoint(eager=True)
+        elif not os.path.isdir(dst):
+            # the replayed query emitted NO output batch (empty source, or
+            # an append-mode build whose triggers produced nothing), so
+            # foreachBatch never wrote dst — return an empty frame with
+            # the sink schema, matching the memory sink's semantics
+            result = spark.createDataFrame([], out.schema).localCheckpoint(
+                eager=True
+            )
         else:
             result = spark.read.parquet(dst).localCheckpoint(eager=True)
     finally:

@@ -166,3 +166,62 @@ def test_compact_parquet_bin_packed(spark, tmp_path):
         .collect()
     )
     assert all(r["count"] == 1 for r in per_origin)
+
+
+def test_canon_file_uri_schemes(spark):
+    """The manifest⨝scan canonicalizer must collapse every rendering of
+    the same file — Hadoop Path.toString() (file:/x), _metadata.file_path
+    (file:///x), bare paths — to one key, and must KEEP the bucket of an
+    object-store URI (java.net.URI.getPath() drops it: the ADVICE r6
+    empty-join bug; 's3a' also has a digit, which the old scheme regex
+    did not even match)."""
+    from advanced_elb_logs_etl_spark.operators.reports import _canon_file_uri
+
+    rows = [
+        ("file:/tmp/a/part-0.parquet",),
+        ("file:///tmp/a/part-0.parquet",),
+        ("/tmp/a/part-0.parquet",),
+        ("s3a://bucket/key/part-0.parquet",),
+        ("s3://bucket/key/part-0.parquet",),
+        ("s3a://other-bucket/key/part-0.parquet",),
+    ]
+    got = [
+        r.c
+        for r in spark.createDataFrame(rows, "u string")
+        .select(_canon_file_uri(F.col("u")).alias("c"))
+        .collect()
+    ]
+    assert got[0] == got[1] == got[2] == "tmp/a/part-0.parquet"
+    assert got[3] == got[4] == "bucket/key/part-0.parquet"
+    assert got[5] == "other-bucket/key/part-0.parquet"
+    assert len({got[2], got[3], got[5]}) == 3, "distinct files stay distinct"
+
+
+def test_compact_parquet_guards_manifest_scan_mismatch(spark, tmp_path):
+    """If the bin-packed join would not cover the manifest (path-scheme
+    divergence, foreign files), compact_parquet must refuse loudly
+    instead of writing a partial/empty dataset."""
+    import os
+
+    import pytest as _pytest
+
+    from advanced_elb_logs_etl_spark.operators import reports as _reports
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    spark.range(100).coalesce(1).write.parquet(src)
+    # sabotage the canonicalizer on the manifest side only, simulating a
+    # scheme rendering the scan side can't produce
+    orig = _reports._canon_file_uri
+    calls = {"n": 0}
+
+    def skewed(col):
+        calls["n"] += 1
+        return F.concat(F.lit("XX/"), orig(col)) if calls["n"] == 1 else orig(col)
+
+    _reports._canon_file_uri = skewed
+    try:
+        with _pytest.raises(RuntimeError, match="manifest/scan path mismatch"):
+            _reports.compact_parquet(spark, src, dst, bin_packed=True)
+    finally:
+        _reports._canon_file_uri = orig
+    assert not os.path.isdir(dst), "no partial output on refusal"

@@ -380,3 +380,24 @@ def test_per_row_band_keys_match_batch_kernel(spark):
     }
     assert got <= want
     assert {d for d, _, _ in missing} <= empty_ids
+
+
+def test_replay_parquet_sink_empty_emission(spark):
+    """A replayed query that never emits an output batch (append-mode
+    build whose triggers all filter to nothing) must return an EMPTY
+    frame with the sink schema under sink='parquet' — matching the
+    memory sink — not raise path-not-found (ADVICE r6)."""
+    from advanced_elb_logs_etl_spark.streaming.replay import replay_stream
+
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+
+    def build(stream):
+        return stream.filter(F.col("id") < 0).select("id", "v")
+
+    for sink in ("parquet", "memory"):
+        got = replay_stream(
+            spark, docs, build, output_mode="append", sink=sink,
+            query_name=f"empty_{sink}",
+        )
+        assert got.count() == 0
+        assert got.columns == ["id", "v"]
