@@ -14,6 +14,16 @@ if grep -rInE '@(anthropic|openai|bytedance|google|meta|huawei|apple|amazon)\.[a
   echo "LEAKCHECK: real-vendor contact address in tree" >&2
   exit 1
 fi
+# ... and of builder-identifying contact URLs in fixtures of any type
+# (VERDICT r6 item 8). Scoped to anthropic domains: the canonical PUBLIC
+# UA strings of other vendors' crawlers embed their bot-info URLs
+# (google.com/bot.html, apple.com/go/applebot, ...) and are legitimate
+# classifier fixtures, same adjudication as the product tokens.
+if grep -rInE 'https?://[a-z0-9.-]*anthropic\.[a-z]+' \
+    tests/ advanced_elb_logs_etl_spark/ tools/ __spark_entry__.py bench.py 2>/dev/null; then
+  echo "LEAKCHECK: builder-identifying contact URL in fixtures/tree" >&2
+  exit 1
+fi
 python -m pytest tests/ -x -q
 SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
 python tools/plan_lint.py
