@@ -485,6 +485,89 @@ def refine_centroids(
     return current
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "farthest",
+    vectorized: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): cluster the embedding space with a
+    coarse quantizer, call two documents semantic duplicates when their
+    embeddings' cosine exceeds ``threshold`` WITHIN a cluster, and keep
+    exactly one exemplar per duplicate group.
+
+    ``keep='farthest'`` is the paper's exemplar rule — of each duplicate
+    group, keep the member with the LOWEST cosine to its cluster centroid
+    (the most "marginal" example carries the most training signal), ties
+    on the smaller id.  ``keep='min_id'`` is the simpler stable rule.
+
+    Returns the SURVIVING rows of ``vectors`` plus their ``cluster`` id
+    and ``cent_sim`` (cosine to the assigned centroid) — the
+    dedup-APPLY shape, like dedup.dedup_corpus.
+
+    Physical form (all existing bucketed pieces, no new shuffle shapes):
+    hard cluster assignment (assign_clusters m=1: one narrow pandas_udf
+    pass, centroids broadcast), within-cluster candidate pairs via the
+    CLUSTER-EQUI self-join of embedding_neardup_blocked (never a cross
+    join), connected components over the >= threshold pairs (iterative
+    min-label, dedup.neardup_components), then one window per component
+    to pick the exemplar.  Deterministic end to end — assignment,
+    left-fold cosines, min-label components, and the (cent_sim, id)
+    ordering are all reproducible — so the result is VALUE-exact against
+    a recursive-CTE SQL twin (plans/catalog_r7.py).
+
+    At 100 TB: the cluster id is the unit of locality — materialize it as
+    a partition column and the pair generation is partition-local; the CC
+    graph holds only above-threshold pairs (tiny vs the corpus); state
+    never exceeds O(duplicates found).  Misses only cross-cluster dup
+    pairs — the paper's own trade; raise the overlap of the blocked-pairs
+    call if recall matters more than cost.
+    """
+    if keep not in ("farthest", "min_id"):
+        raise ValueError(f"unknown keep rule {keep!r}")
+    from .dedup import neardup_components
+
+    cs = _cos_fn(vectorized)
+    assigned = assign_clusters(
+        vectors, centroids, id_col, vec_col, vectorized=vectorized, m=1
+    )
+    cent = centroids.select(
+        F.col(id_col).alias("cluster"), F.col(vec_col).alias("_centroid")
+    )
+    members = assigned.join(F.broadcast(cent), "cluster").select(
+        F.col(id_col),
+        F.col("cluster"),
+        cs(F.col(vec_col), F.col("_centroid")).alias("cent_sim"),
+    )
+    pairs = embedding_neardup_blocked(
+        vectors, centroids, threshold, id_col, vec_col,
+        overlap=1, vectorized=vectorized,
+    )
+    comps = neardup_components(pairs)
+    grouped = comps.join(
+        members.select(F.col(id_col).alias("doc_id"), "cent_sim"), "doc_id"
+    )
+    order = (
+        [F.col("cent_sim").asc_nulls_last(), F.col("doc_id")]
+        if keep == "farthest"
+        else [F.col("doc_id")]
+    )
+    w = Window.partitionBy("component").orderBy(*order)
+    victims = (
+        grouped.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("doc_id").alias("_victim"))
+    )
+    return (
+        vectors.join(victims, vectors[id_col] == F.col("_victim"), "left_anti")
+        .join(members.select(id_col, "cluster", "cent_sim"), id_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane (SimHash-for-vectors) LSH — the bucketed ANN variant
 # ---------------------------------------------------------------------------
