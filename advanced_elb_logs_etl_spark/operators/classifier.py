@@ -99,12 +99,17 @@ def classifier_scores(
     text_col: str = "text",
     ngrams: tuple[int, ...] = (1, 2),
     bias_micro: int = 0,
+    feat_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document with a hashed-ngram linear model.
 
     ``weights`` is the model: (bucket bigint, weight_micro bigint), at
     most ``buckets`` rows; buckets absent from the table weigh 0 (the
-    sparse-model convention).  Output per document:
+    sparse-model convention).  Pass ``feat_rows`` (an (id, bucket)
+    frame, e.g. a persisted importance.hashed_feature_rows — identical
+    features for the default (1, 2) grams) to share one exploded feature
+    pass with other consumers (DSIR, vocabulary stats); it must have been
+    built with the SAME buckets/ngrams.  Output per document:
 
     - ``n_features``: n-gram count (with multiplicity; 0 for empty text),
     - ``w_sum_micro``: exact integer sum of feature weights,
@@ -117,11 +122,15 @@ def classifier_scores(
     per doc, then one left join back to ``docs`` so featureless docs
     survive with n_features = 0.  No UDF, no window, one doc-keyed
     shuffle."""
-    feats = docs.select(
-        F.col(id_col),
-        F.explode(hashed_ngram_buckets(F.col(text_col), buckets, ngrams)).alias(
-            "bucket"
-        ),
+    feats = (
+        feat_rows.select(F.col(id_col), "bucket")
+        if feat_rows is not None
+        else docs.select(
+            F.col(id_col),
+            F.explode(hashed_ngram_buckets(F.col(text_col), buckets, ngrams)).alias(
+                "bucket"
+            ),
+        )
     )
     per_doc = (
         feats.join(F.broadcast(weights), "bucket", "left")
