@@ -384,12 +384,16 @@ def q_ntile_latency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (range-partitioned two-phase rank + the exact SQL ntile bucket
     formula) instead of the single-task `ntile OVER (ORDER BY ...)` the
     oracle writes — identical output, no global sort into one task.
-    Deterministic via the event_id tiebreak."""
+    Deterministic via the event_id tiebreak.  pin="defer" (r7): the
+    correctness persist stays, but the eager checkpoint JOB moves out of
+    the query (the bench/test harness releases the parked cache after
+    the action — VERDICT r6 item 4a; the pinned-vs-deferred value
+    equality is pinned in tests/test_stats_setsim.py)."""
     from ..operators import stats
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     return (
-        stats.scalable_ntile(ev, ["value", "event_id"], 10, "decile")
+        stats.scalable_ntile(ev, ["value", "event_id"], 10, "decile", pin="defer")
         .select("value", "decile")
         .groupBy("decile")
         .agg(

@@ -84,15 +84,28 @@ def main() -> None:
         F.pandas_udf(lambda s: s * 2, "long")(F.col("id"))
     ).collect()
 
-    timings: dict[str, float] = {}
-    for name, (fn, _) in CATALOG.items():
+    from advanced_elb_logs_etl_spark.operators.stats import (  # noqa: E402
+        release_deferred_caches,
+    )
+
+    def _run(name: str) -> float:
+        fn = CATALOG[name][0]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         if name in _WIDE_OUTPUT:
             df.write.format("noop").mode("overwrite").save()
         else:
             df.collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        elapsed = round(time.perf_counter() - t0, 3)
+        # pin="defer" internal caches are caller-owned (stats.global_cumsum):
+        # the harness is that caller — release outside the timed window
+        # (the cache WRITE already happened inside the action)
+        release_deferred_caches()
+        return elapsed
+
+    timings: dict[str, float] = {}
+    for name in CATALOG:
+        timings[name] = _run(name)
 
     # Shared-state clusters (VERDICT r4 item 3): queries sharing a persisted
     # frame trade cache-build attribution in the in-sequence pass, so their
@@ -126,25 +139,38 @@ def main() -> None:
     clusters: dict[str, dict] = {}
     for cname, (members, clear) in _CLUSTERS.items():
         iso: dict[str, float] = {}
-        for name in members:
+        cache_build = None
+        for i, name in enumerate(members):
             if name not in CATALOG:
                 continue
             clear()
-            fn = CATALOG[name][0]
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            if name in _WIDE_OUTPUT:
-                df.write.format("noop").mode("overwrite").save()
-            else:
-                df.collect()
-            iso[name] = round(time.perf_counter() - t0, 3)
+            iso[name] = _run(name)
+            if i == 0:
+                # Cache-build attribution (VERDICT r6 item 5): the first
+                # consumer pays the shared-frame build.  Re-running it with
+                # the cache now WARM isolates the build cost, so per-query
+                # numbers are comparable across rounds: cold = build + query,
+                # warm = query alone, cache_build = cold - warm.
+                warm = _run(name)
+                cache_build = max(0.0, round(iso[name] - warm, 3))
         clear()
         clusters[cname] = {
             "in_sequence_total": round(
                 sum(timings.get(n, 0.0) for n in members), 3
             ),
             "isolated": iso,
+            "cache_build": cache_build,
         }
+
+    # Standing isolated-warm adjudications (VERDICT r6 item 4b): queries
+    # whose plan is scale-right but whose in-sequence number keeps tripping
+    # the 2x screen through box contention — record a warm isolated rerun
+    # every round so the record carries both numbers.
+    adjudicated_warm = {
+        name: _run(name)
+        for name in ("shipping_priority_q3", "ntile_latency_buckets")
+        if name in CATALOG
+    }
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -153,6 +179,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "clusters": clusters,
+        "isolated_warm": adjudicated_warm,
         "sf": sf,
     }
     # Full per-query record -> a file (tools/bench_compare.py and
@@ -176,6 +203,10 @@ def main() -> None:
                 "clusters_in_sequence": {
                     c: v["in_sequence_total"] for c, v in clusters.items()
                 },
+                "cache_build": {
+                    c: v["cache_build"] for c, v in clusters.items()
+                },
+                "isolated_warm": adjudicated_warm,
                 "sf": sf,
                 "full_record": "bench_full_latest.json",
             },

@@ -21,3 +21,16 @@ def spark():
     spark = get_spark(shuffle_partitions=8)
     yield spark
     spark.stop()
+
+
+@pytest.fixture(autouse=True)
+def _release_deferred_stat_caches():
+    """pin='defer' internal caches (stats.global_cumsum) are caller-owned;
+    in the test harness each test is that caller — release after every
+    test so the cache-hygiene invariants stay meaningful."""
+    yield
+    from advanced_elb_logs_etl_spark.operators.stats import (
+        release_deferred_caches,
+    )
+
+    release_deferred_caches()

@@ -351,3 +351,46 @@ def test_auc_mann_whitney_single_class_is_null(spark):
     )
     row = stats.auc_mann_whitney(one_class, "score", "lab").first()
     assert row.auc is None and row.n_pos == 3 and row.n_neg == 0
+
+
+def test_global_cumsum_defer_matches_pinned(spark):
+    """pin='defer' (no eager checkpoint job) must be value-identical to
+    pin=True — the correctness persist is shared; only the cache
+    LIFECYCLE differs (VERDICT r6 item 4a: the pin's materialization
+    moved to the harness/test path)."""
+    ev = load_table(spark, SF, "events").select("event_id", "value").limit(500)
+    pinned = {
+        r.event_id: r.cum_value
+        for r in stats.global_cumsum(
+            ev, ["value", "event_id"], ["value"], num_ranges=7, pin=True
+        ).collect()
+    }
+    deferred_df = stats.global_cumsum(
+        ev, ["value", "event_id"], ["value"], num_ranges=7, pin="defer"
+    )
+    deferred = {r.event_id: r.cum_value for r in deferred_df.collect()}
+    assert deferred == pinned
+    # the internal cache is parked (still registered), not leaked forever:
+    # release_deferred_caches drains it and empties the cache manager
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert not cm.isEmpty(), "defer must keep the correctness persist alive"
+    assert stats.release_deferred_caches() >= 1
+    assert cm.isEmpty()
+
+
+def test_scalable_ntile_defer_matches_pinned(spark):
+    ev = load_table(spark, SF, "events").select("event_id", "value").limit(400)
+    a = sorted(
+        (r.event_id, r.b)
+        for r in stats.scalable_ntile(
+            ev, ["value", "event_id"], 7, "b", num_ranges=5, pin=True
+        ).collect()
+    )
+    b = sorted(
+        (r.event_id, r.b)
+        for r in stats.scalable_ntile(
+            ev, ["value", "event_id"], 7, "b", num_ranges=5, pin="defer"
+        ).collect()
+    )
+    stats.release_deferred_caches()
+    assert a == b
