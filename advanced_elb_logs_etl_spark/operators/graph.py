@@ -295,9 +295,18 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.col("w1.dst").alias("u"),
         F.col("w2.dst").alias("v"),
     )
-    tri = wedge_tips.join(edges.select("u", "v"), ["u", "v"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
+    # closure probe: wedges (the m^1.5-sized side) x canonical edges (the
+    # small side).  Below the broadcast threshold Catalyst picks BHJ; above
+    # it the default was a sort-merge join that SORTS THE WEDGE SIDE —
+    # measured as the 10x knee in SCALE.md (4.4 s -> 110.6 s).  The
+    # shuffle_hash hint (the Q3 treatment, VERDICT r6 item 6) keeps the
+    # edge side as a per-partition hash build: both sides still shuffle on
+    # the pair key, but the billion-row wedge stream is probed unsorted.
+    # Edges are per-partition-memory-safe at any scale: the build side is
+    # |E|/shuffle_partitions rows of two longs.
+    tri = wedge_tips.join(
+        edges.select("u", "v").hint("shuffle_hash"), ["u", "v"]
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
     node_stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         # integer-domain wedge count: sum d*(d-1) stays a long, halved with

@@ -77,6 +77,12 @@ GLOBAL_WINDOW_ALLOW: dict[str, str] = {
     "benford_first_digit": "share window over the 9-row digit aggregate",
     "conditional_ratio_report": "share-of-total window over the 5-row event-type aggregate",
     "sequence_top_paths": "rank over the <=|types|^3 trigram aggregate (125 rows), never data",
+    "ntile_latency_buckets": (
+        "global_cumsum offsets window over the num_ranges-row partition-"
+        "totals aggregate (32 rows, never data); was hidden behind the "
+        "pin=True eager checkpoint until r7's pin='defer' exposed the "
+        "lazy plan"
+    ),
 }
 
 
