@@ -92,7 +92,14 @@ HEADLINERS = {
     "chi_square_type_bucket": "contingency cells + two margin re-aggs broadcast back; events "
                               "shuffle once into the cell agg",
     "triangle_census": "one-shuffle edge build (grouped array + in-row pair explode); "
-                       "degree-ordered wedge join bounds fan-out at ~sqrt(|E|)",
+                       "degree-ordered wedge join bounds fan-out at ~sqrt(|E|); closure "
+                       "probe HINTED ShuffledHashJoin (never sort the wedge stream)",
+    "semantic_dedup_corpus": "centroids broadcast into the assignment kernel; candidate "
+                             "pairs from a CLUSTER-EQUI self-join (no CartesianProduct); "
+                             "exemplar window partitions by duplicate component",
+    "classifier_score_topk": "one evaluate-once n-gram explode; 256-row model joined as "
+                             "BroadcastHashJoin; single per-doc HashAggregate; "
+                             "TakeOrderedAndProject top-50 (no global Sort)",
     "khop_reachability": "checkpointed adjacency probed per hop; frontier joins + distinct, "
                          "no re-derivation of the edge pipeline",
     "event_transition_matrix": "ONE keyed lead window then a |types|^2 hash agg; "
