@@ -271,6 +271,53 @@ def test_timestamp_token_twin_matches_csv_verdict(spark):
         assert bool(r.twin) == bool(r.real), r.value[:80]
 
 
+def test_timestamp_token_twin_fuzz_differential(spark):
+    """Seeded-random differential over ~2.5k quote-mutated lines: the
+    pushed-down twin and the from_csv-bound verdict must agree on every
+    line_ok-passing line. Complements the curated cross-product corpus
+    with generative coverage of quote-piece concatenations the curated
+    set can't enumerate (a 5k-line exploratory run found zero
+    divergences; this is the deterministic regression slice)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from advanced_elb_logs_etl_spark.operators.parse import (
+        _CSV_OPTIONS,
+        _CSV_SCHEMA,
+        line_ok,
+        parse_timestamp_utc,
+        timestamp_token_ok,
+    )
+
+    ts = "2025-05-26T23:55:02.179979Z"
+    rng = random.Random(1234)
+    pieces = ['"', "h2", "x", ts, f'"{ts}"', f'"{ts}', '""', 'a"b', '"a b"',
+              "", 'z"', '" "', '"a""b"']
+    tail = " ".join(["f"] * 28)
+    lines = []
+    for _ in range(2000):
+        f0 = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 3)))
+        f1 = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 2)))
+        lines.append(f"{f0} {f1} {tail}")
+        if rng.random() < 0.3:
+            mid = rng.choice(["a b", "a  b", "a b c"])
+            lines.append(f'"{mid}" {f1} {tail}')
+    df = spark.createDataFrame([(l,) for l in lines], "value string").filter(
+        line_ok(F.col("value"))
+    )
+    got = df.select(
+        "value",
+        timestamp_token_ok(F.col("value")).alias("twin"),
+        parse_timestamp_utc(
+            F.from_csv(F.col("value"), _CSV_SCHEMA, _CSV_OPTIONS).getItem("c1")
+        ).isNotNull().alias("real"),
+    ).collect()
+    assert len(got) > 1500, "most mutated lines should pass the line gate"
+    bad = [r.value[:70] for r in got if bool(r.twin) != bool(r.real)]
+    assert not bad, f"twin/verdict divergence on: {bad[:5]}"
+
+
 def test_parse_observation_counts_rejects(spark):
     """Observation-based malformed-line accounting: the reference's
     per-entry warning log (:95-97) becomes executor-collected metrics on
