@@ -115,23 +115,65 @@ FRONT_OF_CATALOG: list[str] = [
     # classifier scorer (plans/catalog_r7.py, VERDICT r6 items 2-3).
     "semantic_dedup_corpus",
     "classifier_score_topk",
-    # ======== position 51+ (the r8 rotation queue) ========
-    # The two displaced r3-green twins first, then r4-green entries
-    # (next-stalest after this window ships).  Names not in CATALOG are
-    # ignored, so the queue may safely lead registration.
+    # ======== position 51+ (the r8 rotation queue, full and exact) ========
+    # The arithmetic works out to a complete window: 2 displaced r3-green
+    # twins + the 47 r4-green entries (next-stalest once this window
+    # ships) = 49, leaving exactly ONE reserved in-window slot for the
+    # r8 addition under the freeze discipline.  Flagship-ish anchors
+    # lead (the parse roundtrip, hourly_agg, the hinted triangle
+    # census); then the r4 TPC-H/report/stats tail in registration-
+    # stable order.  Names not in CATALOG are ignored, so the queue may
+    # safely lead registration.
     "rank_battery",
     "grouping_sets_events",
     "alb_parse_roundtrip",
-    "url_parse",
-    "ua_family_counts",
     "hourly_agg",
-    "status_bucket",
-    "dim_enrich_join",
-    "rolling_1h_avg",
-    "error_report",
-    "winnow_fingerprints",
-    "levenshtein_block_pairs",
-    "khop_reachability",
+    "ua_family_counts",
+    "triangle_census",
+    "graph_jaccard_topk",
+    "top_ngrams_per_lang",
+    "doc_minhash_containment",
+    "unigram_logprob_score",
+    "weighted_percentile",
+    "sessionize_gap_dynamic",
+    "skew_salted_join",
+    "time_spine_gap_fill",
+    "event_attribution_last_touch",
+    "interval_overlap_join",
+    "decimal_exact_ledger",
+    "robust_scale_features",
+    "winsorize_values",
+    "weighted_sample_es",
+    "time_weighted_avg",
+    "entropy_per_source",
+    "autocorr_lag1",
+    "month_over_month_revenue",
+    "benford_first_digit",
+    "gini_revenue_concentration",
+    "unpivot_metrics",
+    "url_query_explode",
+    "bitmap_distinct_dates",
+    "freq_items_battery",
+    "string_agg_sorted",
+    "mad_robust_stats",
+    "running_distinct_users",
+    "regression_battery",
+    "date_function_battery",
+    "collect_set_sorted",
+    "heavy_hitters_exact",
+    "f2_moment_users",
+    "min_cost_supplier_q2",
+    "forecast_revenue_q6",
+    "market_share_q8",
+    "product_profit_q9",
+    "important_value_q11",
+    "customer_distribution_q13",
+    "top_supplier_q15",
+    "disjunctive_revenue_q19",
+    "excess_supply_q20",
+    "waiting_supplier_q21",
+    "global_sales_q22",
+    # position 100 = the reserved r8 in-window slot (one addition).
 ]
 
 
