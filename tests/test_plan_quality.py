@@ -367,6 +367,20 @@ def test_triangle_census_all_joins_are_hash(spark):
     # crossJoins; any Inner NL join means the closure probe degenerated
     nl = [l for l in plan.splitlines() if "NestedLoop" in l or "CartesianProduct" in l]
     assert all("Cross" in l for l in nl), nl
+    # r7: the closure probe (pair-keyed [u, v] join) is HINTED
+    # ShuffledHashJoin — without the hint it crosses into a sort-merge
+    # join above the broadcast threshold and SORTS the O(m^1.5) wedge
+    # stream (SCALE.md: 110.6 -> 24.3 s at 10x).  The wedge SELF-join
+    # (single src key) may stay SMJ: it sorts only the edge-sized
+    # INPUTS, never the wedge output.  Assert no SMJ carries the
+    # two-column pair key.
+    import re
+
+    smj_pair = [
+        l for l in plan.splitlines()
+        if re.search(r"SortMergeJoin \[u#\d+L?, v#\d+L?\]", l.strip())
+    ]
+    assert not smj_pair, f"closure probe fell into SMJ: {smj_pair}"
 
 
 def test_graph_jaccard_seed_adjacency_broadcasts(spark):
