@@ -101,3 +101,28 @@ def test_differential_on_documents_table(spark):
         want = _gopher_py(text)
         for k, v in want.items():
             assert bool(got[did][k]) == bool(v), (did, k, text[:60])
+
+
+def test_differential_on_random_texts(spark):
+    """Seeded generative differential: random whitespace/punctuation/
+    bullet/newline soup vs the pure-Python rule evaluation — catches
+    tokenization-boundary disagreements the curated fixtures miss."""
+    import random
+
+    rng = random.Random(99)
+    words = ["the", "fox", "x", "12", "#", "a#b", "...", "word...", "-", "*",
+             "be", "to", "Lorem", "ipsum", "end.", "quo?", "it!", "{x}", "longishword"]
+    texts = []
+    for i in range(120):
+        n = rng.randint(1, 120)
+        toks = [rng.choice(words) for _ in range(n)]
+        s = ""
+        for t in toks:
+            s += t + (rng.choice(["\n", " "]) if rng.random() < 0.15 else " ")
+        texts.append((i, s.strip()))
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in rule_filter_battery(df).collect()}
+    for did, text in texts:
+        want = _gopher_py(text)
+        for k, v in want.items():
+            assert bool(got[did][k]) == bool(v), (did, k, text[:60])
