@@ -325,6 +325,12 @@ def _first_seen_process_batch(
     ``batch < batch_id``, so any attempt of batch N sees exactly the
     state the first attempt saw: batches 0..N-1.  (Batch ids are
     monotone per checkpoint, so this is also a no-op for clean runs.)
+
+    Corollary: a FRESH checkpoint pointed at an existing store restarts
+    batch ids at 0, so prior batches' keys no longer block — starting
+    over a populated store is a store-reuse error (pair a store with
+    exactly one checkpoint lineage); the old flat read silently treated
+    it as valid blocking state, which also broke every retry.
     """
     from ..operators.dedup import with_shingle_hashes
 
