@@ -132,7 +132,10 @@ def main() -> None:
             clear_lines_cache,
         ),
         "r6_shared_features": (
-            ["substring_dedup_spans", "dsir_importance_topk"],
+            # classifier_score_topk (r7) reads the SAME persisted
+            # dsir_rows frame via catalog_r6._cached
+            ["substring_dedup_spans", "dsir_importance_topk",
+             "classifier_score_topk"],
             clear_r6_cache,
         ),
     }
