@@ -392,6 +392,7 @@ def embedding_neardup_blocked(
     vec_col: str = "embedding",
     overlap: int = 1,
     vectorized: bool = True,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Scalable embedding near-dup: cluster-blocked pairs instead of all
     pairs. assign_clusters(m=overlap) maps each vector to its top-`overlap`
@@ -408,9 +409,13 @@ def embedding_neardup_blocked(
     end, so value-exact against a SQL twin that reproduces the same
     assignment (plans/catalog_llm.py)."""
     dt, nrm = _dot_fn(vectorized), (norm_v if vectorized else norm2)
-    assigned = assign_clusters(
-        vectors, centroids, id_col, vec_col, vectorized=vectorized, m=overlap
-    )
+    if assigned is None:
+        # pass `assigned` (an assign_clusters(m=overlap) frame, ideally
+        # pinned) to share ONE assignment pass with other consumers —
+        # the same injection convention as dedup's `hashed=`
+        assigned = assign_clusters(
+            vectors, centroids, id_col, vec_col, vectorized=vectorized, m=overlap
+        )
     # candidate ids stay SLIM through the self-join and dedup (16 bytes/row,
     # not 1 KB of vector payload); embeddings + precomputed norms attach
     # afterwards by equi-join, so each surviving pair costs ONE dot kernel.
@@ -532,9 +537,13 @@ def semantic_dedup(
     from .dedup import neardup_components
 
     cs = _cos_fn(vectorized)
+    # ONE assignment pass serves all four consumers (members/cent_sim,
+    # both sides of the blocked pair self-join, and the output join);
+    # the checkpoint pins it — without it every lazy reference replays
+    # the pandas_udf scoring pass (measured 3 extra passes at sf0.1)
     assigned = assign_clusters(
         vectors, centroids, id_col, vec_col, vectorized=vectorized, m=1
-    )
+    ).localCheckpoint(eager=True)
     cent = centroids.select(
         F.col(id_col).alias("cluster"), F.col(vec_col).alias("_centroid")
     )
@@ -545,7 +554,7 @@ def semantic_dedup(
     )
     pairs = embedding_neardup_blocked(
         vectors, centroids, threshold, id_col, vec_col,
-        overlap=1, vectorized=vectorized,
+        overlap=1, vectorized=vectorized, assigned=assigned,
     )
     comps = neardup_components(pairs)
     grouped = comps.join(
