@@ -173,7 +173,16 @@ FRONT_OF_CATALOG: list[str] = [
     "excess_supply_q20",
     "waiting_supplier_q21",
     "global_sales_q22",
-    # position 100 = the reserved r8 in-window slot (one addition).
+    # position 100 = the reserved r8 in-window slot (one addition:
+    # gopher_rules_battery, built+pinned in operators/rules.py).
+    #
+    # r9 reserved-slot candidates, already built and pytest-pinned with
+    # twin SQL rehearsed (value-exact duckdb differential in their test
+    # files), awaiting their window so they never ship never-checked:
+    #   - lm_perplexity_filter (operators/lm.py: stupid-backoff bigram LM,
+    #     CCNet-style fluency selection; twin template in tests/test_lm.py)
+    #   - pq_adc_topk (operators/pq.py: product-quantization codebooks +
+    #     asymmetric-distance search; integer-exact, tests/test_pq.py)
 ]
 
 
