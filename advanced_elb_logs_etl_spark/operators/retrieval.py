@@ -1,0 +1,149 @@
+"""BM25 keyword retrieval over the document corpus.
+
+The Okapi BM25 ranking function (Robertson & Zaragoza 2009, "The
+Probabilistic Relevance Framework: BM25 and Beyond", Found. Trends IR),
+in the Lucene/at-scale formulation:
+
+    score(d, q) = sum over query terms t of
+        idf(t) * tf(t,d) * (k1 + 1) / (tf(t,d) + k1 * (1 - b + b * |d|/avgdl))
+    idf(t) = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+
+A training-data pipeline uses this as its lexical retrieval arm: finding
+the corpus documents most relevant to a benchmark prompt (contamination
+auditing), to a target-domain description (data selection), or to a user
+query (RAG indexing) — complementary to the embedding ANN path
+(similarity.py) and the group-level TF-IDF profile (text.py).
+
+Cross-engine exactness: idf is computed once per QUERY TERM (<= |q| rows)
+and the full per-(doc, term) contribution — a fixed-shape scalar
+expression over exact integer tf/dl/df counts — is snapped to integer
+micro-units before the per-document sum, so document scores are exact
+integer sums (the repo's standard discipline: float ops happen a bounded
+number of times on identical operands in an identical tree shape; the
+order-varying aggregation runs on integers).
+
+Scale shape (100 TB): the ONLY corpus-wide work is one token explode
+filtered to the query's terms — a broadcast IN-list the scan pushes down
+to a tiny fraction of the token stream — then one (doc, term) hash agg,
+one broadcast join against the <= |q|-row idf table, one per-doc agg, and
+TakeOrdered(k).  Document lengths ride the same pass (size(tokens), no
+second scan).  avgdl and N attach as 1-row broadcast scalar stitches.
+No collect, no unbounded state.
+
+Reference-parity note: the reference pipeline has no retrieval operator;
+this extends the curation/search surface alongside similarity.py (ANN)
+and curation.decontaminate (n-gram overlap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import tokens
+
+__all__ = ["doc_term_stats", "bm25_topk"]
+
+#: Integer contribution scale: micro-units.
+_SCALE = 1_000_000
+
+
+def doc_term_stats(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, dl, term, tf) for the query's terms only — tf omits rows for
+    absent terms (they contribute 0 to BM25), dl is the FULL token length
+    of the document, computed in the same projection as the explode so the
+    corpus is scanned once.
+
+    SQL twin: toks CTE, dl = len(toks), UNNEST(toks) filtered with
+    term IN (...), GROUP BY doc_id, dl, term."""
+    toks = tokens(F.col(text_col))
+    ex = df.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    ).filter(F.col("term").isin(query_terms))
+    return ex.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_hit_terms, score_micro, score): the k highest-BM25 documents
+    for the bag of query terms, ties by id (TakeOrdered, never a global
+    sort).  score = score_micro / 1e6 for readability; ranking and the
+    catalog hash ride the exact integer.
+
+    Duplicate query terms are deduplicated (set semantics, the standard
+    bag-of-words form); documents matching no term are absent (score 0).
+    """
+    terms = sorted(set(query_terms))
+    stats = doc_term_stats(df, terms, id_col, text_col)
+    # Corpus scalars: N (all docs) and avgdl over ALL documents — exact
+    # integer inputs; avgdl itself stays a (sum, count) integer pair so
+    # the per-row division happens inside the snapped contribution.
+    toks_len = df.select(F.size(tokens(F.col(text_col))).alias("dl"))
+    corpus = toks_len.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("dl_sum"),
+    )
+    # Document frequency per query term (<= |q| rows after the agg).
+    dfreq = stats.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    idf = dfreq.crossJoin(F.broadcast(corpus)).select(
+        "term",
+        "df",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+    )
+    k1_l, b_l = F.lit(float(k1)), F.lit(float(b))
+    contrib = (
+        stats.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(corpus.select("dl_sum", F.col("n_docs").alias("nd"))))
+        .select(
+            id_col,
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1_l + 1))
+                / (
+                    F.col("tf")
+                    + k1_l
+                    * (
+                        F.lit(1.0)
+                        - b_l
+                        + b_l
+                        * F.col("dl")
+                        / (F.col("dl_sum").cast("double") / F.col("nd"))
+                    )
+                )
+                * _SCALE,
+                0,
+            )
+            .cast("long")
+            .alias("c_micro"),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hit_terms"),
+        F.sum("c_micro").alias("score_micro"),
+    )
+    top = scored.orderBy(F.col("score_micro").desc(), F.col(id_col)).limit(k)
+    return top.withColumn(
+        "score", F.col("score_micro").cast("double") / F.lit(float(_SCALE))
+    )
