@@ -1,0 +1,286 @@
+"""Streaming heavy hitters: a Misra-Gries summary maintained across
+micro-batches with a bounded, restart-safe parquet store.
+
+The Misra-Gries frequent-items summary (Misra & Gries 1982; merge rule
+from Agarwal et al. 2012, "Mergeable Summaries", PODS) keeps at most C
+(key, count) entries.  Merging exact micro-batch counts into the summary
+and re-compacting preserves the classic guarantee: after total decrement
+D (the sum of per-compaction offsets d), every key's true stream count N
+satisfies  cnt <= N <= cnt + D  for keys in the summary, and any key
+ABSENT from the summary has N <= D.  With capacity >= the stream's
+distinct-key cardinality, D stays 0 and the summary is EXACT — the
+configuration the (future) catalog gate runs, so the operator is
+value-exact-checkable against a plain GROUP BY oracle while the small-C
+approximate path is covered by the bound tests.
+
+Everything is integer arithmetic and deterministic: compaction picks d =
+the (C+1)-th largest count under the total order (cnt DESC, key ASC) via
+TakeOrdered(C+1) — never a global sort — keeps entries with cnt > d at
+cnt - d, and both d and the running total D ride the plan as 1-row
+broadcast scalar stitches (no driver collect anywhere in the batch
+step).
+
+Store layout under ``store_dir`` (the first-seen-dedup conventions,
+streaming/neardup.py):
+  - ``summary/batch=N``: the full compacted summary as of batch N
+    (cumulative state, so only the LATEST prior partition is read);
+  - ``meta/batch=N``: one row (d_total) — kept separate from the summary
+    so the bound survives even a compaction that empties the summary.
+Writes are batch-id-keyed with overwrite (idempotent retries), and reads
+filter ``batch < batch_id`` so a retried batch sees exactly the state
+its first attempt saw (the ADVICE-r6 retry-safety contract).
+
+Scale shape (100 TB/day stream): per micro-batch ONE exact hash agg over
+the batch (map-side combine), one union with the <= C-row prior summary,
+one TakeOrdered(C+1), and two C-bounded writes.  State is C rows total —
+independent of stream length — and the summary is mergeable across
+independent streams by construction (union the summaries, sum d_totals,
+re-compact).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "mg_batch_step",
+    "heavy_hitters_stream",
+    "current_heavy_hitters",
+    "replay_heavy_hitters",
+]
+
+SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("batch", T.IntegerType()),
+    ]
+)
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("d_total", T.LongType()),
+        T.StructField("batch", T.IntegerType()),
+    ]
+)
+
+
+def mg_batch_step(
+    batch_df: DataFrame,
+    prev_summary: DataFrame | None,
+    prev_meta: DataFrame | None,
+    key_col: str = "key",
+    capacity: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """One Misra-Gries merge+compact step as a pure batch computation
+    (unit-testable without a stream).
+
+    Returns ``(summary, meta)``: the new <= capacity-row (key, cnt)
+    summary and the 1-row (d_total) running decrement.  Both are lazy
+    plans; the d scalar attaches via broadcast stitches, so the step adds
+    NO driver action.
+
+    Compaction: with the merged counts totally ordered by (cnt DESC, key),
+    d = the (capacity+1)-th count (0 when fewer rows exist); survivors
+    are entries with cnt > d, stored at cnt - d.  Rows outside the
+    TakeOrdered(capacity+1) frontier have cnt <= d under the same order,
+    so filtering within the frontier is equivalent to filtering the full
+    merged frame — the whole compaction touches capacity+1 rows."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    counts = batch_df.groupBy(
+        F.col(key_col).cast("string").alias("key")  # store schema is string
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    if prev_summary is not None:
+        counts = (
+            counts.unionByName(prev_summary.select("key", "cnt"))
+            .groupBy("key")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key")).limit(capacity + 1)
+    d_row = top.agg(
+        F.coalesce(
+            F.when(
+                F.count(F.lit(1)) >= capacity + 1, F.min("cnt")
+            ).otherwise(F.lit(0)),
+            F.lit(0),  # empty frame: min() is NULL
+        )
+        .cast("long")
+        .alias("d")
+    )
+    summary = (
+        top.crossJoin(F.broadcast(d_row))
+        .filter(F.col("cnt") > F.col("d"))
+        .select("key", (F.col("cnt") - F.col("d")).alias("cnt"))
+    )
+    if prev_meta is not None:
+        prev_d = prev_meta.agg(
+            F.coalesce(F.max("d_total"), F.lit(0)).cast("long").alias("prev_d")
+        )
+    else:
+        prev_d = batch_df.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("prev_d")
+        )
+    meta = prev_d.crossJoin(F.broadcast(d_row)).select(
+        (F.col("prev_d") + F.col("d")).alias("d_total")
+    )
+    return summary, meta
+
+
+def _read_prior(
+    spark: SparkSession, path: str, schema: T.StructType, before_batch: int
+) -> DataFrame | None:
+    """The LATEST ``batch=N`` partition strictly before ``before_batch``
+    (state is cumulative, older partitions are history).  The max-batch
+    selection is an in-plan self-join on the 1-row agg — no collect."""
+    try:
+        df = (
+            spark.read.schema(schema)
+            .option("basePath", path)
+            .parquet(path)
+            .filter(F.col("batch") < F.lit(int(before_batch)))
+        )
+    except Exception:
+        return None
+    latest = df.agg(F.max("batch").alias("batch"))
+    return df.join(F.broadcast(latest), "batch").drop("batch")
+
+
+def _process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    key_col: str,
+    capacity: int,
+) -> None:
+    """One foreachBatch invocation (module-level so retry semantics are
+    unit-testable; same contract as neardup._first_seen_process_batch:
+    reads see only batches < batch_id, writes are overwrite-idempotent)."""
+    spark = batch_df.sparkSession
+    sum_dir = os.path.join(store_dir, "summary")
+    meta_dir = os.path.join(store_dir, "meta")
+    prev_summary = _read_prior(spark, sum_dir, SUMMARY_SCHEMA, batch_id)
+    prev_meta = _read_prior(spark, meta_dir, META_SCHEMA, batch_id)
+    summary, meta = mg_batch_step(
+        batch_df, prev_summary, prev_meta, key_col, capacity
+    )
+    # the summary plan feeds one write; meta's d rides the same TakeOrdered
+    # but its own write re-runs it — both frames are <= capacity+1 rows
+    summary.write.mode("overwrite").parquet(
+        os.path.join(sum_dir, f"batch={batch_id}")
+    )
+    meta.write.mode("overwrite").parquet(
+        os.path.join(meta_dir, f"batch={batch_id}")
+    )
+
+
+def heavy_hitters_stream(
+    stream: DataFrame,
+    store_dir: str,
+    key_col: str = "key",
+    capacity: int = 64,
+):
+    """Attach the Misra-Gries summary to a streaming frame.  Returns a
+    configured ``DataStreamWriter`` (caller adds trigger/checkpoint and
+    ``.start()``s it).  Pair a store with exactly one checkpoint lineage
+    (the neardup store-reuse contract)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _process_batch(batch_df, batch_id, store_dir, key_col, capacity)
+
+    return stream.writeStream.foreachBatch(_process).outputMode("update")
+
+
+def current_heavy_hitters(
+    spark: SparkSession, store_dir: str, k: int | None = None
+) -> DataFrame:
+    """(key, cnt_lower, cnt_upper): the current summary with its MG
+    bounds — true count in [cnt_lower, cnt_upper], any absent key's true
+    count <= the store's d_total.  ``k`` keeps the top-k by lower bound
+    (ties by key); None returns the whole summary."""
+    summary = _read_prior(
+        spark, os.path.join(store_dir, "summary"), SUMMARY_SCHEMA, 2**31 - 1
+    )
+    meta = _read_prior(
+        spark, os.path.join(store_dir, "meta"), META_SCHEMA, 2**31 - 1
+    )
+    if summary is None or meta is None:
+        return spark.createDataFrame(
+            [], "key string, cnt_lower bigint, cnt_upper bigint"
+        )
+    d = meta.agg(F.coalesce(F.max("d_total"), F.lit(0)).alias("d_total"))
+    out = summary.crossJoin(F.broadcast(d)).select(
+        "key",
+        F.col("cnt").alias("cnt_lower"),
+        (F.col("cnt") + F.col("d_total")).alias("cnt_upper"),
+    )
+    if k is not None:
+        out = out.orderBy(F.col("cnt_lower").desc(), F.col("key")).limit(k)
+    return out
+
+
+def replay_heavy_hitters(
+    spark: SparkSession,
+    df: DataFrame,
+    key_col: str,
+    capacity: int = 64,
+    num_batches: int = 1,
+    order_col: str | None = None,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Replay a batch frame through the streaming summary (real
+    micro-batch engine: staged parquet source, foreachBatch sink,
+    availableNow trigger) and return current_heavy_hitters of the final
+    store.  ``num_batches>1`` splits the input into single-file
+    micro-batches in ``order_col`` order (mtime-restamped part files, the
+    replay_first_seen_dedup device) for a deterministic arrival order."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    order_col = order_col or key_col
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_heavyhitters_")
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        src = os.path.join(tmp, "src")
+        ckpt = os.path.join(tmp, "ckpt")
+        store = os.path.join(tmp, "store")
+        if num_batches <= 1:
+            df.coalesce(8).write.parquet(src)
+        else:
+            df.repartitionByRange(
+                num_batches, F.col(order_col)
+            ).sortWithinPartitions(order_col).write.parquet(src)
+            base = _time.time() - 3600
+            parts = sorted(
+                f
+                for f in os.listdir(src)
+                if f.startswith("part-") and not f.endswith(".crc")
+            )
+            for i, fname in enumerate(parts):
+                os.utime(os.path.join(src, fname), (base + i, base + i))
+        reader = spark.readStream.schema(df.schema)
+        if num_batches > 1:
+            reader = reader.option("maxFilesPerTrigger", 1).option(
+                "latestFirst", "false"
+            )
+        stream = reader.parquet(src)
+        writer = heavy_hitters_stream(stream, store, key_col, capacity)
+        q = (
+            writer.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        result = current_heavy_hitters(spark, store)
+        # materialize before the store directory disappears
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+        shutil.rmtree(tmp, ignore_errors=True)
