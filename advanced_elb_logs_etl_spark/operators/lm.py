@@ -129,6 +129,8 @@ def train_bigram_lm(
     a vocab CTE `ORDER BY wc DESC, cur LIMIT top_v`, then
     round(ln(...) * 1e6)::BIGINT per model row.
     """
+    if top_v < 1:
+        raise ValueError(f"top_v must be >= 1, got {top_v}")
     trans = transition_rows(target_df, id_col, text_col)
     # Vocabulary: top_v predicted words by count, deterministic tie-break.
     # orderBy().limit() compiles to TakeOrdered (never a global sort or a

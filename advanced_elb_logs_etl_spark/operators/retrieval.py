@@ -22,13 +22,17 @@ integer sums (the repo's standard discipline: float ops happen a bounded
 number of times on identical operands in an identical tree shape; the
 order-varying aggregation runs on integers).
 
-Scale shape (100 TB): the ONLY corpus-wide work is one token explode
-filtered to the query's terms — a broadcast IN-list the scan pushes down
-to a tiny fraction of the token stream — then one (doc, term) hash agg,
-one broadcast join against the <= |q|-row idf table, one per-doc agg, and
-TakeOrdered(k).  Document lengths ride the same pass (size(tokens), no
-second scan).  avgdl and N attach as 1-row broadcast scalar stitches.
-No collect, no unbounded state.
+Scale shape (100 TB): the per-query work is one token explode filtered
+to the query's terms — a broadcast IN-list the scan pushes down to a
+tiny fraction of the token stream — then one (doc, term) hash agg, one
+broadcast join against the <= |q|-row idf table, one per-doc agg, and
+TakeOrdered(k).  Matching documents carry their length in the same
+projection as the explode; the corpus-wide scalars (N, avgdl) need one
+additional NARROW pass (scan -> size -> 1-row agg) because absent
+documents still shape avgdl — a production index computes that pair
+once per corpus and passes it in (the ``corpus_stats`` parameter), so
+the per-query cost is the filtered explode alone.  avgdl and N attach
+as 1-row broadcast scalar stitches.  No collect, no unbounded state.
 
 Reference-parity note: the reference pipeline has no retrieval operator;
 this extends the curation/search surface alongside similarity.py (ANN)
@@ -42,7 +46,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import tokens
 
-__all__ = ["doc_term_stats", "bm25_topk"]
+__all__ = ["doc_term_stats", "corpus_length_stats", "bm25_topk"]
 
 #: Integer contribution scale: micro-units.
 _SCALE = 1_000_000
@@ -72,6 +76,15 @@ def doc_term_stats(
     )
 
 
+def corpus_length_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """1-row (n_docs, dl_sum) corpus statistics — compute once per corpus
+    (persist or collect-free reuse) and pass to ``bm25_topk`` for every
+    query against it."""
+    return df.select(F.size(tokens(F.col(text_col))).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],
@@ -80,6 +93,7 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corpus_stats: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_hit_terms, score_micro, score): the k highest-BM25 documents
     for the bag of query terms, ties by id (TakeOrdered, never a global
@@ -88,17 +102,30 @@ def bm25_topk(
 
     Duplicate query terms are deduplicated (set semantics, the standard
     bag-of-words form); documents matching no term are absent (score 0).
+
+    ``corpus_stats``: optional precomputed 1-row (n_docs, dl_sum) frame —
+    pass it when scoring many queries against one corpus so the
+    corpus-wide length pass runs once, not per query.
     """
     terms = sorted(set(query_terms))
+    if not terms:
+        return df.sparkSession.createDataFrame(
+            [],
+            f"{id_col} bigint, n_hit_terms bigint, score_micro bigint, "
+            "score double",
+        )
     stats = doc_term_stats(df, terms, id_col, text_col)
     # Corpus scalars: N (all docs) and avgdl over ALL documents — exact
     # integer inputs; avgdl itself stays a (sum, count) integer pair so
     # the per-row division happens inside the snapped contribution.
-    toks_len = df.select(F.size(tokens(F.col(text_col))).alias("dl"))
-    corpus = toks_len.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("dl_sum"),
-    )
+    if corpus_stats is None:
+        toks_len = df.select(F.size(tokens(F.col(text_col))).alias("dl"))
+        corpus = toks_len.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("dl_sum"),
+        )
+    else:
+        corpus = corpus_stats.select("n_docs", "dl_sum")
     # Document frequency per query term (<= |q| rows after the agg).
     dfreq = stats.groupBy("term").agg(
         F.countDistinct(id_col).alias("df")

@@ -183,6 +183,15 @@ FRONT_OF_CATALOG: list[str] = [
     #     CCNet-style fluency selection; twin template in tests/test_lm.py)
     #   - pq_adc_topk (operators/pq.py: product-quantization codebooks +
     #     asymmetric-distance search; integer-exact, tests/test_pq.py)
+    #   - bm25_topk (operators/retrieval.py: BM25 lexical retrieval;
+    #     twin in tests/test_retrieval.py)
+    #   - stream_heavy_hitters (streaming/heavyhitters.py: Misra-Gries
+    #     summary, exact at capacity >= cardinality — the gate regime)
+    #   - stream_latency_histogram (streaming/histogram.py: log-bucketed
+    #     mergeable histogram, exact counts at any setting)
+    # If a future window can absorb more than one addition while staying
+    # freeze-compliant (all slots driver-checked), prefer registering two
+    # of these per round over widening the catalog with new builds.
 ]
 
 

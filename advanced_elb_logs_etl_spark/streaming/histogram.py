@@ -202,6 +202,9 @@ def quantile_estimates(
     relative error <= 1/S.  Integer-exact given the stored counts; the
     rank targets use exact integer ceil((q_num * n) / q_den) with q
     passed as micro-fractions to avoid float rank boundaries."""
+    bad = [q for q in qs if not (0.0 < q <= 1.0)]
+    if bad:
+        raise ValueError(f"quantiles must be in (0, 1], got {bad}")
     counts = _read_prior(
         spark, os.path.join(store_dir, "counts"), 2**31 - 1
     )

@@ -168,3 +168,8 @@ def test_select_most_fluent_deterministic_topk(spark):
     avgs = [r.avg_nll for r in a]
     assert avgs == sorted(avgs)
     assert a[0].doc_id in (10, 11)  # the reference-like docs lead
+
+
+def test_top_v_guard(spark):
+    with pytest.raises(ValueError):
+        lm.train_bigram_lm(_docs(spark, REF_ROWS), top_v=0)

@@ -129,3 +129,15 @@ def test_bm25_matches_duckdb_twin(spark):
         for r in retrieval.bm25_topk(_docs(spark), QUERY, k=10).collect()
     ]
     assert got == [tuple(w) for w in want]
+
+
+def test_bm25_empty_query_and_shared_corpus_stats(spark):
+    docs = _docs(spark)
+    empty = retrieval.bm25_topk(docs, [], k=5)
+    assert empty.collect() == []
+    assert empty.columns == ["doc_id", "n_hit_terms", "score_micro", "score"]
+    # precomputed corpus stats must not change a single value
+    cs = retrieval.corpus_length_stats(docs)
+    a = retrieval.bm25_topk(docs, QUERY, k=10).collect()
+    b = retrieval.bm25_topk(docs, QUERY, k=10, corpus_stats=cs).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

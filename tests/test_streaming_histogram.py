@@ -125,3 +125,10 @@ def test_replay_equals_single_pass(spark):
 def test_subbucket_power_of_two_guard(spark):
     with pytest.raises(ValueError):
         hg.bucket_of(F.lit(5), 6)
+
+
+def test_quantile_range_guard(spark):
+    with tempfile.TemporaryDirectory(prefix="sparkgraft_hist_") as store:
+        hg._process_batch(_vals(spark, [1, 2]), 0, store, "value", S)
+        with pytest.raises(ValueError):
+            hg.quantile_estimates(spark, store, [0.5, 1.5], S)
