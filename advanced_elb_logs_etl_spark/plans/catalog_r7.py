@@ -177,68 +177,7 @@ def q_classifier_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# QUEUED for the r8 reserved window slot (NOT registered this round — the
-# freeze discipline allows additions only in-window, and the r7 window is
-# full).  The operator (operators/rules.py) and its tests shipped in r7;
-# this oracle was validated value-for-value against rule_filter_battery on
-# all 500 sf0.01 documents this session.  r8 registration is:
-#   @register("gopher_rules_battery", _RULES_ORACLE_QUEUED_R8)
-#   def q_gopher_rules_battery(spark, sf_dir):
-#       return rules.rule_filter_battery(_t(spark, sf_dir, "documents"))
+# The rule-filter battery queued here through r7 registered in its r8
+# window slot: see plans/catalog_r8.py (`gopher_rules_battery`), which
+# carries the oracle twin validated in the r7 session.
 # ---------------------------------------------------------------------------
-
-_RULES_ORACLE_QUEUED_R8 = r"""
-WITH base AS (
-  SELECT doc_id, text,
-         regexp_split_to_array(trim(text), '\s+') AS toks,
-         string_split(text, chr(10)) AS lines
-  FROM documents
-), m AS (
-  SELECT doc_id, text, toks, lines,
-         len(toks) AS n_words,
-         CASE WHEN len(toks) > 0 THEN
-           list_sum(list_transform(toks, t -> strlen(t)))::DOUBLE
-             / len(toks)::DOUBLE ELSE 0.0 END AS mean_len,
-         (strlen(text) - strlen(replace(text, '#', ''))) +
-           (len(string_split(text, '...')) - 1) AS n_symbols,
-         len(lines) AS n_lines,
-         len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•●]')))
-           AS n_bullet,
-         len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$')))
-           AS n_ell_end,
-         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
-           AS n_alpha,
-         len(list_intersect(list_distinct(list_transform(toks, t -> lower(t))),
-             ['the','be','to','of','and','that','have','with'])) AS n_stop,
-         strlen(regexp_replace(text, '[^.!?]', '', 'g')) AS n_sent,
-         len(list_filter(lines, l -> regexp_matches(l, '[.!?"]\s*$')))
-           AS n_terminal
-  FROM base
-), flags AS (
-  SELECT doc_id,
-    coalesce(n_words BETWEEN 50 AND 100000, FALSE) AS word_count_ok,
-    coalesce(mean_len BETWEEN 3.0 AND 10.0, FALSE) AS mean_word_len_ok,
-    coalesce(CASE WHEN n_words > 0 THEN n_symbols::DOUBLE / n_words::DOUBLE
-                  ELSE 0.0 END <= 0.1, FALSE) AS symbol_ratio_ok,
-    coalesce(CASE WHEN n_lines > 0 THEN n_bullet::DOUBLE / n_lines::DOUBLE
-                  ELSE 0.0 END <= 0.9, FALSE) AS bullet_lines_ok,
-    coalesce(CASE WHEN n_lines > 0 THEN n_ell_end::DOUBLE / n_lines::DOUBLE
-                  ELSE 0.0 END <= 0.3, FALSE) AS ellipsis_lines_ok,
-    coalesce(CASE WHEN n_words > 0 THEN n_alpha::DOUBLE / n_words::DOUBLE
-                  ELSE 0.0 END >= 0.8, FALSE) AS alpha_words_ok,
-    coalesce(n_stop >= 2, FALSE) AS stopwords_ok,
-    coalesce(n_sent, 0)::BIGINT AS n_sentences,
-    coalesce(CASE WHEN n_lines > 0 THEN n_terminal::DOUBLE / n_lines::DOUBLE
-                  ELSE 0.0 END >= 0.5, FALSE) AS terminal_lines_ok,
-    coalesce(n_sent >= 3, FALSE) AS min_sentences_ok,
-    coalesce(NOT contains(lower(text), 'lorem ipsum'), FALSE) AS no_lorem_ipsum,
-    coalesce(NOT contains(text, '{'), FALSE) AS no_curly_brace
-  FROM m
-)
-SELECT *,
-  (word_count_ok AND mean_word_len_ok AND symbol_ratio_ok AND bullet_lines_ok
-   AND ellipsis_lines_ok AND alpha_words_ok AND stopwords_ok) AS gopher_pass,
-  (terminal_lines_ok AND min_sentences_ok AND no_lorem_ipsum
-   AND no_curly_brace) AS c4_pass
-FROM flags
-"""

@@ -1,0 +1,95 @@
+"""Round-8 catalog wave: the Gopher/C4 rule-filter battery — the one
+reserved in-window addition this round (VERDICT r7 item 1; the operator
+and its tests shipped in r7 under the build-now/register-in-window
+freeze discipline, operators/rules.py).
+
+- `gopher_rules_battery` (operators/rules.rule_filter_battery): per-
+  document named-rule audit — every Gopher quality flag (Rae et al.
+  2021 §A1.1), every C4 cleaning signal (Raffel et al. 2020 §2.2), and
+  the two conjunctions — in ONE narrow whole-stage-codegen projection.
+  All ratios are exact integer-count divisions (one IEEE op on identical
+  integer pairs, cross-engine deterministic), so the battery is VALUE-
+  exact against its DuckDB twin.
+
+Same contract as plans.catalog: value-exact DuckDB twins, scale notes on
+every query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import rules
+from .catalog import _t, register
+
+# Validated value-for-value against rule_filter_battery on all 500
+# sf0.01 documents in the r7 session (plans/catalog_r7.py history);
+# re-rehearsed in this round's window before registration.
+_RULES_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id, text, toks, lines,
+         len(toks) AS n_words,
+         CASE WHEN len(toks) > 0 THEN
+           list_sum(list_transform(toks, t -> strlen(t)))::DOUBLE
+             / len(toks)::DOUBLE ELSE 0.0 END AS mean_len,
+         (strlen(text) - strlen(replace(text, '#', ''))) +
+           (len(string_split(text, '...')) - 1) AS n_symbols,
+         len(lines) AS n_lines,
+         len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•●]')))
+           AS n_bullet,
+         len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$')))
+           AS n_ell_end,
+         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+           AS n_alpha,
+         len(list_intersect(list_distinct(list_transform(toks, t -> lower(t))),
+             ['the','be','to','of','and','that','have','with'])) AS n_stop,
+         strlen(regexp_replace(text, '[^.!?]', '', 'g')) AS n_sent,
+         len(list_filter(lines, l -> regexp_matches(l, '[.!?"]\s*$')))
+           AS n_terminal
+  FROM base
+), flags AS (
+  SELECT doc_id,
+    coalesce(n_words BETWEEN 50 AND 100000, FALSE) AS word_count_ok,
+    coalesce(mean_len BETWEEN 3.0 AND 10.0, FALSE) AS mean_word_len_ok,
+    coalesce(CASE WHEN n_words > 0 THEN n_symbols::DOUBLE / n_words::DOUBLE
+                  ELSE 0.0 END <= 0.1, FALSE) AS symbol_ratio_ok,
+    coalesce(CASE WHEN n_lines > 0 THEN n_bullet::DOUBLE / n_lines::DOUBLE
+                  ELSE 0.0 END <= 0.9, FALSE) AS bullet_lines_ok,
+    coalesce(CASE WHEN n_lines > 0 THEN n_ell_end::DOUBLE / n_lines::DOUBLE
+                  ELSE 0.0 END <= 0.3, FALSE) AS ellipsis_lines_ok,
+    coalesce(CASE WHEN n_words > 0 THEN n_alpha::DOUBLE / n_words::DOUBLE
+                  ELSE 0.0 END >= 0.8, FALSE) AS alpha_words_ok,
+    coalesce(n_stop >= 2, FALSE) AS stopwords_ok,
+    coalesce(n_sent, 0)::BIGINT AS n_sentences,
+    coalesce(CASE WHEN n_lines > 0 THEN n_terminal::DOUBLE / n_lines::DOUBLE
+                  ELSE 0.0 END >= 0.5, FALSE) AS terminal_lines_ok,
+    coalesce(n_sent >= 3, FALSE) AS min_sentences_ok,
+    coalesce(NOT contains(lower(text), 'lorem ipsum'), FALSE) AS no_lorem_ipsum,
+    coalesce(NOT contains(text, '{'), FALSE) AS no_curly_brace
+  FROM m
+)
+SELECT *,
+  (word_count_ok AND mean_word_len_ok AND symbol_ratio_ok AND bullet_lines_ok
+   AND ellipsis_lines_ok AND alpha_words_ok AND stopwords_ok) AS gopher_pass,
+  (terminal_lines_ok AND min_sentences_ok AND no_lorem_ipsum
+   AND no_curly_brace) AS c4_pass
+FROM flags
+"""
+
+
+@register("gopher_rules_battery", _RULES_ORACLE)
+def q_gopher_rules_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher + C4 rule audit over the documents table: one
+    boolean per named rule plus the two conjunctions, so a curation
+    pipeline can see exactly which rule removed each document.
+
+    Scale shape: ONE narrow projection (doc_id, text in; 15 columns
+    out), pure Column math — no UDF, no shuffle, no state; line- and
+    word-level rules fold over split arrays per row.  Trivially
+    partition-parallel at 100 TB; output row count equals input."""
+    return rules.rule_filter_battery(_t(spark, sf_dir, "documents"))
