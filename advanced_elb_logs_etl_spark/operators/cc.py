@@ -20,7 +20,11 @@ Both operators produce the identical labeling — (doc_id, component)
 with component = the smallest doc id reachable through dup edges — so
 ``alternating_components`` is a drop-in for ``neardup_components``
 everywhere (same SQL twin: the recursive-CTE min-reachable-label
-closure; rehearsed in tests/test_cc.py ahead of its catalog window).
+closure).  tests/test_cc.py pins the parity (five graph shapes + a
+seeded union-find differential), the 120-link-chain round advantage,
+and the twin rehearsal; the catalog registration is queued for the r9
+reserved window slot (plans/catalog_r8.py sketch — it reuses the
+neardup_components oracle verbatim, rehearsed hash-green at sf0.01).
 
 Round structure (all pure DataFrame ops, no UDF):
 

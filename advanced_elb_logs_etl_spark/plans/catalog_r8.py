@@ -82,6 +82,26 @@ FROM flags
 """
 
 
+# ---------------------------------------------------------------------------
+# QUEUED for the r9 reserved window slot (NOT registered this round — the
+# freeze discipline allows additions only in-window, and the r8 window is
+# full).  operators/cc.py (alternating large/small-star connected
+# components, the O(log n)-round drop-in for dedup.neardup_components) is
+# pytest-pinned in tests/test_cc.py (labeling parity on five graph shapes,
+# the 120-link-chain round advantage, a union-find differential, and a
+# recursive-CTE twin rehearsal).  Because it is a drop-in, the r9
+# registration reuses the EXACT neardup_components oracle:
+#   from ..operators import cc
+#   from .catalog_llm import _COMPONENTS_ORACLE, _hashed_docs
+#   @register("alternating_components", _COMPONENTS_ORACLE)
+#   def q_alternating_components(spark, sf_dir):
+#       docs = _t(spark, sf_dir, "documents")
+#       pairs = dedup.minhash_neardup_pairs(docs, hashed=_hashed_docs(spark, sf_dir))
+#       return cc.alternating_components(pairs)
+# Rehearsed hash-green against that oracle at sf0.01 in this r8 session.
+# ---------------------------------------------------------------------------
+
+
 @register("gopher_rules_battery", _RULES_ORACLE)
 def q_gopher_rules_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher + C4 rule audit over the documents table: one
