@@ -17,7 +17,7 @@ from ..operators import dedup, multimodal, similarity, text
 from ..operators.curation import DECONTAM_N
 from ..functions.hashing import MINHASH_P, _minhash_coefficients
 from ..operators.dedup import NUM_BANDS, NUM_HASHES, ROWS_PER_BAND, SIMHASH_BITS
-from .catalog import _t, register
+from .catalog import _t, register, register_production
 
 # Materialized intermediate shared by the LSH-family queries (minhash
 # signatures / near-dup pairs / corpus dedup): the per-shingle md5 pass over
@@ -417,6 +417,21 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ok"),
         )
     )
+
+
+@register_production("ivf_cosine_topk")
+def q_ivf_cosine_topk_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a user actually runs: centroid refinement + the IVF search
+    alone — no brute-force ground truth, no recall semi-join (those are
+    the quarantined gate lane the catalog entry keeps for the driver's
+    recall-bound hash; benching the gate form recorded a 2.9x
+    "regression" that was really verification cost, VERDICT r7 item 3)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    refined = similarity.refine_centroids(
+        emb, emb.filter(F.col("vec_id") < 16), iterations=2
+    )
+    return similarity.ivf_topk(emb, queries, centroids=refined, k=5, nprobe=2)
 
 
 # ---------------------------------------------------------------------------

@@ -20,7 +20,12 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-from advanced_elb_logs_etl_spark.plans.catalog import CATALOG  # noqa: E402
+# importing plans.catalog initializes the plans package, which registers
+# every catalog_* wave into CATALOG and PRODUCTION_FORMS
+from advanced_elb_logs_etl_spark.plans.catalog import (  # noqa: E402
+    CATALOG,
+    PRODUCTION_FORMS,
+)
 from advanced_elb_logs_etl_spark.session import get_spark  # noqa: E402
 
 # Queries that return O(input) rows are materialized with a noop-style action
@@ -88,8 +93,13 @@ def main() -> None:
         release_deferred_caches,
     )
 
-    def _run(name: str) -> float:
-        fn = CATALOG[name][0]
+    def _run(name: str, fn=None) -> float:
+        # Gate-shaped entries (PRODUCTION_FORMS) are benched in their
+        # production form under the catalog name; the gate form gets its
+        # own `<name>_gate` row OUTSIDE the headline total (VERDICT r7
+        # item 3 — ground-truth-verification cost is not a regression).
+        if fn is None:
+            fn = PRODUCTION_FORMS.get(name) or CATALOG[name][0]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         if name in _WIDE_OUTPUT:
@@ -103,9 +113,19 @@ def main() -> None:
         release_deferred_caches()
         return elapsed
 
+    load_start = os.getloadavg()
     timings: dict[str, float] = {}
     for name in CATALOG:
         timings[name] = _run(name)
+
+    # Gate forms of the production-benched entries, timed separately so
+    # the record keeps BOTH numbers (headline = production, gate = the
+    # CORRECTNESS adjudication query with its ground-truth lanes).
+    gate_forms = {
+        f"{name}_gate": _run(name, fn=CATALOG[name][0])
+        for name in PRODUCTION_FORMS
+        if name in CATALOG
+    }
 
     # Shared-state clusters (VERDICT r4 item 3): queries sharing a persisted
     # frame trade cache-build attribution in the in-sequence pass, so their
@@ -171,18 +191,36 @@ def main() -> None:
     # every round so the record carries both numbers.
     adjudicated_warm = {
         name: _run(name)
-        for name in ("shipping_priority_q3", "ntile_latency_buckets")
+        for name in (
+            "shipping_priority_q3",
+            "ntile_latency_buckets",
+            "null_coding_cast",
+        )
         if name in CATALOG
     }
 
     total = round(sum(timings.values()), 3)
+    load_end = os.getloadavg()
+    # Run-condition attribution (VERDICT r7 item 4): the r7 record showed
+    # a uniform ~1.3x driver-vs-session delta with no plan change — the
+    # suspected cause was box load, but nothing on the record could show
+    # it.  Load averages bracket the run; `timings` key order IS the
+    # execution order (one in-sequence pass over the catalog).
+    run_conditions = {
+        "load_avg_start": [round(x, 2) for x in load_start],
+        "load_avg_end": [round(x, 2) for x in load_end],
+        "ordering": "in-sequence; timings key order = execution order",
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
     full = {
         "metric": "catalog_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "gate_forms": gate_forms,
         "clusters": clusters,
         "isolated_warm": adjudicated_warm,
+        "run_conditions": run_conditions,
         "sf": sf,
     }
     # Full per-query record -> a file (tools/bench_compare.py and
@@ -210,6 +248,8 @@ def main() -> None:
                     c: v["cache_build"] for c, v in clusters.items()
                 },
                 "isolated_warm": adjudicated_warm,
+                "gate_forms": gate_forms,
+                "load_avg": run_conditions["load_avg_start"],
                 "sf": sf,
                 "full_record": "bench_full_latest.json",
             },
