@@ -72,16 +72,18 @@ def transition_rows(
 ) -> DataFrame:
     """(id, prev, cur) bigram transitions WITH multiplicity, one row per
     token of every document, with a BOS marker so the first real token is
-    conditioned on document start.  Empty/whitespace text still emits its
-    single (BOS, '') transition — deterministic in both engines, scored
-    through the unknown-word floor.
+    conditioned on document start.  Empty/whitespace — and NULL — text
+    still emits its single (BOS, '') transition (null coalesces to ''
+    first, so no document silently drops out of the scored output —
+    ADVICE r7), deterministic in both engines, scored through the
+    unknown-word floor.
 
-    SQL twin (DuckDB), with toks = regexp_split_to_array(trim(text),
-    '\\s+') and padded = list_prepend('<s>', toks):
+    SQL twin (DuckDB), with toks = regexp_split_to_array(trim(
+    coalesce(text, '')), '\\s+') and padded = list_prepend('<s>', toks):
       SELECT doc_id, padded[i] AS prev, padded[i+1] AS cur
       FROM t, UNNEST(generate_series(1, len(padded)-1)) AS u(i)
     """
-    toks = tokens(F.col(text_col))
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
 
     def _body(tk):  # bound-variable trick: evaluate `tokens` once per row
         padded = F.concat(F.array(F.lit(BOS)), tk)
@@ -200,7 +202,10 @@ def doc_nll(
     text_col: str = "text",
 ) -> DataFrame:
     """(id, n_transitions, nll_micro, avg_nll): per-document negative
-    log-likelihood under the stupid-backoff model.  nll_micro is the
+    log-likelihood under the stupid-backoff model.  Every input document
+    appears in the output: empty, whitespace, and NULL text all score
+    through the single (BOS, '') unknown-word hop (transition_rows
+    coalesces null to '' — no silent drops).  nll_micro is the
     exact integer sum of per-transition scores; avg_nll = nll_micro /
     n_transitions / 1e6 (one IEEE division on an identical integer pair —
     monotone with perplexity exp(avg_nll), which is deliberately NOT

@@ -169,12 +169,18 @@ def _process_batch(
         batch_df, prev_summary, prev_meta, key_col, capacity
     )
     # the summary plan feeds one write; meta's d rides the same TakeOrdered
-    # but its own write re-runs it — both frames are <= capacity+1 rows
-    summary.write.mode("overwrite").parquet(
-        os.path.join(sum_dir, f"batch={batch_id}")
-    )
+    # but its own write re-runs it — both frames are <= capacity+1 rows.
+    # meta is written FIRST: the two writes are not atomic, and a reader
+    # pairing a batch-N summary with a batch-N-1 d_total would UNDERSTATE
+    # cnt_upper (bound violation), while meta-N with summary-N-1 merely
+    # overstates D — bound-safe.  current_heavy_hitters additionally reads
+    # both stores at one consistent max-batch cut, so the gap state is
+    # never paired at all.
     meta.write.mode("overwrite").parquet(
         os.path.join(meta_dir, f"batch={batch_id}")
+    )
+    summary.write.mode("overwrite").parquet(
+        os.path.join(sum_dir, f"batch={batch_id}")
     )
 
 
@@ -202,16 +208,33 @@ def current_heavy_hitters(
     bounds — true count in [cnt_lower, cnt_upper], any absent key's true
     count <= the store's d_total.  ``k`` keeps the top-k by lower bound
     (ties by key); None returns the whole summary."""
-    summary = _read_prior(
-        spark, os.path.join(store_dir, "summary"), SUMMARY_SCHEMA, 2**31 - 1
-    )
-    meta = _read_prior(
-        spark, os.path.join(store_dir, "meta"), META_SCHEMA, 2**31 - 1
-    )
-    if summary is None or meta is None:
+    # Read BOTH stores at one consistent cut: the largest batch present
+    # in summary AND meta.  The two per-batch writes are not atomic, so
+    # each store's individual latest can differ by one mid-write (or
+    # after a crash between writes) — pairing across batches could
+    # understate cnt_upper (ADVICE r7).
+    try:
+        s = (
+            spark.read.schema(SUMMARY_SCHEMA)
+            .option("basePath", os.path.join(store_dir, "summary"))
+            .parquet(os.path.join(store_dir, "summary"))
+        )
+        m = (
+            spark.read.schema(META_SCHEMA)
+            .option("basePath", os.path.join(store_dir, "meta"))
+            .parquet(os.path.join(store_dir, "meta"))
+        )
+    except Exception:
         return spark.createDataFrame(
             [], "key string, cnt_lower bigint, cnt_upper bigint"
         )
+    cut = (
+        s.select("batch")
+        .intersect(m.select("batch"))
+        .agg(F.max("batch").alias("batch"))
+    )
+    summary = s.join(F.broadcast(cut), "batch").drop("batch")
+    meta = m.join(F.broadcast(cut), "batch").drop("batch")
     d = meta.agg(F.coalesce(F.max("d_total"), F.lit(0)).alias("d_total"))
     out = summary.crossJoin(F.broadcast(d)).select(
         "key",
@@ -276,7 +299,12 @@ def replay_heavy_hitters(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"heavy-hitters replay did not drain within {timeout_sec}s "
+                "— refusing to read a partially-populated store"
+            )
         result = current_heavy_hitters(spark, store)
         # materialize before the store directory disappears
         rows = result.collect()

@@ -296,7 +296,12 @@ def replay_histogram(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"histogram replay did not drain within {timeout_sec}s "
+                "— refusing to read a partially-populated store"
+            )
         final = _read_prior(spark, os.path.join(store, "counts"), 2**31 - 1)
         if final is None:
             return spark.createDataFrame([], "bucket bigint, cnt bigint")

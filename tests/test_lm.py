@@ -23,6 +23,7 @@ RAW_ROWS = [
     (12, "zx qv plorp"),              # pure OOV garbage
     (13, "the cat flew over zz"),     # mixed: bigram + backoff + unk
     (14, "   "),                      # whitespace -> one ('<s>','') unk hop
+    (15, None),                       # null -> scored like empty (ADVICE r7)
 ]
 
 
@@ -30,7 +31,8 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id bigint, text string")
 
 
-def _transitions_py(text: str) -> list[tuple[str, str]]:
+def _transitions_py(text: str | None) -> list[tuple[str, str]]:
+    text = text or ""
     padded = [lm.BOS] + text.strip().split()
     if text.strip() == "":
         padded = [lm.BOS, ""]
@@ -53,7 +55,7 @@ WITH ref AS (SELECT * FROM (VALUES {ref}) AS v(doc_id, text)),
 raw AS (SELECT * FROM (VALUES {raw}) AS v(doc_id, text)),
 pad_ref AS (
   SELECT doc_id,
-         list_prepend('<s>', regexp_split_to_array(trim(text), '\\s+')) AS p
+         list_prepend('<s>', regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS p
   FROM ref
 ), t_ref AS (
   SELECT doc_id, p[i] AS prev, p[i + 1] AS cur
@@ -87,7 +89,7 @@ pad_ref AS (
   FROM n_tot, v_size
 ), pad_raw AS (
   SELECT doc_id,
-         list_prepend('<s>', regexp_split_to_array(trim(text), '\\s+')) AS p
+         list_prepend('<s>', regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS p
   FROM raw
 ), t_raw AS (
   SELECT doc_id, p[i] AS prev, p[i + 1] AS cur
@@ -108,7 +110,10 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 
 def _values(rows):
     return ", ".join(
-        "({}, '{}')".format(did, text.replace("'", "''")) for did, text in rows
+        "({}, NULL)".format(did)
+        if text is None
+        else "({}, '{}')".format(did, text.replace("'", "''"))
+        for did, text in rows
     )
 
 

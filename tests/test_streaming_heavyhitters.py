@@ -132,3 +132,34 @@ def test_current_heavy_hitters_empty_store(spark):
 def test_capacity_guard(spark):
     with pytest.raises(ValueError):
         hh.mg_batch_step(_rows(spark, ["a"]), None, None, "key", 0)
+
+
+def test_consistent_cut_on_crash_between_writes(spark):
+    """A crash between the two per-batch writes must never pair a newer
+    summary with an older d_total (that UNDERSTATES cnt_upper — ADVICE
+    r7). The batch step writes meta first, so the crash state is meta at
+    batch N+1 with summary still at N; current_heavy_hitters reads both
+    stores at the max batch present in BOTH and must report exactly the
+    batch-N pairing."""
+    import os
+    import shutil
+
+    with tempfile.TemporaryDirectory(prefix="sparkgraft_hh_") as store:
+        hh._process_batch(_rows(spark, BATCHES[0]), 0, store, "key", 3)
+        at_batch0 = sorted(
+            (r.key, r.cnt_lower, r.cnt_upper)
+            for r in hh.current_heavy_hitters(spark, store).collect()
+        )
+        # simulate batch 1 crashing AFTER the meta write, BEFORE the
+        # summary write: run the full step, then delete summary/batch=1
+        hh._process_batch(_rows(spark, BATCHES[1]), 1, store, "key", 3)
+        shutil.rmtree(os.path.join(store, "summary", "batch=1"))
+        crashed = sorted(
+            (r.key, r.cnt_lower, r.cnt_upper)
+            for r in hh.current_heavy_hitters(spark, store).collect()
+        )
+        assert crashed == at_batch0
+        # the retry completes batch 1 and the cut advances
+        hh._process_batch(_rows(spark, BATCHES[1]), 1, store, "key", 3)
+        final = hh.current_heavy_hitters(spark, store).collect()
+        assert len(final) > 0
