@@ -393,6 +393,7 @@ def embedding_neardup_blocked(
     overlap: int = 1,
     vectorized: bool = True,
     assigned: DataFrame | None = None,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """Scalable embedding near-dup: cluster-blocked pairs instead of all
     pairs. assign_clusters(m=overlap) maps each vector to its top-`overlap`
@@ -403,6 +404,18 @@ def embedding_neardup_blocked(
     synthetic corpus: 0.29 at overlap=1, 0.80 at overlap=3, C=16), centroid
     count C is the cost knob (candidate volume ~ overlap^2/C of the pair
     space per uniform cluster).
+
+    ``max_cluster`` is the degenerate-blocking safety valve (the
+    lsh_candidate_pairs max_bucket discipline): a cluster with more than
+    ``max_cluster`` members is EXEMPT from pair generation — its members
+    emit no candidate pairs at all, bounding the self-join at
+    O(max_cluster^2) per cluster instead of quadratic in the largest
+    cluster (a near-duplicate-saturated corpus collapses into one giant
+    cluster whose pair volume would dominate the job). Kept-set
+    contract for downstream dedup: every member of an exempted cluster
+    SURVIVES (no pairs -> no component -> no victims) — the cap trades
+    recall inside pathological clusters for a hard cost bound, never
+    correctness of what it does emit. None (default) disables the cap.
 
     At 100 TB: materialize `cluster` as a stored partition column; each
     cluster's pair generation is then partition-local. Deterministic end to
@@ -424,6 +437,16 @@ def embedding_neardup_blocked(
     # checkpoint materializes the (id, cluster) rows once instead of running
     # the scoring subtree twice (same reason dedup's CC loop checkpoints).
     ids = assigned.select(F.col(id_col), "cluster").localCheckpoint(eager=True)
+    if max_cluster is not None:
+        # oversized-cluster exemption: the filter list is <= |centroids|
+        # rows, broadcast to an anti-join — no extra shuffle of `ids`
+        oversized = (
+            ids.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_cluster)
+            .select("cluster")
+        )
+        ids = ids.join(F.broadcast(oversized), "cluster", "left_anti")
     cands = (
         ids.select(F.col(id_col).alias("id_a"), "cluster")
         .join(ids.select(F.col(id_col).alias("id_b"), "cluster"), "cluster")
@@ -498,6 +521,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     keep: str = "farthest",
     vectorized: bool = True,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public method): cluster the embedding space with a
@@ -531,6 +555,14 @@ def semantic_dedup(
     never exceeds O(duplicates found).  Misses only cross-cluster dup
     pairs — the paper's own trade; raise the overlap of the blocked-pairs
     call if recall matters more than cost.
+
+    ``max_cluster`` (off by default) bounds the pathological case — a
+    duplicate-saturated corpus collapsing into one giant cluster whose
+    within-cluster pair volume is quadratic: clusters above the cap are
+    exempt from pair generation, so ALL their members survive (the
+    embedding_neardup_blocked kept-set contract; the exemplar pick
+    itself is already skew-proof — one hash aggregation, no
+    per-component window).
     """
     if keep not in ("farthest", "min_id"):
         raise ValueError(f"unknown keep rule {keep!r}")
@@ -555,20 +587,31 @@ def semantic_dedup(
     pairs = embedding_neardup_blocked(
         vectors, centroids, threshold, id_col, vec_col,
         overlap=1, vectorized=vectorized, assigned=assigned,
+        max_cluster=max_cluster,
     )
     comps = neardup_components(pairs)
     grouped = comps.join(
         members.select(F.col(id_col).alias("doc_id"), "cent_sim"), "doc_id"
     )
-    order = (
-        [F.col("cent_sim").asc_nulls_last(), F.col("doc_id")]
-        if keep == "farthest"
-        else [F.col("doc_id")]
-    )
-    w = Window.partitionBy("component").orderBy(*order)
+    # Exemplar pick as ONE hash aggregation (min over a lexicographic
+    # struct), not a window: partitionBy(component) would sort every
+    # component inside one task, and the pathological SemDeDup input —
+    # a giant all-duplicates component — turns that into a single-task
+    # hotspot at scale.  min(struct) partial-aggregates map-side, so a
+    # billion-row component costs the same per-task work as a small one.
+    # Ordering parity with the previous window (cent_sim ASC NULLS LAST,
+    # doc_id ASC): nulls ride as +inf inside the struct.
+    if keep == "farthest":
+        _ord = F.struct(
+            F.coalesce(F.col("cent_sim"), F.lit(float("inf"))).alias("s"),
+            F.col("doc_id").alias("i"),
+        )
+    else:
+        _ord = F.struct(F.col("doc_id").alias("i"))
+    exemplars = grouped.groupBy("component").agg(F.min(_ord).alias("_ex"))
     victims = (
-        grouped.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") > 1)
+        grouped.join(exemplars, "component")
+        .filter(F.col("doc_id") != F.col("_ex").getField("i"))
         .select(F.col("doc_id").alias("_victim"))
     )
     return (

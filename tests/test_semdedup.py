@@ -71,3 +71,20 @@ def test_semantic_dedup_no_pairs_is_identity(spark):
     v, c = _frames(spark)
     kept = semantic_dedup(v, c, threshold=1.0000001)
     assert sorted(r.vec_id for r in kept.collect()) == sorted(t[0] for t in _VECS)
+
+
+def test_max_cluster_cap_exempts_oversized_cluster(spark):
+    """The degenerate-blocking safety valve: with max_cluster below
+    cluster A's size (4 members), A emits no pairs and ALL its members
+    survive — including the {10,11,12} dup group — while cluster B
+    (2 members, under the cap) still dedups normally. The kept-set
+    contract: the cap can only ADD survivors, never remove one."""
+    v, c = _frames(spark)
+    kept = semantic_dedup(v, c, threshold=0.999, max_cluster=3)
+    assert sorted(r.vec_id for r in kept.collect()) == [10, 11, 12, 13, 21, 22]
+    # cap above every cluster size == no cap
+    kept_wide = semantic_dedup(v, c, threshold=0.999, max_cluster=1000)
+    uncapped = semantic_dedup(v, c, threshold=0.999)
+    assert sorted(r.vec_id for r in kept_wide.collect()) == sorted(
+        r.vec_id for r in uncapped.collect()
+    )
