@@ -96,7 +96,12 @@ HEADLINERS = {
                        "probe HINTED ShuffledHashJoin (never sort the wedge stream)",
     "semantic_dedup_corpus": "centroids broadcast into the assignment kernel; candidate "
                              "pairs from a CLUSTER-EQUI self-join (no CartesianProduct); "
-                             "exemplar window partitions by duplicate component",
+                             "exemplar pick is ONE HashAggregate (min struct) — no "
+                             "per-component Window, so giant dup components can't "
+                             "single-task-sort",
+    "gopher_rules_battery": "one narrow whole-stage-codegen Project over (doc_id, text) — "
+                            "15 output columns, zero Exchange operators, line/word rules "
+                            "fold over split arrays in-row",
     "classifier_score_topk": "one evaluate-once n-gram explode; 256-row model joined as "
                              "BroadcastHashJoin; single per-doc HashAggregate; "
                              "TakeOrderedAndProject top-50 (no global Sort)",
