@@ -1254,7 +1254,21 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the whole LSH -> CC -> anti-join DAG executes twice
     # (measured: 7.7 -> 5.9 s warm at sf0.1). Same session-scoped
     # lifecycle stance as the corpus persist above.
-    survivors = dedup.dedup_corpus(corpus).persist()
+    #
+    # Shingle hashing is per-row, so the shared full-corpus hash frame
+    # (_hashed_docs — persisted for the minhash/neardup/dedup queries)
+    # semi-joined to the gated corpus IS with_shingle_hashes(corpus)
+    # value-for-value.  Reuse is OPPORTUNISTIC: when the shared frame is
+    # already warm (the catalog in-sequence regime: 9.0 -> 6.0 s at
+    # sf0.1), ride it; when curate runs standalone, hash the gated
+    # corpus directly — building + persisting the FULL frame just for
+    # this query measured slower (12.5 s) than the inline path.
+    gated_hashes = None
+    if (id(spark.sparkContext), sf_dir) in _HASHED_CACHE:
+        gated_hashes = _hashed_docs(spark, sf_dir).join(
+            corpus.select("doc_id"), "doc_id"
+        )
+    survivors = dedup.dedup_corpus(corpus, hashed=gated_hashes).persist()
     clean = curation.decontaminate(survivors, benchmark, threshold=0.2)
     return (
         survivors.join(

@@ -140,7 +140,10 @@ def main() -> None:
 
     _CLUSTERS = {
         "dedup_shared_shingles": (
-            ["neardup_components", "dedup_corpus", "dedup_keep_best"],
+            # curate_corpus joined in r8: it opportunistically reuses the
+            # shared shingle-hash frame when warm (its in-sequence regime)
+            ["neardup_components", "dedup_corpus", "dedup_keep_best",
+             "curate_corpus"],
             clear_hashed_cache,
         ),
         "graph_shared_edges": (
