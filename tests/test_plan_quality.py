@@ -482,3 +482,19 @@ def test_ewma_is_single_window_block(spark):
     plan = _plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.lower().count("hashpartitioning(event_type") <= 2
+
+
+def test_rules_battery_zero_exchange(spark):
+    """gopher_rules_battery is ONE narrow projection over the scan — any
+    Exchange means a per-document rule started paying a shuffle."""
+    plan = _plan(CATALOG["gopher_rules_battery"][0](spark, SF))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_exemplar_is_aggregated(spark):
+    """The SemDeDup exemplar pick must stay a hash aggregation, never a
+    per-component Window: partitionBy(component) would sort a giant
+    all-duplicates component inside one task (the r8 skew fix)."""
+    plan = _plan(CATALOG["semantic_dedup_corpus"][0](spark, SF))
+    assert "Window" not in plan, plan[:2000]
