@@ -135,3 +135,11 @@ def test_duckdb_twin_rehearsal(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_empty_pair_list(spark):
+    """Zero edges: both operators return an empty labeling frame rather
+    than erroring (the dedup-pipeline no-duplicates case)."""
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert alternating_components(df).collect() == []
+    assert neardup_components(df).collect() == []
