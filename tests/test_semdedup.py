@@ -88,3 +88,46 @@ def test_max_cluster_cap_exempts_oversized_cluster(spark):
     assert sorted(r.vec_id for r in kept_wide.collect()) == sorted(
         r.vec_id for r in uncapped.collect()
     )
+
+
+def test_exemplar_agg_equals_window_form(spark):
+    """The r8 exemplar rewrite (min over a lexicographic struct, nulls
+    as +inf) must pick exactly the row the old window form
+    (cent_sim ASC NULLS LAST, doc_id ASC -> row 1) picked — pinned on a
+    seeded random frame with ties, null cent_sims, and an all-null
+    component."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(88)
+    rows = []
+    for comp in range(20):
+        for _ in range(rng.randint(1, 8)):
+            sim = rng.choice([None, round(rng.uniform(-1, 1), 2),
+                              round(rng.uniform(-1, 1), 2), 0.5])
+            rows.append((rng.randrange(10_000), comp, sim))
+    rows += [(10001, 99, None), (10002, 99, None)]  # all-null component
+    df = spark.createDataFrame(
+        rows, "doc_id long, component long, cent_sim double"
+    ).dropDuplicates(["doc_id"])
+
+    w = Window.partitionBy("component").orderBy(
+        F.col("cent_sim").asc_nulls_last(), F.col("doc_id")
+    )
+    from pyspark.sql.functions import row_number
+    want = {
+        r.component: r.doc_id
+        for r in df.withColumn("_rn", row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    _ord = F.struct(
+        F.coalesce(F.col("cent_sim"), F.lit(float("inf"))).alias("s"),
+        F.col("doc_id").alias("i"),
+    )
+    got = {
+        r.component: r["_ex"].i
+        for r in df.groupBy("component").agg(F.min(_ord).alias("_ex")).collect()
+    }
+    assert got == want
