@@ -83,23 +83,86 @@ FROM flags
 
 
 # ---------------------------------------------------------------------------
-# QUEUED for the r9 reserved window slot (NOT registered this round — the
-# freeze discipline allows additions only in-window, and the r8 window is
-# full).  operators/cc.py (alternating large/small-star connected
-# components, the O(log n)-round drop-in for dedup.neardup_components) is
-# pytest-pinned in tests/test_cc.py (labeling parity on five graph shapes,
-# the 120-link-chain round advantage, a union-find differential, and a
-# recursive-CTE twin rehearsal).  Because it is a drop-in, the r9
-# registration reuses the EXACT neardup_components oracle:
-#   from ..operators import cc
-#   from .catalog_llm import _COMPONENTS_ORACLE, _hashed_docs
-#   @register("alternating_components", _COMPONENTS_ORACLE)
-#   def q_alternating_components(spark, sf_dir):
-#       docs = _t(spark, sf_dir, "documents")
-#       pairs = dedup.minhash_neardup_pairs(docs, hashed=_hashed_docs(spark, sf_dir))
-#       return cc.alternating_components(pairs)
-# Rehearsed hash-green against that oracle at sf0.01 in this r8 session.
+# QUEUED for the r9 window (NOT registered this round — the freeze
+# discipline allows additions only in-window, and the r8 window is full).
+# The recommended r9 move registers BOTH (see the plans/catalog.py queue
+# comment for the displacement rationale):
+#
+# 1. operators/cc.py (alternating large/small-star connected components,
+#    the O(log n)-round drop-in for dedup.neardup_components) is
+#    pytest-pinned in tests/test_cc.py (labeling parity on five graph
+#    shapes, the 120-link-chain round advantage, a union-find
+#    differential, and a recursive-CTE twin rehearsal).  Because it is a
+#    drop-in, the registration reuses the EXACT neardup_components oracle:
+#      from ..operators import cc
+#      from .catalog_llm import _COMPONENTS_ORACLE, _hashed_docs
+#      @register("alternating_components", _COMPONENTS_ORACLE)
+#      def q_alternating_components(spark, sf_dir):
+#          docs = _t(spark, sf_dir, "documents")
+#          pairs = dedup.minhash_neardup_pairs(docs, hashed=_hashed_docs(spark, sf_dir))
+#          return cc.alternating_components(pairs)
+#    Rehearsed hash-green against that oracle at sf0.01 in this r8 session.
+#
+# 2. operators/lm.py (stupid-backoff bigram LM fluency selection): the
+#    TABLE-BOUND oracle below was validated hash-identical (50/50 rows,
+#    value-exact integer micro-nats + the IEEE-identical average) against
+#    the Spark side at sf0.01 on a vanilla session in this r8 session:
+#      @register("lm_perplexity_filter", _LM_ORACLE_QUEUED_R9)
+#      def q_lm_perplexity_filter(spark, sf_dir):
+#          docs = _t(spark, sf_dir, "documents")
+#          model = lm.train_bigram_lm(docs, top_v=_LM_TOP_V)
+#          return lm.select_most_fluent(docs, model, k=_LM_K)
 # ---------------------------------------------------------------------------
+
+_LM_TOP_V = 512
+_LM_K = 50
+
+_LM_ORACLE_QUEUED_R9 = rf"""
+WITH pad AS (
+  SELECT doc_id,
+         list_prepend('<s>', regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS p
+  FROM documents
+), t_ref AS (
+  SELECT doc_id, p[i] AS prev, p[i + 1] AS cur
+  FROM pad, UNNEST(generate_series(1, len(p) - 1)) AS u(i)
+), wc AS (
+  SELECT cur, count(*) AS wc FROM t_ref GROUP BY cur
+), n_tot AS (SELECT count(*) AS n FROM t_ref
+), vocab AS (SELECT cur, wc FROM wc ORDER BY wc DESC, cur LIMIT {_LM_TOP_V}
+), v_size AS (SELECT count(*) AS v FROM vocab
+), word AS (
+  SELECT cur,
+         round((ln(0.4 * (wc + 0.5)) - ln(n + 0.5 * (v + 1))) * 1e6)::BIGINT AS bo_micro
+  FROM vocab, n_tot, v_size
+), ctx AS (
+  SELECT prev, count(*) AS cc FROM t_ref GROUP BY prev
+), bcnt AS (
+  SELECT prev, cur, count(*) AS bc FROM t_ref GROUP BY prev, cur
+), vocab_prev AS (
+  SELECT cur AS prev FROM vocab UNION SELECT '<s>'
+), bigram AS (
+  SELECT b.prev, b.cur, round((ln(b.bc) - ln(c.cc)) * 1e6)::BIGINT AS lp_micro
+  FROM bcnt b
+  JOIN vocab_prev vp ON b.prev = vp.prev
+  JOIN vocab v ON b.cur = v.cur
+  JOIN ctx c ON b.prev = c.prev
+), floor_t AS (
+  SELECT round((ln(0.4 * 0.5) - ln(n + 0.5 * (v + 1))) * 1e6)::BIGINT AS unk_micro
+  FROM n_tot, v_size
+), scored AS (
+  SELECT t.doc_id, coalesce(bg.lp_micro, w.bo_micro, f.unk_micro) AS s
+  FROM t_ref t
+  LEFT JOIN bigram bg USING (prev, cur)
+  LEFT JOIN word w USING (cur)
+  CROSS JOIN floor_t f
+), agg AS (
+  SELECT doc_id, count(*) AS n_transitions, -sum(s) AS nll_micro,
+         (-sum(s))::DOUBLE / count(*)::DOUBLE / 1e6 AS avg_nll
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_transitions, nll_micro, avg_nll
+FROM agg ORDER BY avg_nll, nll_micro, doc_id LIMIT {_LM_K}
+"""
 
 
 @register("gopher_rules_battery", _RULES_ORACLE)
