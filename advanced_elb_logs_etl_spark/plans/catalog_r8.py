@@ -164,6 +164,51 @@ SELECT doc_id, n_transitions, nll_micro, avg_nll
 FROM agg ORDER BY avg_nll, nll_micro, doc_id LIMIT {_LM_K}
 """
 
+# ---------------------------------------------------------------------------
+# Also pre-validated this session (r10-queue candidate): BM25 retrieval,
+# table-bound at query terms {join, vector, checkpoint, gardenpath} (mixed
+# document frequencies + one absent term), k=50 — hash-identical 50/50 vs
+# operators/retrieval.bm25_topk at sf0.01 (exact integer micro-unit
+# scores; ties broken by id on both sides). Registration:
+#   @register("bm25_topk", _BM25_ORACLE_QUEUED_R10)
+#   def q_bm25_topk(spark, sf_dir):
+#       docs = _t(spark, sf_dir, "documents")
+#       return retrieval.bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["join", "vector", "checkpoint", "gardenpath"]
+_BM25_K = 50
+
+_BM25_ORACLE_QUEUED_R10 = rf"""
+WITH q AS (SELECT * FROM (VALUES {", ".join(f"('{t}')" for t in sorted(set(_BM25_TERMS)))}) AS v(term)),
+tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), stats AS (
+  SELECT doc_id, len(toks) AS dl, t.term, count(*)::BIGINT AS tf
+  FROM tok, UNNEST(toks) AS u(tk) JOIN q t ON u.tk = t.term
+  GROUP BY doc_id, len(toks), t.term
+), corpus AS (
+  SELECT count(*) AS n_docs, sum(len(toks)) AS dl_sum FROM tok
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM stats GROUP BY term
+), idf AS (
+  SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM dfreq, corpus
+), contrib AS (
+  SELECT s.doc_id,
+         round(i.idf * (s.tf * (1.2 + 1))
+               / (s.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl
+                                 / (c.dl_sum::DOUBLE / c.n_docs)))
+               * 1e6)::BIGINT AS c_micro
+  FROM stats s JOIN idf i USING (term), corpus c
+), scored AS (
+  SELECT doc_id, count(*) AS n_hit_terms, sum(c_micro) AS score_micro
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_hit_terms, score_micro, score_micro / 1e6 AS score
+FROM scored ORDER BY score_micro DESC, doc_id LIMIT {_BM25_K}
+"""
+
 
 @register("gopher_rules_battery", _RULES_ORACLE)
 def q_gopher_rules_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
