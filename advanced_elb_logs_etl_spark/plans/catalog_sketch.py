@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import sketches
-from .catalog import _t, register
+from .catalog import _t, register, register_production
 
 # ---------------------------------------------------------------------------
 # heavy_hitters_exact — candidate-pruned exact frequent users
@@ -73,6 +73,16 @@ def q_hll_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("n_exact").cast("double")
         ).alias("within_bound"),
     )
+
+
+@register_production("hll_shard_union")
+def q_hll_shard_union_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form: the sharded-sketch build + merge estimate alone —
+    no exact count_distinct lane (that is the gate's adjudication pass;
+    the decomposition policy of VERDICT r7 item 3)."""
+    ev = _t(spark, sf_dir, "events")
+    sk = sketches.hll_partitioned_sketches(ev, "event_type", "user_id", lg_k=12)
+    return sketches.hll_merge_estimate(sk)
 
 
 # ---------------------------------------------------------------------------

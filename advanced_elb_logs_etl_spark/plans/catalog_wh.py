@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import dround
 from ..operators import bloom, graph, warehouse
-from .catalog import _t, register
+from .catalog import _t, register, register_production
 
 # ---------------------------------------------------------------------------
 # profile_table — single-pass per-column profiling over orders
@@ -121,6 +121,18 @@ def q_profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@register_production("profile_table_approx")
+def q_profile_table_approx_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a user actually runs at 100 TB: the approx profile ALONE —
+    one partial+final hash agg, no Expand, no second exact pass (the
+    exact lanes above exist to adjudicate the HLL bound for the driver
+    hash; same decomposition policy as ivf/hourly, VERDICT r7 item 3)."""
+    cols = [c for c, _ in _ORDERS_COLS]
+    return warehouse.profile_table(
+        _t(spark, sf_dir, "orders"), cols, exact=False
+    ).orderBy("col_name")
 
 
 # ---------------------------------------------------------------------------
