@@ -258,3 +258,24 @@ def q_gopher_rules_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a bounded recall check like ivf_cosine_topk, designed at registration
 # time) has a pre-rehearsed, table-bound oracle on file.
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# pq_adc_topk gate design (pre-validated this r8 session — the last stash
+# candidate without an oracle on file).  Same bounded-recall shape as
+# ivf_cosine_topk: the gate computes ADC top-10 for the 4 query vectors
+# (vec_id < 4) AND the exact micro-int L2 ground truth (pq._sqdist over
+# snap_micro columns — the quarantined verification lane), and emits ONE
+# row (n_queries, n_results, recall_ok) where recall_ok asserts overall
+# recall@10 >= 0.25.  Measured at sf0.01 with M=8, K=8, iters=2:
+# recall = 0.40 (16/40 hits; K=4 gives 0.30, K=16 gives 0.35 — K=8 is
+# the registration setting).  0.25 is the conservative envelope: the
+# whole pipeline is deterministic, and a broken ADC/encode collapses
+# recall to ~k/corpus ~= 0.02, far below the bar.  Oracle (the IVF
+# pattern — exact counts + literal TRUE):
+#   SELECT count(*)::BIGINT AS n_queries,
+#          (count(*) * 10)::BIGINT AS n_results,
+#          TRUE AS recall_ok
+#   FROM embeddings WHERE vec_id < 4
+# Production form for bench (the decomposition policy): ADC search only.
+# With this, ALL SIX stash candidates have pre-rehearsed gate designs.
+# ---------------------------------------------------------------------------
