@@ -1,0 +1,106 @@
+"""Production forms of the bounded-gate catalog entries (bench.py times
+THESE under the catalog names — VERDICT r7 item 3's decomposition).  The
+gate queries are driver-hash-checked; these tests keep the production
+forms honest so the headline bench rows can't silently go wrong-fast:
+each production form's exact lanes must equal the exact query, and its
+sketch lanes must sit inside the same bounds the gate adjudicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advanced_elb_logs_etl_spark.plans.catalog import CATALOG, PRODUCTION_FORMS
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_every_gate_has_a_registered_production_form():
+    assert sorted(PRODUCTION_FORMS) == [
+        "hll_shard_union",
+        "hourly_agg_approx",
+        "ivf_cosine_topk",
+        "profile_table_approx",
+    ]
+    for name in PRODUCTION_FORMS:
+        assert name in CATALOG, name
+
+
+def test_hourly_approx_production_lanes(spark):
+    out = {
+        (r.request_year, r.request_month, r.request_day, r.request_hour,
+         r.event_type): r
+        for r in PRODUCTION_FORMS["hourly_agg_approx"](spark, SF).collect()
+    }
+    from advanced_elb_logs_etl_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF, "events").filter(F.col("event_type").isNotNull())
+    want = {
+        (r.y, r.m, r.d, r.h, r.t): r
+        for r in ev.groupBy(
+            F.year("ts").cast("long").alias("y"),
+            F.month("ts").cast("long").alias("m"),
+            F.dayofmonth("ts").cast("long").alias("d"),
+            F.hour("ts").cast("long").alias("h"),
+            F.col("event_type").alias("t"),
+        )
+        .agg(
+            F.count("user_id").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sv"),
+            F.count_distinct("user_id").alias("nd"),
+        )
+        .collect()
+    }
+    assert set(out) == set(want)
+    for key, r in out.items():
+        w = want[key]
+        # exact lanes identical
+        assert r.request_count == w.cnt, key
+        assert r.sum_value == w.sv, key
+        # sketch lane inside the gate's bound
+        assert abs(r.approx_unique_users - w.nd) <= max(0.15 * w.nd, 5), key
+
+
+def test_ivf_production_recall_bound(spark):
+    from advanced_elb_logs_etl_spark.operators import similarity
+    from advanced_elb_logs_etl_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    ivf = PRODUCTION_FORMS["ivf_cosine_topk"](spark, SF)
+    brute = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5
+    )
+    got = {(r.q_id, r.neighbor_id) for r in ivf.collect()}
+    truth = {(r.q_id, r.neighbor_id) for r in brute.collect()}
+    # every query produced a full k, and overall recall meets the gate bar
+    assert len(got) == len(truth)
+    assert len(got & truth) >= 0.3 * len(truth)
+
+
+def test_profile_production_equals_gate_lanes(spark):
+    gate = {
+        r.col_name: r for r in CATALOG["profile_table_approx"][0](spark, SF).collect()
+    }
+    prod = {
+        r.col_name: r
+        for r in PRODUCTION_FORMS["profile_table_approx"](spark, SF).collect()
+    }
+    assert set(gate) == set(prod)
+    for c, g in gate.items():
+        p = prod[c]
+        assert p.n_rows == g.n_rows and p.n_nulls == g.n_nulls, c
+        # the production n_distinct IS the approx lane the gate bounded
+        assert g.distinct_within_bound, c
+        assert abs(p.n_distinct - g.n_distinct) <= max(0.15 * g.n_distinct, 5), c
+
+
+def test_hll_production_estimate_bound(spark):
+    from advanced_elb_logs_etl_spark.sources.testdata import load_table
+
+    est = PRODUCTION_FORMS["hll_shard_union"](spark, SF).collect()[0].estimate
+    exact = (
+        load_table(spark, SF, "events")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert abs(est - exact) <= 0.05 * exact
