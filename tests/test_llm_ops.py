@@ -408,3 +408,17 @@ def test_levenshtein_guard_engages_on_planted_density(spark):
     # (different first tokens) land in one sub-band only by hash collision,
     # so the result is strictly smaller than brute force
     assert len(got) < len(want)
+
+
+def test_with_shingles_api(spark):
+    """Thin public wrapper over the shingle kernel: one row per doc with
+    the n-gram string array (the pre-hash debugging surface of the
+    with_shingle_hashes path)."""
+    from advanced_elb_logs_etl_spark.operators.dedup import with_shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y")], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r.shingles for r in with_shingles(df, n=3).collect()}
+    assert rows[1] == ["a b c", "b c d"]
+    assert rows[2] == []

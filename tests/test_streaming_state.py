@@ -157,6 +157,41 @@ def test_debounce_stream_end_to_end(spark, tmp_path):
     assert kept == [1, 3]
 
 
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithState driver worker needs the protobuf package, "
+    "absent in this sandbox (streaming/state.py docstring)",
+)
+def test_topk_stream_end_to_end(spark, tmp_path):
+    """Live-engine pass of the public topk_stream wrapper (the processor
+    is pinned hermetically below; this exercises the
+    transformWithStateInPandas wiring the day protobuf is present)."""
+    from advanced_elb_logs_etl_spark.streaming.state import topk_stream
+
+    d = tmp_path / "in_topk"
+    d.mkdir()
+    rows = [
+        {"client_ip": u, "time": "2025-05-26 12:00:00",
+         "event_type": "view", "event_id": i}
+        for i, u in enumerate(list("aaab"))
+    ]
+    (d / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    for k, v in rocksdb_confs().items():
+        spark.conf.set(k, v)
+    stream = spark.readStream.schema(SCHEMA).json(str(d))
+    q = (topk_stream(stream, key="event_type", item_col="client_ip",
+                     capacity=8, topk=2)
+         .writeStream.format("memory").queryName("topk_e2e")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["item"], r["est_count"])
+           for r in spark.sql("SELECT * FROM topk_e2e").collect()}
+    assert got == {("a", 3), ("b", 1)}  # within capacity -> exact
+
+
 # ---------------------------------------------------------------------------
 # Space-Saving streaming top-k (hermetic, like the debounce tests)
 # ---------------------------------------------------------------------------
