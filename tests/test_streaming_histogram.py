@@ -132,3 +132,40 @@ def test_quantile_range_guard(spark):
         hg._process_batch(_vals(spark, [1, 2]), 0, store, "value", S)
         with pytest.raises(ValueError):
             hg.quantile_estimates(spark, store, [0.5, 1.5], S)
+
+
+def test_bucket_of_matches_duckdb_twin_fuzz(spark):
+    """Seeded fuzz of the Spark bucket Column against the exact DuckDB
+    SQL replica the (future) catalog registration uses — boundary values
+    (2^b - 1, 2^b, 2^b + 1) at every octave plus random longs, at two
+    sub-bucket settings."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rng = random.Random(808)
+    vals = [0, 1, 2]
+    for b in range(1, 63):
+        base = 1 << b
+        vals += [base - 1, base, base + 1]
+    vals += [rng.randrange(1, 1 << 62) for _ in range(500)]
+    for s in (8, 16):
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        got = {
+            r.v: r.bucket
+            for r in df.select("v", hg.bucket_of(F.col("v"), s).alias("bucket")).collect()
+        }
+        vals_sql = ", ".join(f"({v})" for v in vals)
+        want = {
+            int(v): (int(b) if b is not None else None)
+            for v, b in duckdb.sql(f"""
+                SELECT v, CASE WHEN v < 0 THEN NULL WHEN v = 0 THEN -1
+                    ELSE (strlen(bin(v)) - 1) * {s}
+                         + floor((v - power(2, strlen(bin(v)) - 1)) * {s}
+                                 / power(2, strlen(bin(v)) - 1))::BIGINT
+                END AS bucket
+                FROM (VALUES {vals_sql}) AS t(v)
+            """).fetchall()
+        }
+        assert got == want, s
