@@ -322,15 +322,26 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool = True,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: search only the nprobe clusters nearest each query.
 
     Same output shape as brute_force_topk; recall is approximate. The
     candidate join is cluster-equi (shuffle on tiny cluster ids) instead of
-    a full cross join."""
+    a full cross join.
+
+    ``assigned``: optional precomputed assign_clusters(m=1) frame — the
+    index. Pass a persisted one when running many query batches against
+    one corpus so the corpus-wide assignment pass (the dominant cost for
+    small |Q|: the 50x SCALE.md wave measured the inline build LOSING to
+    a brute scan at |Q|=8) runs once, not per call. Same injection
+    convention as dedup's ``hashed=`` / semantic_dedup's ``assigned=``."""
     dt, nrm = _dot_fn(vectorized), (norm_v if vectorized else norm2)
     cs = _cos_fn(vectorized)
-    assigned = assign_clusters(vectors, centroids, id_col, vec_col, vectorized=vectorized)
+    if assigned is None:
+        assigned = assign_clusters(
+            vectors, centroids, id_col, vec_col, vectorized=vectorized
+        )
     c = centroids.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid"))
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
                        nrm(F.col(vec_col)).alias("q_n"))
@@ -726,6 +737,7 @@ def rp_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool = True,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN: candidates are corpus vectors sharing at least one
     signature band with the query; exact cosine ranks them. Recall < 1 by
@@ -734,11 +746,20 @@ def rp_lsh_topk(
 
     Scale: band buckets are equi-join keys — the corpus never cross-joins
     the queries; at 100 TB materialize rp_sig as a stored column and
-    partition by a band prefix."""
+    partition by a band prefix.
+
+    ``corpus_sigs``: optional precomputed rp_signatures(vectors, ...)
+    frame — the index. Pass a persisted (or stored-column) one when
+    running many query batches so the corpus-wide signature pass runs
+    once (the 50x SCALE.md wave measured the inline build dominating at
+    small |Q|). Must have been built with the same bits/dim."""
     seg = bits // bands
     dt, nrm = _dot_fn(vectorized), (norm_v if vectorized else norm2)
 
-    v = rp_signatures(vectors, bits, dim, id_col, vec_col, vectorized=vectorized).select(
+    base = corpus_sigs if corpus_sigs is not None else rp_signatures(
+        vectors, bits, dim, id_col, vec_col, vectorized=vectorized
+    )
+    v = base.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
         nrm(F.col(vec_col)).alias("c_n"), F.col("rp_sig").alias("c_sig"),
     )

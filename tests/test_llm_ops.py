@@ -422,3 +422,29 @@ def test_with_shingles_api(spark):
     rows = {r.doc_id: r.shingles for r in with_shingles(df, n=3).collect()}
     assert rows[1] == ["a b c", "b c d"]
     assert rows[2] == []
+
+
+def test_ann_index_injection_identical_results(spark, emb):
+    """The amortization knobs (ivf_topk assigned=, rp_lsh_topk
+    corpus_sigs=) must return EXACTLY the inline-build results — the
+    index is a physical reuse, never a semantic change."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    cents = emb.filter(F.col("vec_id") < 16)
+
+    inline = similarity.ivf_topk(emb, queries, centroids=cents, k=5, nprobe=2)
+    idx = similarity.assign_clusters(emb, cents).persist()
+    injected = similarity.ivf_topk(
+        emb, queries, centroids=cents, k=5, nprobe=2, assigned=idx
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, injected.collect())
+    )
+    idx.unpersist()
+
+    inline_rp = similarity.rp_lsh_topk(emb, queries, k=5)
+    sigs = similarity.rp_signatures(emb).persist()
+    injected_rp = similarity.rp_lsh_topk(emb, queries, k=5, corpus_sigs=sigs)
+    assert sorted(map(tuple, inline_rp.collect())) == sorted(
+        map(tuple, injected_rp.collect())
+    )
+    sigs.unpersist()
