@@ -554,8 +554,12 @@ def semantic_dedup(
     pass, centroids broadcast), within-cluster candidate pairs via the
     CLUSTER-EQUI self-join of embedding_neardup_blocked (never a cross
     join), connected components over the >= threshold pairs (iterative
-    min-label, dedup.neardup_components), then one window per component
-    to pick the exemplar.  Deterministic end to end — assignment,
+    min-label, dedup.neardup_components), then ONE min-over-struct hash
+    aggregation per component to pick the exemplar (lexicographic
+    (cent_sim, id) struct, nulls riding as +inf — map-side-combinable,
+    so a giant all-dup component can't single-task-sort; plan-pinned by
+    test_plan_quality::test_semantic_dedup_exemplar_is_aggregated).
+    Deterministic end to end — assignment,
     left-fold cosines, min-label components, and the (cent_sim, id)
     ordering are all reproducible — so the result is VALUE-exact against
     a recursive-CTE SQL twin (plans/catalog_r7.py).

@@ -23,7 +23,14 @@ step).
 Store layout under ``store_dir`` (the first-seen-dedup conventions,
 streaming/neardup.py):
   - ``summary/batch=N``: the full compacted summary as of batch N
-    (cumulative state, so only the LATEST prior partition is read);
+    (cumulative state, so only the LATEST prior partition is read),
+    PLUS one sentinel row ``(key=NULL, cnt=-1)`` written on every batch
+    so a compaction that legitimately empties the summary still leaves
+    batch N visible in row space (real rows always have cnt >= 1, so
+    the sentinel is unambiguous and readers drop it with ``cnt > 0``).
+    Without it, both the latest-prior read and the reader's consistent
+    cut — which derive "batch N exists" from rows — would silently fall
+    back to the stale batch N-1 state (ADVICE r8);
   - ``meta/batch=N``: one row (d_total) — kept separate from the summary
     so the bound survives even a compaction that empties the summary.
 Writes are batch-id-keyed with overwrite (idempotent retries), and reads
@@ -164,6 +171,10 @@ def _process_batch(
     sum_dir = os.path.join(store_dir, "summary")
     meta_dir = os.path.join(store_dir, "meta")
     prev_summary = _read_prior(spark, sum_dir, SUMMARY_SCHEMA, batch_id)
+    if prev_summary is not None:
+        # drop the empty-batch sentinel (key=NULL, cnt=-1); real rows
+        # always carry cnt >= 1 (compaction keeps cnt > d >= 0)
+        prev_summary = prev_summary.filter(F.col("cnt") > 0)
     prev_meta = _read_prior(spark, meta_dir, META_SCHEMA, batch_id)
     summary, meta = mg_batch_step(
         batch_df, prev_summary, prev_meta, key_col, capacity
@@ -179,7 +190,19 @@ def _process_batch(
     meta.write.mode("overwrite").parquet(
         os.path.join(meta_dir, f"batch={batch_id}")
     )
-    summary.write.mode("overwrite").parquet(
+    # every summary batch carries one sentinel row so a legitimately
+    # EMPTY compacted summary still commits a visible batch=N: the
+    # latest-prior read above and the reader's consistent cut both
+    # derive batch presence from rows, and an invisible empty batch
+    # would silently resurrect the stale batch-N-1 state (ADVICE r8:
+    # stale summary paired with stale d_total understates cnt_upper;
+    # worse, the NEXT batch would re-merge the already-compacted
+    # N-1 summary, inflating cnt above the true count).
+    sentinel = spark.range(1).select(
+        F.lit(None).cast("string").alias("key"),
+        F.lit(-1).cast("long").alias("cnt"),
+    )
+    summary.unionByName(sentinel).write.mode("overwrite").parquet(
         os.path.join(sum_dir, f"batch={batch_id}")
     )
 
@@ -233,7 +256,11 @@ def current_heavy_hitters(
         .intersect(m.select("batch"))
         .agg(F.max("batch").alias("batch"))
     )
-    summary = s.join(F.broadcast(cut), "batch").drop("batch")
+    # drop the per-batch sentinel row AFTER the cut: it exists precisely
+    # so an empty compacted summary still registers its batch here
+    summary = (
+        s.join(F.broadcast(cut), "batch").drop("batch").filter(F.col("cnt") > 0)
+    )
     meta = m.join(F.broadcast(cut), "batch").drop("batch")
     d = meta.agg(F.coalesce(F.max("d_total"), F.lit(0)).alias("d_total"))
     out = summary.crossJoin(F.broadcast(d)).select(

@@ -134,6 +134,40 @@ def test_capacity_guard(spark):
         hh.mg_batch_step(_rows(spark, ["a"]), None, None, "key", 0)
 
 
+def test_empty_summary_batch_stays_visible(spark):
+    """A compaction can legitimately EMPTY the summary (all merged
+    counts <= d).  The per-batch sentinel row keeps that batch visible,
+    so the reader's consistent cut advances to it instead of silently
+    pairing the stale batch-N-1 summary with the stale d_total
+    (ADVICE r8). capacity=2 with 'ccddee' after 'aab' merges to
+    a2,b1,c2,d2,e2 -> d = 3rd-largest = 2 -> zero survivors."""
+    with tempfile.TemporaryDirectory(prefix="sparkgraft_hh_") as store:
+        hh._process_batch(_rows(spark, list("aab")), 0, store, "key", 2)
+        hh._process_batch(_rows(spark, list("ccddee")), 1, store, "key", 2)
+        got = hh.current_heavy_hitters(spark, store).collect()
+        # cut at batch 1: empty summary (absent-key bound d_total=2 is
+        # the store's whole statement).  A row-presence fallback to
+        # batch 0 would wrongly report [(a,2,2),(b,1,1)].
+        assert got == []
+
+
+def test_state_chain_survives_empty_summary_batch(spark):
+    """The NEXT batch after an emptying compaction must merge with the
+    EMPTY summary, not resurrect batch N-1's rows (which would inflate
+    cnt above the true count and break the lower bound)."""
+    batches = [list("aab"), list("ccddee"), ["f"]]
+    with tempfile.TemporaryDirectory(prefix="sparkgraft_hh_") as store:
+        for i, keys in enumerate(batches):
+            hh._process_batch(_rows(spark, keys), i, store, "key", 2)
+        got = sorted(
+            (r.key, r.cnt_lower, r.cnt_upper)
+            for r in hh.current_heavy_hitters(spark, store).collect()
+        )
+        want_state, want_d = _mg_py(batches, 2)  # {'f': 1}, d_total=2
+        assert want_state == {"f": 1} and want_d == 2  # fixture sanity
+        assert got == [("f", 1, 3)]
+
+
 def test_consistent_cut_on_crash_between_writes(spark):
     """A crash between the two per-batch writes must never pair a newer
     summary with an older d_total (that UNDERSTATES cnt_upper — ADVICE
