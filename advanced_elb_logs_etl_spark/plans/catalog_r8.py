@@ -83,8 +83,12 @@ FROM flags
 
 
 # ---------------------------------------------------------------------------
-# QUEUED for the r9 window (NOT registered this round — the freeze
-# discipline allows additions only in-window, and the r8 window is full).
+# QUEUED for the r9 window (NOT registered in r8 — the freeze
+# discipline allows additions only in-window, and the r8 window was
+# full).  STATUS: ALL SIX stash entries below and in the later comment
+# blocks were REGISTERED in round 9 (plans/catalog_r9.py) using these
+# exact pre-validated oracles; these blocks remain as the validation
+# record.
 # The recommended r9 move registers BOTH (see the plans/catalog.py queue
 # comment for the displacement rationale):
 #

@@ -19,6 +19,7 @@ def test_every_gate_has_a_registered_production_form():
         "hll_shard_union",
         "hourly_agg_approx",
         "ivf_cosine_topk",
+        "pq_adc_topk",
         "profile_table_approx",
     ]
     for name in PRODUCTION_FORMS:
@@ -74,6 +75,35 @@ def test_ivf_production_recall_bound(spark):
     # every query produced a full k, and overall recall meets the gate bar
     assert len(got) == len(truth)
     assert len(got & truth) >= 0.3 * len(truth)
+
+
+def test_pq_production_recall_bound(spark):
+    """The production ADC search (no exact-L2 lane) must itself meet the
+    recall bar the gate adjudicates — wrong-fast is not allowed."""
+    from advanced_elb_logs_etl_spark.operators import pq
+    from advanced_elb_logs_etl_spark.plans import catalog_r9 as r9
+
+    emb, searches = r9._pq_searches(spark, SF)
+    prod = PRODUCTION_FORMS["pq_adc_topk"](spark, SF)
+    got = {(r.q_id, r.neighbor_id) for r in prod.collect()}
+    snapped = emb.select(
+        "vec_id", pq.snap_micro(F.col("embedding")).alias("_micro")
+    )
+    truth = set()
+    for q_id, qm, _ in searches:
+        q_arr = F.array(*[F.lit(v).cast("long") for v in qm])
+        truth |= {
+            (q_id, r.vec_id)
+            for r in snapped.select(
+                "vec_id", pq._sqdist(F.col("_micro"), q_arr).alias("d2")
+            )
+            .orderBy("d2", "vec_id")
+            .limit(r9._PQ_TOPK)
+            .collect()
+        }
+    # every query produced a full k, and overall recall meets the gate bar
+    assert len(got) == r9._PQ_NQ * r9._PQ_TOPK
+    assert len(got & truth) >= 0.25 * len(truth)
 
 
 def test_profile_production_equals_gate_lanes(spark):

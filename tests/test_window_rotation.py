@@ -1,5 +1,5 @@
 """The driver's correctness gate covers the FIRST 50 names queries()
-emits — pin the shipped round-8 window so a refactor can't silently
+emits — pin the shipped round-9 window so a refactor can't silently
 reorder it between the rehearsal and the driver run."""
 
 from __future__ import annotations
@@ -7,19 +7,38 @@ from __future__ import annotations
 from advanced_elb_logs_etl_spark.plans.catalog import CATALOG, FRONT_OF_CATALOG
 from advanced_elb_logs_etl_spark.plans import queries, oracle_sql
 
+R9_ADDITIONS = [
+    "alternating_components",
+    "lm_perplexity_filter",
+    "bm25_topk",
+    "pq_adc_topk",
+    "stream_heavy_hitters",
+    "stream_latency_histogram",
+]
 
-def test_r8_window_is_the_rehearsed_50():
+R9_DISPLACED = [
+    "grouping_sets_pricing",
+    "set_ops_battery",
+    "welch_t_values",
+    "rolling_median_value",
+    "triangle_count_sampled",
+]
+
+
+def test_r9_window_is_the_rehearsed_50():
     names = list(queries())
-    # positions 1-2: the two r3-stale displaced twins
-    assert names[:2] == ["rank_battery", "grouping_sets_events"]
-    # position 50: the reserved-slot addition
-    assert names[49] == "gopher_rules_battery"
+    # positions 45-50: the six stash registrations (the r9 drain)
+    assert names[44:50] == R9_ADDITIONS
+    # the five displaced r5-green entries head the r10 queue
+    assert names[50:55] == R9_DISPLACED
     # the window is exactly the documented FRONT head (order included)
     assert names[:50] == [n for n in FRONT_OF_CATALOG if n in CATALOG][:50]
+    # displaced entries must NOT appear inside the window
+    assert not set(R9_DISPLACED) & set(names[:50])
 
 
 def test_catalog_is_complete_and_oracled():
     names = list(queries())
-    assert len(names) == len(set(names)) == 199
+    assert len(names) == len(set(names)) == 205
     # zero rows-only checks: every query carries an oracle
     assert set(oracle_sql()) == set(names)

@@ -65,6 +65,9 @@ CARTESIAN_ALLOW: dict[str, str] = {
     "psi_value_drift": "10-bin cell frame x 1-row population totals",
     "km_survival": "14-row day spine x bounded day histogram + 1-row user total",
     "dsir_importance_topk": "B-row bucket frame x two 1-row corpus-total frames",
+    "bm25_topk": "1-row corpus (n_docs, dl_sum) frame broadcast into idf/contrib",
+    "lm_perplexity_filter": "1-row unk-floor scalar broadcast into scoring",
+    "pq_adc_topk": "three 1-row count frames stitched for the recall bound (the ivf pattern)",
 }
 
 #: (query -> reason) for Window nodes with an empty partition spec. Every
