@@ -36,8 +36,15 @@ from ..operators.reports import (
     write_hourly_aggregation,
 )
 from ..operators.sessions import add_session_features
-from ..session import apply_runtime_confs
+from ..session import apply_runtime_confs, autosize_shuffle_partitions
 from ..sources.elb import read_alb_lines
+
+#: Raw-gz-bytes -> shuffled-row-bytes expansion estimate for ALB logs:
+#: gzip text decompresses ~8-12x and the parsed/featured projection keeps
+#: roughly a third of the decoded width, so 4x raw is the conservative
+#: middle of session.autosize_shuffle_partitions' documented 2-4x band.
+#: Over-estimating is forgiving (AQE coalesces); under-estimating is not.
+_GZ_DECODE_FACTOR = 4.0
 
 
 @dataclass
@@ -62,6 +69,64 @@ class PipelineConfig:
         )
 
 
+def estimate_input_bytes(
+    spark: SparkSession,
+    paths: list[str],
+    decode_factor: float | None = None,
+) -> int:
+    """Sum the on-disk size of every input file (any Hadoop FS — local,
+    s3a://, hdfs://; directories recurse, globs expand) times the decode
+    factor — the ``input_bytes`` estimate autosize_shuffle_partitions
+    documents.  Driver-side metadata listing only: the same FileSystem
+    calls the scan's file index makes, no data is read."""
+    if decode_factor is None:
+        decode_factor = float(
+            os.environ.get("ELB_DECODE_FACTOR", str(_GZ_DECODE_FACTOR))
+        )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for p in paths:
+        path = jvm.org.apache.hadoop.fs.Path(p)
+        fs = path.getFileSystem(hconf)
+        statuses = fs.globStatus(path)
+        if statuses is None:
+            continue
+        for st in statuses:
+            if st.isDirectory():
+                it = fs.listFiles(st.getPath(), True)
+                while it.hasNext():
+                    total += it.next().getLen()
+            else:
+                total += st.getLen()
+    return int(total * decode_factor)
+
+
+def autosize_for_inputs(spark: SparkSession, paths: list[str]) -> int | None:
+    """Production entry-path shuffle sizing (VERDICT r8 item 5): size
+    ``spark.sql.shuffle.partitions`` from the input listing so a 100x
+    deployment gets the 200x-wave fix (SCALE.md round 8: the W1-W7
+    window sort serialized and spilled at the fixed local default —
+    15.3 s at 32 partitions vs 8.0 s at 128; AQE coalesces small
+    partitions but can never SPLIT past the configured count) without
+    reading MIGRATION.md.
+
+    ``ELB_SHUFFLE_PARTITIONS`` overrides with an explicit count;
+    ``ELB_DECODE_FACTOR`` tunes the raw->shuffled expansion estimate.
+    Returns the applied partition count, or None when the inputs can't
+    be sized (estimate 0 — e.g. not-yet-created test paths): the
+    session default stands."""
+    explicit = os.environ.get("ELB_SHUFFLE_PARTITIONS")
+    if explicit:
+        parts = int(explicit)
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        return parts
+    est = estimate_input_bytes(spark, paths)
+    if est <= 0:
+        return None
+    return autosize_shuffle_partitions(spark, est)
+
+
 def build_final_frame(
     spark: SparkSession,
     input_paths: list[str],
@@ -83,6 +148,7 @@ def run_pipeline(
     transport: Transport | None = None,
 ) -> dict[str, str]:
     """Execute the four sinks (reference :428-438). Returns output paths."""
+    autosize_for_inputs(spark, config.input_paths)
     final = build_final_frame(spark, config.input_paths, config.geo_cache_path, transport)
 
     if config.materialize == "persist":

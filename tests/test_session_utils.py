@@ -1,8 +1,15 @@
 """Session utilities: shuffle-partition auto-sizing (the spill-aware
-knob the 200x scale harness measured — SCALE.md round-8)."""
+knob the 200x scale harness measured — SCALE.md round-8) and its wiring
+into the production pipeline entry (VERDICT r8 item 5)."""
 
 from __future__ import annotations
 
+import os
+
+from advanced_elb_logs_etl_spark.plans.pipeline import (
+    autosize_for_inputs,
+    estimate_input_bytes,
+)
 from advanced_elb_logs_etl_spark.session import autosize_shuffle_partitions
 
 
@@ -22,5 +29,56 @@ def test_autosize_scales_with_input(spark):
             spark, 100 * 1024**3, target_partition_bytes=256 * 1024**2
         )
         assert n_coarse == max(cores, 400)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_estimate_input_bytes_sums_listing(spark, tmp_path, monkeypatch):
+    (tmp_path / "a.gz").write_bytes(b"x" * 1000)
+    (tmp_path / "b.gz").write_bytes(b"y" * 500)
+    sub = tmp_path / "nested"
+    sub.mkdir()
+    (sub / "c.gz").write_bytes(b"z" * 250)
+    monkeypatch.delenv("ELB_DECODE_FACTOR", raising=False)
+    # explicit factor: exact sum x factor; directories recurse
+    assert estimate_input_bytes(spark, [str(tmp_path)], decode_factor=1.0) == 1750
+    # glob expansion
+    assert (
+        estimate_input_bytes(spark, [str(tmp_path / "*.gz")], decode_factor=2.0)
+        == 3000
+    )
+    # env-tuned default factor
+    monkeypatch.setenv("ELB_DECODE_FACTOR", "10")
+    assert estimate_input_bytes(spark, [str(tmp_path / "a.gz")]) == 10000
+    # missing path: 0, never raises
+    assert estimate_input_bytes(spark, [str(tmp_path / "nope-*")] ) == 0
+
+
+def test_pipeline_entry_autosizes_from_inputs(spark, tmp_path, monkeypatch):
+    """The 100x-deployment contract: run_pipeline's entry sizing applies
+    the 200x-wave fix without the operator reading MIGRATION.md — the
+    partition count scales with the input listing, an env override
+    wins, and unsizable inputs leave the session default standing."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        f = tmp_path / "big.gz"
+        f.write_bytes(b"x" * (1024 * 1024))  # 1 MiB on disk
+        # factor chosen so 1 MiB "decodes" past the core clamp:
+        # 1 MiB x 262144 = 256 GiB -> 2048 partitions at the 128 MB target
+        monkeypatch.setenv("ELB_DECODE_FACTOR", str(256 * 1024))
+        monkeypatch.delenv("ELB_SHUFFLE_PARTITIONS", raising=False)
+        applied = autosize_for_inputs(spark, [str(f)])
+        assert applied == max(cores, 2048)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(applied)
+        # explicit env override wins over the estimate
+        monkeypatch.setenv("ELB_SHUFFLE_PARTITIONS", "96")
+        assert autosize_for_inputs(spark, [str(f)]) == 96
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "96"
+        # unsizable inputs: no-op, session setting stands
+        monkeypatch.delenv("ELB_SHUFFLE_PARTITIONS", raising=False)
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        assert autosize_for_inputs(spark, [str(tmp_path / "absent-*")]) is None
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "17"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
