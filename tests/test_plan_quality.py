@@ -498,3 +498,32 @@ def test_semantic_dedup_exemplar_is_aggregated(spark):
     all-duplicates component inside one task (the r8 skew fix)."""
     plan = _plan(CATALOG["semantic_dedup_corpus"][0](spark, SF))
     assert "Window" not in plan, plan[:2000]
+
+
+def test_bm25_topk_is_take_ordered_and_udf_free(spark):
+    """BM25 selection must compile to TakeOrdered (per-partition top-k +
+    k-row merge), never a global sort of the scored corpus; scoring is
+    pure Column math — no Python in the plan."""
+    plan = _plan(CATALOG["bm25_topk"][0](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lm_selection_is_take_ordered(spark):
+    """The fluency filter's k-document selection must be TakeOrdered —
+    a global sort of per-doc NLL rows would single-task a 100 TB
+    corpus's score frame."""
+    plan = _plan(CATALOG["lm_perplexity_filter"][0](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_production_search_is_udf_free(spark):
+    """PQ ADC search: LUTs ride as plan literals, distances are integer
+    Column math over the codes array — no Python evaluation anywhere in
+    the production search plan."""
+    from advanced_elb_logs_etl_spark.plans.catalog import PRODUCTION_FORMS
+
+    plan = _plan(PRODUCTION_FORMS["pq_adc_topk"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan, plan[:2000]

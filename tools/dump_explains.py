@@ -102,6 +102,17 @@ HEADLINERS = {
     "gopher_rules_battery": "one narrow whole-stage-codegen Project over (doc_id, text) — "
                             "15 output columns, zero Exchange operators, line/word rules "
                             "fold over split arrays in-row",
+    "alternating_components": "two grouped-min shuffles per round over the EDGE set only; "
+                              "localCheckpoint per round keeps lineage flat; O(log n) "
+                              "rounds regardless of graph diameter",
+    "lm_perplexity_filter": "ONE transition agg trains the model; word/floor model frames "
+                            "broadcast into scoring; selection is TakeOrderedAndProject "
+                            "(never a global sort of per-doc NLL rows)",
+    "bm25_topk": "tokenize+explode restricted to the 4 query terms; 1-row corpus stats and "
+                 "|q|-row idf broadcast; TakeOrderedAndProject top-50",
+    "pq_adc_topk": "LUTs ride as array literals — per-row work is M element_at lookups + "
+                   "an integer sum; TakeOrdered(k) per query; rank Window only AFTER the "
+                   "k-row limit; zero Python in the search plan",
     "classifier_score_topk": "one evaluate-once n-gram explode; 256-row model joined as "
                              "BroadcastHashJoin; single per-doc HashAggregate; "
                              "TakeOrderedAndProject top-50 (no global Sort)",
