@@ -141,9 +141,11 @@ def main() -> None:
     _CLUSTERS = {
         "dedup_shared_shingles": (
             # curate_corpus joined in r8: it opportunistically reuses the
-            # shared shingle-hash frame when warm (its in-sequence regime)
+            # shared shingle-hash frame when warm (its in-sequence regime).
+            # alternating_components joined in r9: same LSH pair pipeline
+            # via _hashed_docs, different CC algorithm downstream.
             ["neardup_components", "dedup_corpus", "dedup_keep_best",
-             "curate_corpus"],
+             "curate_corpus", "alternating_components"],
             clear_hashed_cache,
         ),
         "graph_shared_edges": (
