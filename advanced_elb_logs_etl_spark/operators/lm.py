@@ -108,6 +108,7 @@ def train_bigram_lm(
     top_v: int = 65_536,
     alpha: float = ALPHA,
     backoff: float = BACKOFF,
+    transitions: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Train the stupid-backoff bigram LM on a reference corpus.
 
@@ -127,13 +128,26 @@ def train_bigram_lm(
     self-consistent: c_ctx(prev) counts transitions out of prev (BOS
     context = number of documents), c(w) and N count predicted tokens.
 
+    ``transitions``: optional precomputed/persisted transition_rows
+    frame (the hashed=/assigned= injection convention).  The lazy
+    transition plan feeds FOUR aggregations here (wc, n_tot, ctx, bc)
+    plus scoring in doc_nll, and Spark recomputes lazy subtrees per
+    consumer — injecting one materialized frame turns ~5 corpus
+    tokenize+explode passes into 1 (the r6 no-CSE rule applied to the
+    LM lane).  Value-identical by construction; injected == inline is
+    pytest-pinned.
+
     SQL twin sketch (DuckDB): the transition CTE above, three GROUP BYs,
     a vocab CTE `ORDER BY wc DESC, cur LIMIT top_v`, then
     round(ln(...) * 1e6)::BIGINT per model row.
     """
     if top_v < 1:
         raise ValueError(f"top_v must be >= 1, got {top_v}")
-    trans = transition_rows(target_df, id_col, text_col)
+    trans = (
+        transitions
+        if transitions is not None
+        else transition_rows(target_df, id_col, text_col)
+    )
     # Vocabulary: top_v predicted words by count, deterministic tie-break.
     # orderBy().limit() compiles to TakeOrdered (never a global sort or a
     # single-partition window) — the count table is vocabulary-bounded.
@@ -200,6 +214,7 @@ def doc_nll(
     model: dict[str, DataFrame],
     id_col: str = "doc_id",
     text_col: str = "text",
+    transitions: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_transitions, nll_micro, avg_nll): per-document negative
     log-likelihood under the stupid-backoff model.  Every input document
@@ -219,7 +234,11 @@ def doc_nll(
     LEFT JOIN word USING (cur), CROSS JOIN floor,
     sum(coalesce(lp_micro, bo_micro, unk_micro)).
     """
-    trans = transition_rows(df, id_col, text_col)
+    trans = (
+        transitions
+        if transitions is not None
+        else transition_rows(df, id_col, text_col)
+    )
     scored = (
         trans.join(model["bigram"], ["prev", "cur"], "left")
         .join(F.broadcast(model["word"]), ["cur"], "left")
@@ -248,12 +267,13 @@ def select_most_fluent(
     k: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    transitions: DataFrame | None = None,
 ) -> DataFrame:
     """The k most reference-like documents: lowest average NLL, ties by
     (nll_micro, id) so ranking is pure-integer deterministic.
     orderBy().limit() compiles to TakeOrdered — per-partition top-k plus
     a k-row merge, never a global sort shuffle."""
-    nll = doc_nll(df, model, id_col, text_col)
+    nll = doc_nll(df, model, id_col, text_col, transitions=transitions)
     # avg ordering via integer cross-multiplication would overflow on
     # pathological lengths; avg_nll is the SAME IEEE quotient in both
     # engines, so ordering on it is deterministic, with integer tie-breaks.

@@ -78,14 +78,18 @@ def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores are integer micro-nats (round(ln(p)*1e6) on identical integer
     count pairs); avg_nll is one IEEE division on identical integers.
 
-    Scale: training is ONE transition-frame aggregation pass (map-side
-    combinable) + V-bounded model frames; scoring joins the broadcast
-    model against transitions (no shuffle of the corpus beyond the
-    per-doc agg); selection is TakeOrdered(k).  The model frames are
-    V- and V^2-bounded — independent of corpus size."""
+    Scale: the transition frame is materialized ONCE (localCheckpoint)
+    and injected into training and scoring (the transitions= knob) —
+    without it Spark replays the corpus tokenize+explode per lazy
+    consumer, ~5 passes (the r6 no-CSE rule).  Training is then four
+    aggs over the materialized frame + V-bounded model frames; scoring
+    joins the broadcast word/floor model; selection is TakeOrdered(k).
+    The model frames are V- and V^2-bounded — independent of corpus
+    size."""
     docs = _t(spark, sf_dir, "documents")
-    model = lm.train_bigram_lm(docs, top_v=_LM_TOP_V)
-    return lm.select_most_fluent(docs, model, k=_LM_K)
+    trans = lm.transition_rows(docs).localCheckpoint(eager=True)
+    model = lm.train_bigram_lm(docs, top_v=_LM_TOP_V, transitions=trans)
+    return lm.select_most_fluent(docs, model, k=_LM_K, transitions=trans)
 
 
 @register("bm25_topk", _BM25_ORACLE_QUEUED_R10)

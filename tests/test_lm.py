@@ -178,3 +178,25 @@ def test_select_most_fluent_deterministic_topk(spark):
 def test_top_v_guard(spark):
     with pytest.raises(ValueError):
         lm.train_bigram_lm(_docs(spark, REF_ROWS), top_v=0)
+
+
+def test_injected_transitions_equal_inline(spark):
+    """The transitions= injection knob (one materialized frame shared by
+    training's four aggs + scoring, instead of ~5 corpus explodes) must
+    be value-invisible: injected == inline for the model tables AND the
+    scored output — the hashed=/assigned= knob contract."""
+    docs = _docs(spark, RAW_ROWS)
+    inline_model = lm.train_bigram_lm(docs, top_v=8)
+    inline_out = lm.select_most_fluent(docs, inline_model, 5).collect()
+
+    trans = lm.transition_rows(docs).localCheckpoint(eager=True)
+    inj_model = lm.train_bigram_lm(docs, top_v=8, transitions=trans)
+    inj_out = lm.select_most_fluent(
+        docs, inj_model, 5, transitions=trans
+    ).collect()
+
+    for key in ("bigram", "word", "floor"):
+        assert sorted(map(tuple, inline_model[key].collect())) == sorted(
+            map(tuple, inj_model[key].collect())
+        ), key
+    assert [tuple(r) for r in inline_out] == [tuple(r) for r in inj_out]
