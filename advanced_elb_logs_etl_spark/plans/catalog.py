@@ -121,69 +121,72 @@ FRONT_OF_CATALOG: list[str] = [
     "stream_latency_histogram",
     # ======== position 51+ (the r10 rotation queue, full and exact) ===
     # After this window ships the last-green histogram is r9=50, r8=50,
-    # r7=50, r6=50, r5=5 (the five displaced entries) — so the r10
-    # window is: the five displaced r5-green entries FIRST, then the
-    # complete r6-green cycle (45 of its 50 fit; the remaining 5 head
-    # the r11 queue).  The stash is EMPTY: there are no built-but-
-    # unregistered operators, so the reserved-slot convention is
-    # suspended until a new operator family ships (build-now/register-
-    # in-window still applies when one does).
+    # r7=50, r6=50, r5=5 (verified against CORRECTNESS_r01..r08 before
+    # laying this out) — so the r10 window is: the five displaced
+    # r5-green entries FIRST (positions 51-55), then the complete
+    # r6-green cycle in driver-record order (50 entries; the first 45
+    # complete the r10 window, the last 5 head the r11 queue with the
+    # r7-green cycle behind them).  The stash is EMPTY: there are no
+    # built-but-unregistered operators, so the reserved-slot convention
+    # is suspended until a new operator family ships (build-now/
+    # register-in-window still applies when one does).
     "grouping_sets_pricing",
     "set_ops_battery",
     "welch_t_values",
     "rolling_median_value",
     "triangle_count_sampled",
-    # r6-green cycle (the r10 window tail + r11 head), anchors first:
-    "rank_battery",
-    "grouping_sets_events",
-    "alb_parse_roundtrip",
-    "hourly_agg",
-    "ua_family_counts",
-    "triangle_census",
-    "graph_jaccard_topk",
-    "top_ngrams_per_lang",
-    "doc_minhash_containment",
-    "unigram_logprob_score",
-    "weighted_percentile",
-    "sessionize_gap_dynamic",
-    "skew_salted_join",
-    "time_spine_gap_fill",
-    "event_attribution_last_touch",
-    "interval_overlap_join",
-    "decimal_exact_ledger",
-    "robust_scale_features",
-    "winsorize_values",
-    "weighted_sample_es",
-    "time_weighted_avg",
-    "entropy_per_source",
-    "autocorr_lag1",
-    "month_over_month_revenue",
-    "benford_first_digit",
-    "gini_revenue_concentration",
-    "unpivot_metrics",
-    "url_query_explode",
-    "bitmap_distinct_dates",
-    "freq_items_battery",
-    "string_agg_sorted",
-    "mad_robust_stats",
-    "running_distinct_users",
-    "regression_battery",
-    "date_function_battery",
-    "collect_set_sorted",
-    "heavy_hitters_exact",
-    "f2_moment_users",
-    "min_cost_supplier_q2",
-    "forecast_revenue_q6",
-    "market_share_q8",
-    "product_profit_q9",
-    "important_value_q11",
-    "customer_distribution_q13",
-    "top_supplier_q15",
-    "disjunctive_revenue_q19",
-    "excess_supply_q20",
-    "waiting_supplier_q21",
-    "global_sales_q22",
-    "gopher_rules_battery",
+    # r6-green cycle (positions 56-100): flagship-ish anchors first,
+    # then alphabetical.
+    "pricing_summary",
+    "pipeline_e2e_hourly",
+    "sessionize",
+    "stream_first_seen_dedup",
+    "minhash_lsh_neardup",
+    "ann_cosine_topk",
+    "anti_join_uncached",
+    "asof_join_state",
+    "bot_origin_summary",
+    "bpe_train_merges",
+    "cohort_retention",
+    "compaction_plan_bins",
+    "date_parts",
+    "dedup_exact",
+    "dedup_keep_last",
+    "dsir_importance_topk",
+    "embedding_neardup_pairs",
+    "full_outer_nation_suppliers",
+    "funnel_conversion",
+    "grouped_topk_orders",
+    "hll_shard_union",
+    "hourly_agg_approx",
+    "ivf_cosine_topk",
+    "json_extract_summary",
+    "large_orders_q18",
+    "local_supplier_q5",
+    "minhash_signatures",
+    "multimodal_meta",
+    "ngram_jaccard_pairs",
+    "null_coding_cast",
+    "path_features",
+    "percentile_battery",
+    "pivot_event_counts",
+    "profile_table_approx",
+    "range_join_windows",
+    "rolling_5min_count",
+    "salted_agg_counts",
+    "semi_join_active",
+    "session_report",
+    "shipping_priority_q3",
+    "simhash_neardup",
+    "simhash_signatures",
+    "stream_lsh_band_canonical",
+    "substring_dedup_spans",
+    "text_stats",
+    "topk_orders",
+    "union_distinct_names",
+    "value_outliers_z",
+    "volume_shipping_q7",
+    "zorder_clustering_preview",
 ]
 
 

@@ -37,6 +37,31 @@ def test_r9_window_is_the_rehearsed_50():
     assert not set(R9_DISPLACED) & set(names[:50])
 
 
+def test_r10_queue_follows_staleness_order():
+    """Positions 51+ are the r10 rotation queue: the five displaced
+    r5-green entries first, then the complete r6-green cycle — computed
+    from the committed driver records, so a queue that skips a stale
+    cycle (the bug this pin was added for) fails mechanically."""
+    import json
+    import os
+
+    last: dict[str, int] = {}
+    for r in range(1, 9):
+        path = os.path.join(os.path.dirname(__file__), "..", f"CORRECTNESS_r0{r}.json")
+        if not os.path.exists(path):
+            continue
+        for k, v in json.load(open(path)).items():
+            if v.get("hash_match") or (
+                v.get("rows_match") and v.get("hash_match") is None
+            ):
+                last[k] = r
+    names = list(queries())
+    assert all(last.get(n) == 5 for n in names[50:55]), names[50:55]
+    r6green = {n for n in names if n not in set(names[:50]) and last.get(n) == 6}
+    assert set(names[55:105]) == r6green
+    assert len(r6green) == 50
+
+
 def test_catalog_is_complete_and_oracled():
     names = list(queries())
     assert len(names) == len(set(names)) == 205
