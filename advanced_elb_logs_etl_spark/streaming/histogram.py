@@ -29,6 +29,11 @@ Store layout under ``store_dir`` (the heavyhitters.py conventions):
 N (state is O(octaves * S) ~ hundreds of rows, so full-state rewrite per
 batch is cheaper than a compaction protocol); reads filter
 ``batch < batch_id`` (retry-safe), writes are overwrite-idempotent.
+No empty-batch sentinel is needed here (unlike the heavy-hitters
+summary, ADVICE r8): cumulative counts are MONOTONE — they never
+shrink — so a batch partition can only be empty if every prior batch
+was too, and a row-derived fallback to the latest non-empty batch
+always reads the correct latest state.
 
 Scale shape (100 TB/day stream): per micro-batch one narrow projection +
 one hash agg onto <= 64*S buckets (map-side combine collapses the batch
