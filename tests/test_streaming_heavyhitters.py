@@ -197,3 +197,36 @@ def test_consistent_cut_on_crash_between_writes(spark):
         hh._process_batch(_rows(spark, BATCHES[1]), 1, store, "key", 3)
         final = hh.current_heavy_hitters(spark, store).collect()
         assert len(final) > 0
+
+
+def test_store_fold_matches_python_on_random_batches(spark):
+    """Differential of the STORE semantics (not just the pure step):
+    fold random batch sequences through _process_batch with a real
+    parquet store — including sequences whose compactions legitimately
+    EMPTY the summary (the r9 sentinel fix) — and compare the reader's
+    final state to the pure-Python MG fold.  Deterministic seeds instead
+    of hypothesis: each case runs a real multi-write store fold, so a
+    handful of adversarial seeds beats hundreds of shrunk examples."""
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        capacity = rng.choice([1, 2, 3])
+        batches = [
+            [rng.choice("abcdef") for _ in range(rng.randrange(0, 9))]
+            for _ in range(4)
+        ]
+        # bias one case toward the emptying-compaction regime: uniform
+        # singleton batches at capacity < distinct count
+        if seed == 7:
+            batches[1] = list("abcdef")
+        with tempfile.TemporaryDirectory(prefix="sparkgraft_hh_") as store:
+            for i, keys in enumerate(batches):
+                hh._process_batch(_rows(spark, keys), i, store, "key", capacity)
+            got = {
+                r.key: (r.cnt_lower, r.cnt_upper)
+                for r in hh.current_heavy_hitters(spark, store).collect()
+            }
+        state, d_total = _mg_py(batches, capacity)
+        want = {k: (c, c + d_total) for k, c in state.items()}
+        assert got == want, (seed, capacity, batches, d_total)
