@@ -13,6 +13,14 @@ smaller is moving aggregates).
 
 Usage: python tools/query_metrics.py [--sf-dir DIR] [--queries a,b,...]
 Defaults to the standing bench heavies.
+
+METRIC RELIABILITY (validated before the SCALE.md table shipped):
+shuffle write/read and spill come from the shuffle writers and are
+exact.  "input read" is exact for TEXT scans but UNDER-REPORTED by the
+vectorized parquet reader in this Spark build — probe: a 2-column scan
+of sf0.1 lineitem (l_quantity+l_returnflag, parquet chunks ~600 KB,
+600k rows) reports Bytes Read = 17,841.  Treat parquet-lane input
+cells as lower bounds.
 """
 
 from __future__ import annotations
