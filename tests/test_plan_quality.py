@@ -527,3 +527,47 @@ def test_pq_production_search_is_udf_free(spark):
     plan = _plan(PRODUCTION_FORMS["pq_adc_topk"](spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def _executed_metric_sum(df, node_name: str, metric_key: str) -> int:
+    """Sum a SQLMetric over all executed-plan nodes named node_name —
+    run AFTER an action; descends AQE query stages."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.nodeName() == "AdaptiveSparkPlan":
+        plan = plan.executedPlan()
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        if node.nodeName().startswith(node_name):
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == metric_key:
+                    total += kv._2().value()
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+        if "QueryStage" in node.nodeName():
+            try:
+                walk(node.plan())
+            except Exception:
+                pass
+
+    walk(plan)
+    return total
+
+
+def test_pricing_shuffle_carries_partials_not_rows(spark):
+    """Map-side combine MEASURED, not just asserted from plan shape: the
+    flagship aggregation's Exchange must write per-(partition, group)
+    partial records — a handful — while the scan emits thousands of
+    rows. A regression to row-shuffling (e.g. a non-combinable agg
+    rewrite) multiplies the records by orders of magnitude."""
+    df = CATALOG["pricing_summary"][0](spark, SF)
+    df.collect()
+    scanned = _executed_metric_sum(df, "Scan parquet", "numOutputRows")
+    shuffled = _executed_metric_sum(df, "Exchange", "shuffleRecordsWritten")
+    assert scanned >= 1000, scanned
+    # |groups| x map partitions: 6 groups, single-file scan -> tiny
+    assert 0 < shuffled <= 64, (shuffled, scanned)
