@@ -571,3 +571,23 @@ def test_pricing_shuffle_carries_partials_not_rows(spark):
     assert scanned >= 1000, scanned
     # |groups| x map partitions: 6 groups, single-file scan -> tiny
     assert 0 < shuffled <= 64, (shuffled, scanned)
+
+
+def test_sessionize_shuffles_rows_exactly_once_measured(spark):
+    """The measured form of the W1-W7 single-shuffle contract (the
+    string form is test_window_block_single_shuffle): the window block
+    must move each data row through an Exchange EXACTLY once — total
+    shuffle records written == rows entering the window block. A second
+    row-shuffle doubles the measured count even if some future plan
+    shape confuses the string match."""
+    ev = load_table(spark, SF, "events").withColumnRenamed("ts", "time")
+    out = add_session_features(
+        ev, key="user_id", ts="time", proc_time_col="value",
+        request_col="event_type",
+    )
+    n = len(out.collect())  # execute THIS frame's QueryExecution
+    rows = _executed_metric_sum(out, "Scan parquet", "numOutputRows")
+    shuffled = _executed_metric_sum(out, "Exchange", "shuffleRecordsWritten")
+    assert n > 0 and rows >= n  # scan may emit more pre-filter rows
+    # exactly one row-shuffle: every surviving row crosses one Exchange
+    assert n <= shuffled <= rows, (rows, shuffled, n)
