@@ -1,0 +1,156 @@
+"""Count-Min sketch: point-frequency estimates over unbounded key
+domains, as a mergeable d x w count table (Cormode & Muthukrishnan
+2005, "An improved data stream summary: the count-min sketch and its
+applications" — public method).
+
+Where it sits in the summary family: the Misra-Gries summary
+(streaming/heavyhitters.py) bounds only the top-C keys and the
+log-bucketed histogram (streaming/histogram.py) only numeric values;
+the CM sketch answers "how often did THIS key occur" for ANY key with
+the one-sided guarantee
+
+    true <= est <= true + eps * N     (eps = e / width,
+                                       w.p. 1 - delta, delta = e^-depth)
+
+— overestimates only, never under.  A training-data pipeline uses it to
+screen n-gram/boilerplate frequencies at corpus scale without a
+corpus-wide groupBy whose result is as big as the key domain.
+
+Determinism (the DOULION move, functions/hashing.h60): row i's bucket
+is the 60-bit md5 hash seeded with i, mod width — both engines compute
+the identical bucket, so the sketch CONTENTS (not just the bound) are
+value-exact twinnable in SQL:
+
+    ('0x' || substr(md5(i || ':' || key), 1, 15))::BIGINT % width
+
+Scale shape (100 TB): the build is one depth-way explode (d rows per
+input row) into ONE map-side-combinable hash agg whose output is
+<= d * width rows — the shuffle carries sketch cells, never the corpus.
+Estimates broadcast the d*width-row sketch to the probe keys.  Sketches
+merge by cell-wise sum (union + one agg), so shard/stream/day sketches
+combine without touching data — the Agarwal et al. 2012 mergeable-
+summaries contract, same as the MG summary and the histogram.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60
+
+__all__ = ["cm_bucket", "cm_build", "cm_merge", "cm_estimate"]
+
+#: Default geometry: eps = e/1024 ~= 0.27%, delta = e^-4 ~= 1.8%.
+WIDTH = 1024
+DEPTH = 4
+
+
+def cm_bucket(key: Column, row: int, width: int = WIDTH) -> Column:
+    """Row `row`'s bucket for a key: h60 seeded with the row index, mod
+    width.  h60 is non-negative (15 hex digits), so Spark's % and SQL's
+    % agree.  SQL twin:
+    ('0x' || substr(md5(<row> || ':' || key), 1, 15))::BIGINT % <width>
+    """
+    return (h60(key, seed=row) % F.lit(width)).cast("int")
+
+
+def _cells(
+    df: DataFrame, key_col: str, width: int, depth: int
+) -> DataFrame:
+    """(row, bucket, w) one cell-increment per (input row, sketch row)."""
+    weighted = "_cm_w" in df.columns
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                cm_bucket(F.col(key_col).cast("string"), r, width).alias(
+                    "bucket"
+                ),
+            )
+            for r in range(depth)
+        ]
+    )
+    out = df.select(
+        F.explode(pairs).alias("c"),
+        (F.col("_cm_w") if weighted else F.lit(1)).cast("long").alias("w"),
+    )
+    return out.select("c.row", "c.bucket", "w")
+
+
+def cm_build(
+    df: DataFrame,
+    key_col: str = "key",
+    width: int = WIDTH,
+    depth: int = DEPTH,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the sketch: (row int, bucket int, cnt long), <= depth*width
+    rows.  NULL keys are dropped (the groupBy-NULL convention of the MG
+    summary's caller: count them upstream if they matter).  Pass
+    ``weight_col`` to add that per-row weight instead of 1 (token
+    counts, byte sizes).
+
+    One explode + ONE hash aggregation with map-side combine: the
+    shuffle moves at most depth*width partial cells per map partition,
+    never data rows."""
+    if width < 1 or depth < 1:
+        raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
+    base = df.filter(F.col(key_col).isNotNull())
+    if weight_col is not None:
+        base = base.withColumn("_cm_w", F.col(weight_col))
+    return (
+        _cells(base, key_col, width, depth)
+        .groupBy("row", "bucket")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of same-geometry sketches — the mergeable-summary
+    contract: sketch(A ++ B) == merge(sketch(A), sketch(B)) EXACTLY
+    (addition commutes through min only at query time; the cells
+    themselves are plain sums)."""
+    if not sketches:
+        raise ValueError("cm_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str = "key",
+    width: int = WIDTH,
+    depth: int = DEPTH,
+) -> DataFrame:
+    """(key, est): the CM point estimate — min over the depth rows of
+    the key's cell counts; absent cells read 0.  The sketch frame
+    (<= depth*width rows) broadcasts to the probe side, so estimating
+    costs the probe keys one narrow map + one per-key min agg — no
+    shuffle of anything corpus-sized."""
+    probes = (
+        keys.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col).cast("string").alias("key"))
+        .distinct()
+    )
+    cells = probes.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cm_bucket(F.col("key"), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("key", "c.row", "c.bucket")
+    joined = cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy("key").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )

@@ -1,0 +1,198 @@
+"""Count-Min sketch (operators/cmsketch.py): pure-Python cell-level
+differential, the one-sided estimate guarantee, exact mergeability,
+weighted builds, and the DuckDB twin rehearsal for the queued r10
+catalog gate (`cm_point_frequency`) — validated here so registration is
+a freeze-compliant pre-rehearsed move, never a never-checked entry."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_elb_logs_etl_spark.operators import cmsketch as cm
+
+W, D = 64, 4  # small geometry so fixture collisions actually occur
+
+
+def _h60_py(s: str, seed: int) -> int:
+    return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+
+def _cm_py(keys, width=W, depth=D, weights=None):
+    cells: dict[tuple[int, int], int] = {}
+    for i, k in enumerate(keys):
+        w = 1 if weights is None else weights[i]
+        for r in range(depth):
+            b = _h60_py(k, r) % width
+            cells[(r, b)] = cells.get((r, b), 0) + w
+    return cells
+
+
+def _est_py(cells, key, width=W, depth=D):
+    return min(cells.get((r, _h60_py(key, r) % width), 0) for r in range(depth))
+
+
+KEYS = list("aaabbbcdde") * 3 + ["boilerplate"] * 7 + list("xyz")
+
+
+def _rows(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "key string")
+
+
+def test_build_matches_python_cell_for_cell(spark):
+    got = {
+        (r.row, r.bucket): r.cnt
+        for r in cm.cm_build(_rows(spark, KEYS), width=W, depth=D).collect()
+    }
+    assert got == _cm_py(KEYS)
+
+
+def test_estimate_is_one_sided_and_matches_replica(spark):
+    sk = cm.cm_build(_rows(spark, KEYS), width=W, depth=D)
+    probe_keys = sorted(set(KEYS)) + ["absent1", "absent2"]
+    got = {
+        r.key: r.est
+        for r in cm.cm_estimate(
+            sk, _rows(spark, probe_keys), width=W, depth=D
+        ).collect()
+    }
+    cells = _cm_py(KEYS)
+    true = {k: KEYS.count(k) for k in probe_keys}
+    n = len(KEYS)
+    for k in probe_keys:
+        assert got[k] == _est_py(cells, k), k  # deterministic replica
+        assert true[k] <= got[k] <= true[k] + n, k  # one-sided, bounded
+
+
+def test_merge_equals_single_build(spark):
+    a, b = KEYS[:11], KEYS[11:]
+    merged = cm.cm_merge(
+        cm.cm_build(_rows(spark, a), width=W, depth=D),
+        cm.cm_build(_rows(spark, b), width=W, depth=D),
+    )
+    whole = cm.cm_build(_rows(spark, KEYS), width=W, depth=D)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_weighted_build(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("b", 2), ("a", 1)], "key string, n long"
+    )
+    got = {
+        (r.row, r.bucket): r.cnt
+        for r in cm.cm_build(df, width=W, depth=D, weight_col="n").collect()
+    }
+    assert got == _cm_py(["a", "b", "a"], weights=[3, 2, 1])
+
+
+def test_null_keys_dropped_and_geometry_guard(spark):
+    df = spark.createDataFrame([("a",), (None,)], "key string")
+    total = (
+        cm.cm_build(df, width=W, depth=D).agg(F.sum("cnt")).collect()[0][0]
+    )
+    assert total == D  # one key, D cells
+    with pytest.raises(ValueError):
+        cm.cm_build(df, width=0)
+
+
+# --- the queued r10 catalog gate, rehearsed against DuckDB ---------------
+
+# Mix of high-frequency corpus vocabulary (join/hash/row/... are the
+# synthetic documents' top terms), mid-frequency, and two absent
+# controls — so the gate hash covers real estimates, not a zero column.
+CM_PROBE_TERMS = [
+    "join", "hash", "row", "batch", "scan", "column",
+    "filter", "merge", "table", "the", "data", "vector",
+    "gardenpath", "entropy",
+]
+
+# Table-bound oracle for the queued `cm_point_frequency` entry: replicate
+# the sketch (same md5 bucket math) over the documents token stream,
+# estimate the probe terms, and emit (key, est, exact, overestimate_ok).
+CM_ORACLE_QUEUED_R10 = f"""
+WITH tok AS (
+  SELECT u.tk AS key
+  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents), UNNEST(toks) AS u(tk)
+), cells AS (
+  SELECT r.i AS row,
+         ('0x' || substr(md5(r.i || ':' || key), 1, 15))::BIGINT % {cm.WIDTH}
+           AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM tok, (SELECT UNNEST(generate_series(0, {cm.DEPTH - 1})) AS i) r
+  GROUP BY 1, 2
+), probe AS (
+  SELECT * FROM (VALUES {", ".join(f"('{t}')" for t in sorted(CM_PROBE_TERMS))}) v(key)
+), probe_cells AS (
+  SELECT p.key, r.i AS row,
+         ('0x' || substr(md5(r.i || ':' || p.key), 1, 15))::BIGINT % {cm.WIDTH}
+           AS bucket
+  FROM probe p, (SELECT UNNEST(generate_series(0, {cm.DEPTH - 1})) AS i) r
+), est AS (
+  SELECT pc.key, min(coalesce(c.cnt, 0)) AS est
+  FROM probe_cells pc
+  LEFT JOIN cells c ON c.row = pc.row AND c.bucket = pc.bucket
+  GROUP BY pc.key
+), exact AS (
+  SELECT key, count(*)::BIGINT AS exact FROM tok GROUP BY key
+)
+SELECT e.key, e.est, coalesce(x.exact, 0) AS exact,
+       e.est >= coalesce(x.exact, 0) AS overestimate_ok
+FROM est e LEFT JOIN exact x USING (key)
+"""
+
+
+def q_cm_point_frequency(spark, sf_dir):
+    """The queued r10 registration body (kept here next to its oracle so
+    the move is mechanical): CM over the documents token stream, probe a
+    fixed term list, emit (key, est, exact, overestimate_ok)."""
+    from advanced_elb_logs_etl_spark.functions.hashing import tokens
+    from advanced_elb_logs_etl_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("key"))
+    sk = cm.cm_build(tok)
+    probes = spark.createDataFrame(
+        [(t,) for t in CM_PROBE_TERMS], "key string"
+    )
+    est = cm.cm_estimate(sk, probes)
+    exact = tok.groupBy("key").agg(F.count(F.lit(1)).alias("exact"))
+    return (
+        est.join(exact, "key", "left")
+        .select(
+            "key",
+            "est",
+            F.coalesce(F.col("exact"), F.lit(0)).alias("exact"),
+            (F.col("est") >= F.coalesce(F.col("exact"), F.lit(0))).alias(
+                "overestimate_ok"
+            ),
+        )
+    )
+
+
+def test_queued_catalog_gate_matches_duckdb_twin(spark):
+    """Full driver-protocol rehearsal of the queued r10 entry at sf0.01:
+    sorted-column value comparison, the oracle_sim normalization."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    sdf = q_cm_point_frequency(spark, sf)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        tuple(str(x) for x in r) for r in sdf.select(*scols).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    d = con.execute(CM_ORACLE_QUEUED_R10)
+    cols = [c[0] for c in d.description]
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    drows = sorted(tuple(str(r[i]) for i in idx) for r in d.fetchall())
+    assert sorted(cols) == scols
+    assert srows == drows
+    assert len(srows) == len(CM_PROBE_TERMS)
