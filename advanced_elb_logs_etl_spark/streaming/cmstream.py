@@ -1,0 +1,197 @@
+"""Streaming Count-Min sketch: the batch CM operator
+(operators/cmsketch.py) maintained across micro-batches with the
+bounded, restart-safe parquet store of streaming/histogram.py.
+
+Because CM cells are plain sums, the cumulative streamed sketch equals
+the single-pass batch sketch WHATEVER the micro-batch slicing (the
+mergeable-summaries contract, Agarwal et al. 2012) — so the operator is
+value-exact-checkable against the batch SQL twin at ANY geometry, like
+the histogram and unlike compacting summaries.
+
+Store layout under ``store_dir``: ``cells/batch=N`` holds the
+CUMULATIVE (row, bucket, cnt) sketch as of batch N (<= depth*width
+rows, so full-state rewrite per batch is cheaper than a delta
+protocol); reads filter ``batch < batch_id`` (retry-safe), writes are
+overwrite-idempotent.  No empty-batch sentinel is needed (the
+heavy-hitters ADVICE-r8 class): cell counts are MONOTONE — an empty
+batch partition implies every prior batch was empty too, so the
+row-derived latest-prior read is always correct (the histogram.py
+adjudication, same reasoning).
+
+Scale shape (100 TB/day stream): per micro-batch one depth-way explode
++ ONE map-side-combinable hash agg onto <= d*w cells, a union with the
+<= d*w-row prior state, and one bounded write.  State is d*w cells
+regardless of stream length; sketches from independent streams merge by
+cell-wise sum (cmsketch.cm_merge).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import cmsketch as cm
+
+__all__ = ["cm_batch_step", "cm_stream", "current_sketch", "replay_cm"]
+
+CELLS_SCHEMA = T.StructType(
+    [
+        T.StructField("row", T.IntegerType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("batch", T.IntegerType()),
+    ]
+)
+
+
+def cm_batch_step(
+    batch_df: DataFrame,
+    prev_cells: DataFrame | None,
+    key_col: str = "key",
+    width: int = cm.WIDTH,
+    depth: int = cm.DEPTH,
+) -> DataFrame:
+    """One micro-batch merge: the new cumulative (row, bucket, cnt)
+    sketch — the batch's cells cell-wise-summed into the prior state
+    (exactly cm_merge, inlined to keep one agg)."""
+    cells = cm.cm_build(batch_df, key_col, width, depth)
+    if prev_cells is not None:
+        cells = (
+            cells.unionByName(prev_cells.select("row", "bucket", "cnt"))
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    return cells
+
+
+def _read_prior(
+    spark: SparkSession, path: str, before_batch: int
+) -> DataFrame | None:
+    try:
+        df = (
+            spark.read.schema(CELLS_SCHEMA)
+            .option("basePath", path)
+            .parquet(path)
+            .filter(F.col("batch") < F.lit(int(before_batch)))
+        )
+    except Exception:
+        return None
+    latest = df.agg(F.max("batch").alias("batch"))
+    return df.join(F.broadcast(latest), "batch").drop("batch")
+
+
+def _process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    key_col: str,
+    width: int,
+    depth: int,
+) -> None:
+    """foreachBatch body (module-level, retry-safe: reads batches <
+    batch_id, overwrite-idempotent write — the neardup/heavyhitters/
+    histogram contract)."""
+    cells_dir = os.path.join(store_dir, "cells")
+    prev = _read_prior(batch_df.sparkSession, cells_dir, batch_id)
+    out = cm_batch_step(batch_df, prev, key_col, width, depth)
+    out.write.mode("overwrite").parquet(
+        os.path.join(cells_dir, f"batch={batch_id}")
+    )
+
+
+def cm_stream(
+    stream: DataFrame,
+    store_dir: str,
+    key_col: str = "key",
+    width: int = cm.WIDTH,
+    depth: int = cm.DEPTH,
+):
+    """Attach the sketch to a streaming frame; returns a configured
+    DataStreamWriter (caller adds trigger/checkpoint and starts it).
+    One store per checkpoint lineage."""
+    if width < 1 or depth < 1:
+        raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _process_batch(batch_df, batch_id, store_dir, key_col, width, depth)
+
+    return stream.writeStream.foreachBatch(_process).outputMode("update")
+
+
+def current_sketch(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The latest cumulative (row, bucket, cnt) sketch — feed it to
+    cmsketch.cm_estimate for point queries, or cm_merge to combine with
+    other stores."""
+    cells = _read_prior(spark, os.path.join(store_dir, "cells"), 2**31 - 1)
+    if cells is None:
+        return spark.createDataFrame([], "row int, bucket int, cnt bigint")
+    return cells
+
+
+def replay_cm(
+    spark: SparkSession,
+    df: DataFrame,
+    key_col: str,
+    width: int = cm.WIDTH,
+    depth: int = cm.DEPTH,
+    num_batches: int = 1,
+    order_col: str | None = None,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Replay a batch frame through the streaming sketch (real
+    micro-batch engine: staged parquet source, foreachBatch sink,
+    availableNow trigger) and return the final cumulative cells — which
+    equal cm_build of the whole frame whatever the slicing."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    order_col = order_col or key_col
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_cm_")
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        src = os.path.join(tmp, "src")
+        ckpt = os.path.join(tmp, "ckpt")
+        store = os.path.join(tmp, "store")
+        if num_batches <= 1:
+            df.coalesce(8).write.parquet(src)
+        else:
+            df.repartitionByRange(
+                num_batches, F.col(order_col)
+            ).sortWithinPartitions(order_col).write.parquet(src)
+            base = _time.time() - 3600
+            parts = sorted(
+                f
+                for f in os.listdir(src)
+                if f.startswith("part-") and not f.endswith(".crc")
+            )
+            for i, fname in enumerate(parts):
+                os.utime(os.path.join(src, fname), (base + i, base + i))
+        reader = spark.readStream.schema(df.schema)
+        if num_batches > 1:
+            reader = reader.option("maxFilesPerTrigger", 1).option(
+                "latestFirst", "false"
+            )
+        stream = reader.parquet(src)
+        writer = cm_stream(stream, store, key_col, width, depth)
+        q = (
+            writer.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"CM replay did not drain within {timeout_sec}s — refusing "
+                "to read a partially-populated store"
+            )
+        final = current_sketch(spark, store)
+        rows = final.collect()  # materialize before the store dir is removed
+        return spark.createDataFrame(rows, "row int, bucket int, cnt bigint")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+        shutil.rmtree(tmp, ignore_errors=True)
