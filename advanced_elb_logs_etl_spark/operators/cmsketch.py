@@ -56,10 +56,9 @@ def cm_bucket(key: Column, row: int, width: int = WIDTH) -> Column:
 
 
 def _cells(
-    df: DataFrame, key_col: str, width: int, depth: int
+    df: DataFrame, key_col: str, width: int, depth: int, weighted: bool
 ) -> DataFrame:
     """(row, bucket, w) one cell-increment per (input row, sketch row)."""
-    weighted = "_cm_w" in df.columns
     pairs = F.array(
         *[
             F.struct(
@@ -98,9 +97,32 @@ def cm_build(
         raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
     base = df.filter(F.col(key_col).isNotNull())
     if weight_col is not None:
-        base = base.withColumn("_cm_w", F.col(weight_col))
+        # The one-sided guarantee needs non-negative integral weights:
+        # a NULL would silently contribute 0 (F.sum skips it), a
+        # fractional weight would truncate through the long cast, and a
+        # negative one could make est < true.  Integrality is enforced
+        # driver-side from the dtype; NULL/negative per-row via
+        # assert_true (one codegen branch, fails the job loudly).
+        dtype = dict(df.dtypes)[weight_col]
+        if dtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"weight_col {weight_col!r} must be an integral column, "
+                f"got {dtype} (fractional weights would truncate and "
+                "break the overestimate-only contract)"
+            )
+        w = F.col(weight_col)
+        base = base.withColumn(
+            "_cm_w",
+            F.when(
+                F.assert_true(
+                    w.isNotNull() & (w >= 0),
+                    f"cm_build: NULL or negative weight in {weight_col!r}",
+                ).isNull(),
+                w,
+            ),
+        )
     return (
-        _cells(base, key_col, width, depth)
+        _cells(base, key_col, width, depth, weighted=weight_col is not None)
         .groupBy("row", "bucket")
         .agg(F.sum("w").alias("cnt"))
     )
@@ -110,7 +132,13 @@ def cm_merge(*sketches: DataFrame) -> DataFrame:
     """Cell-wise sum of same-geometry sketches — the mergeable-summary
     contract: sketch(A ++ B) == merge(sketch(A), sketch(B)) EXACTLY
     (addition commutes through min only at query time; the cells
-    themselves are plain sums)."""
+    themselves are plain sums).
+
+    GEOMETRY IS CALLER-OWNED: a cell frame does not carry width/depth
+    (keeping it a plain 3-column table the SQL twin can replicate), so
+    merging sketches built at different geometries is undetectable here
+    and produces garbage — pin width/depth as module-level constants at
+    every build site, the way the catalog gates do."""
     if not sketches:
         raise ValueError("cm_merge needs at least one sketch")
     out = sketches[0]

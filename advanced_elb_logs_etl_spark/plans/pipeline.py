@@ -118,7 +118,17 @@ def autosize_for_inputs(spark: SparkSession, paths: list[str]) -> int | None:
     session default stands."""
     explicit = os.environ.get("ELB_SHUFFLE_PARTITIONS")
     if explicit:
-        parts = int(explicit)
+        try:
+            parts = int(explicit.strip())
+        except ValueError as exc:
+            raise ValueError(
+                f"ELB_SHUFFLE_PARTITIONS must be an integer, got "
+                f"{explicit!r}"
+            ) from exc
+        if parts < 1:
+            raise ValueError(
+                f"ELB_SHUFFLE_PARTITIONS must be >= 1, got {parts}"
+            )
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         return parts
     est = estimate_input_bytes(spark, paths)

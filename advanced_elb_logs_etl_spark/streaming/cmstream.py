@@ -56,13 +56,12 @@ def cm_batch_step(
 ) -> DataFrame:
     """One micro-batch merge: the new cumulative (row, bucket, cnt)
     sketch — the batch's cells cell-wise-summed into the prior state
-    (exactly cm_merge, inlined to keep one agg)."""
+    via cm_merge (Catalyst collapses the two adjacent aggregations into
+    one partial+final pair, so delegating costs nothing)."""
     cells = cm.cm_build(batch_df, key_col, width, depth)
     if prev_cells is not None:
-        cells = (
-            cells.unionByName(prev_cells.select("row", "bucket", "cnt"))
-            .groupBy("row", "bucket")
-            .agg(F.sum("cnt").alias("cnt"))
+        cells = cm.cm_merge(
+            cells, prev_cells.select("row", "bucket", "cnt")
         )
     return cells
 
@@ -70,6 +69,8 @@ def cm_batch_step(
 def _read_prior(
     spark: SparkSession, path: str, before_batch: int
 ) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
     try:
         df = (
             spark.read.schema(CELLS_SCHEMA)
@@ -77,7 +78,12 @@ def _read_prior(
             .parquet(path)
             .filter(F.col("batch") < F.lit(int(before_batch)))
         )
-    except Exception:
+    except AnalysisException:
+        # ONLY the missing-path case (first batch, empty store) may mean
+        # "no prior state".  Transient FS errors must PROPAGATE: treating
+        # them as no-state would persist a cumulative sketch missing all
+        # prior counts — a permanent silent undercount that breaks the
+        # one-sided estimate contract (r9 self-review finding).
         return None
     latest = df.agg(F.max("batch").alias("batch"))
     return df.join(F.broadcast(latest), "batch").drop("batch")

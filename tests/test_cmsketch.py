@@ -196,3 +196,34 @@ def test_queued_catalog_gate_matches_duckdb_twin(spark):
     assert sorted(cols) == scols
     assert srows == drows
     assert len(srows) == len(CM_PROBE_TERMS)
+
+
+def test_weight_guards(spark):
+    """The overestimate-only contract's weight preconditions (r9
+    self-review): fractional dtypes rejected driver-side; NULL and
+    negative weights fail the job loudly instead of silently
+    undercounting."""
+    frac = spark.createDataFrame([("a", 1.5)], "key string, n double")
+    with pytest.raises(ValueError, match="integral"):
+        cm.cm_build(frac, weight_col="n")
+    from py4j.protocol import Py4JJavaError
+
+    bad_null = spark.createDataFrame(
+        [("a", 2), ("b", None)], "key string, n long"
+    )
+    with pytest.raises(Exception) as ei:
+        cm.cm_build(bad_null, width=W, depth=D, weight_col="n").collect()
+    assert "weight" in str(ei.value) or "ASSERT" in str(ei.value).upper()
+    bad_neg = spark.createDataFrame([("a", -1)], "key string, n long")
+    with pytest.raises(Exception) as ei:
+        cm.cm_build(bad_neg, width=W, depth=D, weight_col="n").collect()
+    assert "weight" in str(ei.value) or "ASSERT" in str(ei.value).upper()
+
+
+def test_leftover_cm_w_column_is_ignored_when_unweighted(spark):
+    """A caller frame that happens to carry a _cm_w column must NOT be
+    silently treated as weighted (r9 self-review): unweighted builds
+    count 1 per row regardless of ambient column names."""
+    df = spark.createDataFrame([("a", 99), ("a", 99)], "key string, _cm_w long")
+    total = cm.cm_build(df, width=W, depth=D).agg(F.sum("cnt")).collect()[0][0]
+    assert total == 2 * D  # two rows x D cells, weight 1 each

@@ -4,8 +4,6 @@ into the production pipeline entry (VERDICT r8 item 5)."""
 
 from __future__ import annotations
 
-import os
-
 from advanced_elb_logs_etl_spark.plans.pipeline import (
     autosize_for_inputs,
     estimate_input_bytes,
@@ -82,3 +80,20 @@ def test_pipeline_entry_autosizes_from_inputs(spark, tmp_path, monkeypatch):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "17"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_env_override_validation(spark, tmp_path, monkeypatch):
+    """ELB_SHUFFLE_PARTITIONS must fail loudly on junk instead of
+    setting an invalid partition count (r9 self-review)."""
+    import pytest
+
+    f = tmp_path / "x.gz"
+    f.write_bytes(b"x" * 100)
+    monkeypatch.setenv("ELB_SHUFFLE_PARTITIONS", "0")
+    with pytest.raises(ValueError, match=">= 1"):
+        autosize_for_inputs(spark, [str(f)])
+    monkeypatch.setenv("ELB_SHUFFLE_PARTITIONS", "abc")
+    with pytest.raises(ValueError, match="integer"):
+        autosize_for_inputs(spark, [str(f)])
+    monkeypatch.setenv("ELB_SHUFFLE_PARTITIONS", " 96 ")
+    assert autosize_for_inputs(spark, [str(f)]) == 96

@@ -133,7 +133,7 @@ def main() -> int:
             with open(p) as fh:
                 yield from fh
 
-    if True:
+    if log_files:
         for line in _lines():
             ev = json.loads(line)
             kind = ev.get("Event")
