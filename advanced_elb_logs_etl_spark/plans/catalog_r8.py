@@ -164,9 +164,12 @@ WITH pad AS (
          (-sum(s))::DOUBLE / count(*)::DOUBLE / 1e6 AS avg_nll
   FROM scored GROUP BY doc_id
 )
-SELECT doc_id, n_transitions, nll_micro, avg_nll
+SELECT doc_id, n_transitions, nll_micro
 FROM agg ORDER BY avg_nll, nll_micro, doc_id LIMIT {_LM_K}
 """
+# r10 fix: avg_nll stays the ORDER BY key (same IEEE quotient both
+# engines) but is dropped from the hashed projection — the registered
+# surface is integer-exact (doc_id, n_transitions, nll_micro).
 
 # ---------------------------------------------------------------------------
 # Also pre-validated this session (r10-queue candidate): BM25 retrieval,
@@ -209,9 +212,11 @@ tok AS (
   SELECT doc_id, count(*) AS n_hit_terms, sum(c_micro) AS score_micro
   FROM contrib GROUP BY doc_id
 )
-SELECT doc_id, n_hit_terms, score_micro, score_micro / 1e6 AS score
+SELECT doc_id, n_hit_terms, score_micro
 FROM scored ORDER BY score_micro DESC, doc_id LIMIT {_BM25_K}
 """
+# r10 fix: the derived DOUBLE score (= score_micro / 1e6) is dropped
+# from the hashed projection on both sides — integer-exact surface.
 
 
 @register("gopher_rules_battery", _RULES_ORACLE)

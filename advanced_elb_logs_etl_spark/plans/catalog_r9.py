@@ -89,7 +89,14 @@ def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     trans = lm.transition_rows(docs).localCheckpoint(eager=True)
     model = lm.train_bigram_lm(docs, top_v=_LM_TOP_V, transitions=trans)
-    return lm.select_most_fluent(docs, model, k=_LM_K, transitions=trans)
+    # Registered output surface is integer-exact (r10 fix for the r9
+    # driver-red hash): the derived DOUBLE avg_nll is the quotient of the
+    # two integer columns below and stayed the ORDERING key inside
+    # select_most_fluent, but it is dropped from the hashed projection so
+    # the driver's float normalization can never disagree with the twin's.
+    return lm.select_most_fluent(docs, model, k=_LM_K, transitions=trans).drop(
+        "avg_nll"
+    )
 
 
 @register("bm25_topk", _BM25_ORACLE_QUEUED_R10)
@@ -105,7 +112,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row broadcast, TakeOrdered(k) — no global sort, no corpus
     shuffle beyond the per-doc term agg."""
     docs = _t(spark, sf_dir, "documents")
-    return retrieval.bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+    # Integer-exact registered surface (r10 fix, same class as
+    # lm_perplexity_filter): score = score_micro / 1e6 is derived and
+    # carries no extra information, so it is dropped from the hashed
+    # projection; score_micro remains the ordering key on both sides.
+    return retrieval.bm25_topk(docs, _BM25_TERMS, k=_BM25_K).drop("score")
 
 
 _PQ_DIM, _PQ_M, _PQ_CODES, _PQ_TOPK, _PQ_NQ = 64, 8, 8, 10, 4

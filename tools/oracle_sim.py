@@ -26,8 +26,20 @@ if REPO not in sys.path:
 
 
 def _norm(v):
+    """Value normalization for the cross-engine hash.
+
+    Floats use FULL precision (repr = shortest round-trip string, 17
+    significant digits when needed) so this rehearsal is at least as
+    strict as the driver's gate on every type: a query only passes here
+    if its doubles are IEEE-bit-identical across engines.  (Round-9
+    postmortem: the old %.10g normalization was WEAKER than the driver
+    and let two derived-DOUBLE columns ship rehearsal-green but
+    driver-red.  Policy since: registered outputs are integer/decimal
+    exact or explicitly fixed-scale-rounded on both sides; any float
+    column must survive full-precision hashing here.)
+    """
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else f"{v:.10g}"
+        return "NaN" if math.isnan(v) else repr(v)
     return str(v)
 
 
