@@ -99,79 +99,16 @@ def test_null_keys_dropped_and_geometry_guard(spark):
         cm.cm_build(df, width=0)
 
 
-# --- the queued r10 catalog gate, rehearsed against DuckDB ---------------
+# --- the registered r10 catalog gate, rehearsed against DuckDB -----------
+# The registration bodies moved to plans/catalog_r10.py in round 10 (the
+# mechanical move promised here in r9); the rehearsal below now imports
+# and exercises the EXACT registered entry.
 
-# Mix of high-frequency corpus vocabulary (join/hash/row/... are the
-# synthetic documents' top terms), mid-frequency, and two absent
-# controls — so the gate hash covers real estimates, not a zero column.
-CM_PROBE_TERMS = [
-    "join", "hash", "row", "batch", "scan", "column",
-    "filter", "merge", "table", "the", "data", "vector",
-    "gardenpath", "entropy",
-]
-
-# Table-bound oracle for the queued `cm_point_frequency` entry: replicate
-# the sketch (same md5 bucket math) over the documents token stream,
-# estimate the probe terms, and emit (key, est, exact, overestimate_ok).
-CM_ORACLE_QUEUED_R10 = f"""
-WITH tok AS (
-  SELECT u.tk AS key
-  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
-        FROM documents), UNNEST(toks) AS u(tk)
-), cells AS (
-  SELECT r.i AS row,
-         ('0x' || substr(md5(r.i || ':' || key), 1, 15))::BIGINT % {cm.WIDTH}
-           AS bucket,
-         count(*)::BIGINT AS cnt
-  FROM tok, (SELECT UNNEST(generate_series(0, {cm.DEPTH - 1})) AS i) r
-  GROUP BY 1, 2
-), probe AS (
-  SELECT * FROM (VALUES {", ".join(f"('{t}')" for t in sorted(CM_PROBE_TERMS))}) v(key)
-), probe_cells AS (
-  SELECT p.key, r.i AS row,
-         ('0x' || substr(md5(r.i || ':' || p.key), 1, 15))::BIGINT % {cm.WIDTH}
-           AS bucket
-  FROM probe p, (SELECT UNNEST(generate_series(0, {cm.DEPTH - 1})) AS i) r
-), est AS (
-  SELECT pc.key, min(coalesce(c.cnt, 0)) AS est
-  FROM probe_cells pc
-  LEFT JOIN cells c ON c.row = pc.row AND c.bucket = pc.bucket
-  GROUP BY pc.key
-), exact AS (
-  SELECT key, count(*)::BIGINT AS exact FROM tok GROUP BY key
+from advanced_elb_logs_etl_spark.plans.catalog_r10 import (  # noqa: E402
+    _CM_ORACLE as CM_ORACLE_QUEUED_R10,
+    _CM_PROBE_TERMS as CM_PROBE_TERMS,
+    q_cm_point_frequency,
 )
-SELECT e.key, e.est, coalesce(x.exact, 0) AS exact,
-       e.est >= coalesce(x.exact, 0) AS overestimate_ok
-FROM est e LEFT JOIN exact x USING (key)
-"""
-
-
-def q_cm_point_frequency(spark, sf_dir):
-    """The queued r10 registration body (kept here next to its oracle so
-    the move is mechanical): CM over the documents token stream, probe a
-    fixed term list, emit (key, est, exact, overestimate_ok)."""
-    from advanced_elb_logs_etl_spark.functions.hashing import tokens
-    from advanced_elb_logs_etl_spark.sources.testdata import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(tokens(F.col("text"))).alias("key"))
-    sk = cm.cm_build(tok)
-    probes = spark.createDataFrame(
-        [(t,) for t in CM_PROBE_TERMS], "key string"
-    )
-    est = cm.cm_estimate(sk, probes)
-    exact = tok.groupBy("key").agg(F.count(F.lit(1)).alias("exact"))
-    return (
-        est.join(exact, "key", "left")
-        .select(
-            "key",
-            "est",
-            F.coalesce(F.col("exact"), F.lit(0)).alias("exact"),
-            (F.col("est") >= F.coalesce(F.col("exact"), F.lit(0))).alias(
-                "overestimate_ok"
-            ),
-        )
-    )
 
 
 def test_queued_catalog_gate_matches_duckdb_twin(spark):

@@ -81,73 +81,14 @@ def test_empty_store_and_geometry_guard(spark):
         cms.cm_stream(None, "/tmp/x", width=0)
 
 
-# --- the queued r10 streaming gate, rehearsed against DuckDB -------------
-# Registration body: replay the events event_type stream through the
-# sketch at the DEFAULT geometry, estimate the 5 event types + one
-# absent key, emit (key, est, exact, overestimate_ok).  Because counts
-# are exact sums and the slicing is deterministic, the oracle can
-# replicate the whole thing in SQL (the cmsketch twin over event_type).
+# --- the registered r10 streaming gate, rehearsed against DuckDB ---------
+# Registration body moved to plans/catalog_r10.py in round 10; the
+# rehearsal imports the registered entry.
 
-STREAM_CM_ORACLE_QUEUED_R10 = f"""
-WITH keys AS (
-  SELECT event_type AS key FROM events WHERE event_type IS NOT NULL
-), cells AS (
-  SELECT r.i AS row,
-         ('0x' || substr(md5(r.i || ':' || key), 1, 15))::BIGINT % {cm.WIDTH}
-           AS bucket,
-         count(*)::BIGINT AS cnt
-  FROM keys, (SELECT UNNEST(generate_series(0, {cm.DEPTH - 1})) AS i) r
-  GROUP BY 1, 2
-), probe AS (
-  SELECT DISTINCT event_type AS key FROM events WHERE event_type IS NOT NULL
-  UNION SELECT 'absent_key'
-), probe_cells AS (
-  SELECT p.key, r.i AS row,
-         ('0x' || substr(md5(r.i || ':' || p.key), 1, 15))::BIGINT % {cm.WIDTH}
-           AS bucket
-  FROM probe p, (SELECT UNNEST(generate_series(0, {cm.DEPTH - 1})) AS i) r
-), est AS (
-  SELECT pc.key, min(coalesce(c.cnt, 0)) AS est
-  FROM probe_cells pc
-  LEFT JOIN cells c ON c.row = pc.row AND c.bucket = pc.bucket
-  GROUP BY pc.key
-), exact AS (
-  SELECT key, count(*)::BIGINT AS exact FROM keys GROUP BY key
+from advanced_elb_logs_etl_spark.plans.catalog_r10 import (  # noqa: E402
+    _STREAM_CM_ORACLE as STREAM_CM_ORACLE_QUEUED_R10,
+    q_stream_cm_point_frequency,
 )
-SELECT e.key, e.est, coalesce(x.exact, 0) AS exact,
-       e.est >= coalesce(x.exact, 0) AS overestimate_ok
-FROM est e LEFT JOIN exact x USING (key)
-"""
-
-
-def q_stream_cm_point_frequency(spark, sf_dir):
-    """The queued r10 registration body: real 3-batch replay of the
-    events event_type stream through the sketch store, then point
-    estimates for every observed type + one absent control."""
-    from advanced_elb_logs_etl_spark.sources.testdata import load_table
-
-    ev = load_table(spark, sf_dir, "events")
-    keys = ev.filter(F.col("event_type").isNotNull()).select(
-        "event_id", F.col("event_type").alias("key")
-    )
-    sk = cms.replay_cm(
-        spark, keys, "key", num_batches=3, order_col="event_id"
-    )
-    probes = (
-        keys.select("key")
-        .distinct()
-        .unionByName(spark.createDataFrame([("absent_key",)], "key string"))
-    )
-    est = cm.cm_estimate(sk, probes)
-    exact = keys.groupBy("key").agg(F.count(F.lit(1)).alias("exact"))
-    return est.join(exact, "key", "left").select(
-        "key",
-        "est",
-        F.coalesce(F.col("exact"), F.lit(0)).alias("exact"),
-        (F.col("est") >= F.coalesce(F.col("exact"), F.lit(0))).alias(
-            "overestimate_ok"
-        ),
-    )
 
 
 def test_queued_stream_gate_matches_duckdb_twin(spark):

@@ -1,53 +1,51 @@
 """The driver's correctness gate covers the FIRST 50 names queries()
-emits — pin the shipped round-9 window so a refactor can't silently
+emits — pin the shipped round-10 window so a refactor can't silently
 reorder it between the rehearsal and the driver run."""
 
 from __future__ import annotations
 
+import json
+import os
+
 from advanced_elb_logs_etl_spark.plans.catalog import CATALOG, FRONT_OF_CATALOG
 from advanced_elb_logs_etl_spark.plans import queries, oracle_sql
 
-R9_ADDITIONS = [
-    "alternating_components",
-    "lm_perplexity_filter",
-    "bm25_topk",
-    "pq_adc_topk",
-    "stream_heavy_hitters",
-    "stream_latency_histogram",
-]
-
-R9_DISPLACED = [
+R10_HEAD = [
+    # the five r5-green entries displaced from the r9 window
     "grouping_sets_pricing",
     "set_ops_battery",
     "welch_t_values",
     "rolling_median_value",
     "triangle_count_sampled",
+    # the two never-green re-registrations (r9 hash-only reds, surfaces
+    # now integer-exact)
+    "lm_perplexity_filter",
+    "bm25_topk",
+    # the two reserved stash slots: the Count-Min pair
+    "cm_point_frequency",
+    "stream_cm_point_frequency",
+]
+
+R11_HEAD = [
+    # the nine r6-green entries displaced from the r10 window
+    "simhash_signatures",
+    "stream_lsh_band_canonical",
+    "substring_dedup_spans",
+    "text_stats",
+    "topk_orders",
+    "union_distinct_names",
+    "value_outliers_z",
+    "volume_shipping_q7",
+    "zorder_clustering_preview",
 ]
 
 
-def test_r9_window_is_the_rehearsed_50():
-    names = list(queries())
-    # positions 45-50: the six stash registrations (the r9 drain)
-    assert names[44:50] == R9_ADDITIONS
-    # the five displaced r5-green entries head the r10 queue
-    assert names[50:55] == R9_DISPLACED
-    # the window is exactly the documented FRONT head (order included)
-    assert names[:50] == [n for n in FRONT_OF_CATALOG if n in CATALOG][:50]
-    # displaced entries must NOT appear inside the window
-    assert not set(R9_DISPLACED) & set(names[:50])
-
-
-def test_r10_queue_follows_staleness_order():
-    """Positions 51+ are the r10 rotation queue: the five displaced
-    r5-green entries first, then the complete r6-green cycle — computed
-    from the committed driver records, so a queue that skips a stale
-    cycle (the bug this pin was added for) fails mechanically."""
-    import json
-    import os
-
+def _last_green(max_round: int) -> dict[str, int]:
     last: dict[str, int] = {}
-    for r in range(1, 9):
-        path = os.path.join(os.path.dirname(__file__), "..", f"CORRECTNESS_r0{r}.json")
+    for r in range(1, max_round + 1):
+        path = os.path.join(
+            os.path.dirname(__file__), "..", f"CORRECTNESS_r{r:02d}.json"
+        )
         if not os.path.exists(path):
             continue
         for k, v in json.load(open(path)).items():
@@ -55,15 +53,44 @@ def test_r10_queue_follows_staleness_order():
                 v.get("rows_match") and v.get("hash_match") is None
             ):
                 last[k] = r
+    return last
+
+
+def test_r10_window_is_the_rehearsed_50():
     names = list(queries())
-    assert all(last.get(n) == 5 for n in names[50:55]), names[50:55]
-    r6green = {n for n in names if n not in set(names[:50]) and last.get(n) == 6}
-    assert set(names[55:105]) == r6green
-    assert len(r6green) == 50
+    # positions 1-9: displaced r5 entries, re-registrations, CM pair
+    assert names[:9] == R10_HEAD
+    # the window is exactly the documented FRONT head (order included)
+    assert names[:50] == [n for n in FRONT_OF_CATALOG if n in CATALOG][:50]
+    # the nine displaced r6-green entries head the r11 queue
+    assert names[50:59] == R11_HEAD
+    assert not set(R11_HEAD) & set(names[:50])
+
+
+def test_r10_window_follows_staleness_order():
+    """The window is computed from the committed driver records: the
+    five r5-green entries first, the two never-green re-registrations
+    and the two brand-new registrations next, then only r6-green
+    entries — so a queue that skips a stale cycle fails mechanically."""
+    last = _last_green(9)
+    names = list(queries())
+    assert all(last.get(n) == 5 for n in names[:5]), names[:5]
+    # lm/bm25 have NO green driver row in any record (the r9 reds)
+    assert all(n not in last for n in names[5:7]), names[5:7]
+    # the CM pair is brand new (no record at all)
+    assert all(n not in last for n in names[7:9]), names[7:9]
+    # positions 10-50 and the r11 head: r6-green only
+    assert all(last.get(n) == 6 for n in names[9:59]), [
+        (n, last.get(n)) for n in names[9:59] if last.get(n) != 6
+    ]
+    # positions 60-109: the complete r7-green cycle
+    r7green = {n for n in names if last.get(n) == 7}
+    assert set(names[59:109]) == r7green
+    assert len(r7green) == 50
 
 
 def test_catalog_is_complete_and_oracled():
     names = list(queries())
-    assert len(names) == len(set(names)) == 205
+    assert len(names) == len(set(names)) == 207
     # zero rows-only checks: every query carries an oracle
     assert set(oracle_sql()) == set(names)
