@@ -147,25 +147,91 @@ def cm_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+def cm_check_geometry(
+    sketch: DataFrame, width: int = WIDTH, depth: int = DEPTH
+) -> DataFrame:
+    """1-row guard frame that FAILS THE JOB (assert_true) if any sketch
+    cell lies outside the ``depth x width`` geometry — the cheap runtime
+    check ADVICE r9 asked for: cell frames deliberately carry no
+    width/depth (a plain 3-column table the SQL twin can replicate), so
+    probing or merging a sketch built at a LARGER geometry would
+    otherwise silently produce garbage estimates.
+
+    One-sided by construction: a sketch built at a SMALLER geometry has
+    every cell in range and is indistinguishable from an underfull
+    sketch, so that direction stays caller-owned (pin width/depth as
+    module constants at every build site, the way the catalog gates do).
+    Cost: one bounded agg over the <= depth*width-row cell frame."""
+    msg = F.concat(
+        F.lit(
+            f"Count-Min geometry mismatch: sketch has cells outside "
+            f"depth={depth} width={width} (max_row="
+        ),
+        F.col("max_row").cast("string"),
+        F.lit(", max_bucket="),
+        F.col("max_bucket").cast("string"),
+        F.lit(") — built at a different geometry?"),
+    )
+    # assert_true is NULL on success, raises on violation; coalesce to a
+    # 0 the CALLER must fold into an output value — an expression the
+    # optimizer provably can't prune or constant-fold away (a bare
+    # unused guard column would be vulnerable to column pruning).
+    return (
+        sketch.agg(
+            F.max("row").alias("max_row"), F.max("bucket").alias("max_bucket")
+        )
+        .select(
+            F.coalesce(
+                F.assert_true(
+                    (
+                        F.coalesce(F.col("max_row"), F.lit(-1))
+                        < F.lit(int(depth))
+                    )
+                    & (
+                        F.coalesce(F.col("max_bucket"), F.lit(-1))
+                        < F.lit(int(width))
+                    ),
+                    msg,
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("geometry_guard")
+        )
+    )
+
+
 def cm_estimate(
     sketch: DataFrame,
     keys: DataFrame,
     key_col: str = "key",
     width: int = WIDTH,
     depth: int = DEPTH,
+    check_geometry: bool = True,
 ) -> DataFrame:
     """(key, est): the CM point estimate — min over the depth rows of
     the key's cell counts; absent cells read 0.  The sketch frame
     (<= depth*width rows) broadcasts to the probe side, so estimating
     costs the probe keys one narrow map + one per-key min agg — no
-    shuffle of anything corpus-sized."""
+    shuffle of anything corpus-sized.
+
+    ``check_geometry`` (default on) rides a 1-row cm_check_geometry
+    guard into the plan via a broadcast cross join, so a probe against a
+    larger-geometry sketch fails loudly instead of returning garbage.
+    The guard re-evaluates the sketch lineage once (an extra bounded agg
+    pass); pass False on a hot path where the geometry is pinned by
+    construction."""
     probes = (
         keys.filter(F.col(key_col).isNotNull())
         .select(F.col(key_col).cast("string").alias("key"))
         .distinct()
     )
+    guard = None
+    if check_geometry:
+        guard = F.broadcast(cm_check_geometry(sketch, width, depth))
+        probes = probes.crossJoin(guard)
+    carry = ["geometry_guard"] if guard is not None else []
     cells = probes.select(
         "key",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -177,8 +243,11 @@ def cm_estimate(
                 ]
             )
         ).alias("c"),
-    ).select("key", "c.row", "c.bucket")
+    ).select("key", *carry, "c.row", "c.bucket")
     joined = cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
-    return joined.groupBy("key").agg(
-        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
-    )
+    # geometry_guard is always 0 (or the job already failed), so adding
+    # it leaves est exact while making the guard un-prunable.
+    est_expr = F.coalesce(F.col("cnt"), F.lit(0))
+    if guard is not None:
+        est_expr = est_expr + F.col("geometry_guard")
+    return joined.groupBy("key").agg(F.min(est_expr).alias("est"))

@@ -20,6 +20,7 @@ loss); the `materialize=` knob chooses.
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass, field
 
@@ -36,8 +37,18 @@ from ..operators.reports import (
     write_hourly_aggregation,
 )
 from ..operators.sessions import add_session_features
-from ..session import apply_runtime_confs, autosize_shuffle_partitions
+from ..session import (
+    apply_runtime_confs,
+    autosize_shuffle_partitions,
+    shuffle_partitions_for,
+)
 from ..sources.elb import read_alb_lines
+
+_LOG = logging.getLogger(__name__)
+
+# Spark's stock spark.sql.shuffle.partitions — a session still carrying
+# it is treated as "operator expressed no preference".
+_SPARK_STOCK_SHUFFLE_PARTITIONS = 200
 
 #: Raw-gz-bytes -> shuffled-row-bytes expansion estimate for ALB logs:
 #: gzip text decompresses ~8-12x and the parsed/featured projection keeps
@@ -134,7 +145,36 @@ def autosize_for_inputs(spark: SparkSession, paths: list[str]) -> int | None:
     est = estimate_input_bytes(spark, paths)
     if est <= 0:
         return None
-    return autosize_shuffle_partitions(spark, est)
+    # Honor a deliberate session-level setting (ADVICE r9): when the
+    # operator configured spark.sql.shuffle.partitions away from Spark's
+    # stock default (200), the estimate may RAISE the count (the sizing
+    # exists to prevent undersized window sorts) but never silently
+    # LOWER it — on small inputs the estimate clamps to
+    # defaultParallelism, which would override a deliberately higher
+    # value.  An untouched default gets the full estimate both ways.
+    try:
+        current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        current = _SPARK_STOCK_SHUFFLE_PARTITIONS
+    computed = shuffle_partitions_for(spark, est)
+    if current != _SPARK_STOCK_SHUFFLE_PARTITIONS and computed <= current:
+        _LOG.info(
+            "autosize_for_inputs: keeping session spark.sql.shuffle."
+            "partitions=%d (estimate %d would lower a deliberate setting)",
+            current,
+            computed,
+        )
+        return None
+    applied = autosize_shuffle_partitions(spark, est)
+    if applied != current:
+        _LOG.info(
+            "autosize_for_inputs: spark.sql.shuffle.partitions %d -> %d "
+            "(input estimate %d bytes)",
+            current,
+            applied,
+            est,
+        )
+    return applied
 
 
 def build_final_frame(

@@ -118,11 +118,22 @@ def autosize_shuffle_partitions(
     file sizes x a 2-4x decode factor for the shuffled projection); an
     over-estimate is forgiving (AQE coalesces), an under-estimate is not.
     """
-    cores = spark.sparkContext.defaultParallelism
-    parts = max(cores, (int(input_bytes) + target_partition_bytes - 1)
-                // target_partition_bytes)
+    parts = shuffle_partitions_for(spark, input_bytes, target_partition_bytes)
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     return parts
+
+
+def shuffle_partitions_for(
+    spark: SparkSession,
+    input_bytes: int,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """The partition count autosize_shuffle_partitions WOULD apply,
+    without mutating the session — lets callers compare against a
+    deliberate session setting before deciding to override."""
+    cores = spark.sparkContext.defaultParallelism
+    return max(cores, (int(input_bytes) + target_partition_bytes - 1)
+               // target_partition_bytes)
 
 
 def release_local_checkpoint(df) -> bool:

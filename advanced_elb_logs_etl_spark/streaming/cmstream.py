@@ -89,6 +89,42 @@ def _read_prior(
     return df.join(F.broadcast(latest), "batch").drop("batch")
 
 
+def _prune_history(spark: SparkSession, path: str, batch_id: int) -> None:
+    """Best-effort removal of superseded snapshots so the store stays
+    bounded on a long-lived stream (ADVICE r9: each batch writes a full
+    cumulative snapshot, so without pruning the store and the reader's
+    scan grow linearly with batch count).
+
+    Retry safety: a retried batch N reads the LATEST batch < N, so the
+    newest prior snapshot M must survive until a batch AFTER N commits —
+    only batches < M are deleted (keeping exactly M and N).  Deletion is
+    an optimization, never a correctness input, so failures here are
+    swallowed: an undeleted snapshot just means a larger store."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return
+        batches = []
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("batch="):
+                try:
+                    batches.append((int(name.split("=", 1)[1]), st.getPath()))
+                except ValueError:
+                    continue
+        prior = [b for b, _ in batches if b < batch_id]
+        if not prior:
+            return
+        keep = max(prior)
+        for b, p in batches:
+            if b < keep:
+                fs.delete(p, True)
+    except Exception:  # pragma: no cover - best-effort cleanup only
+        pass
+
+
 def _process_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -99,13 +135,15 @@ def _process_batch(
 ) -> None:
     """foreachBatch body (module-level, retry-safe: reads batches <
     batch_id, overwrite-idempotent write — the neardup/heavyhitters/
-    histogram contract)."""
+    histogram contract).  After a successful write, snapshots older
+    than the newest prior one are pruned (see _prune_history)."""
     cells_dir = os.path.join(store_dir, "cells")
     prev = _read_prior(batch_df.sparkSession, cells_dir, batch_id)
     out = cm_batch_step(batch_df, prev, key_col, width, depth)
     out.write.mode("overwrite").parquet(
         os.path.join(cells_dir, f"batch={batch_id}")
     )
+    _prune_history(batch_df.sparkSession, cells_dir, batch_id)
 
 
 def cm_stream(

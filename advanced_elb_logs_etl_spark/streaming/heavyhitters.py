@@ -144,6 +144,8 @@ def _read_prior(
     """The LATEST ``batch=N`` partition strictly before ``before_batch``
     (state is cumulative, older partitions are history).  The max-batch
     selection is an in-plan self-join on the 1-row agg — no collect."""
+    from pyspark.errors import AnalysisException
+
     try:
         df = (
             spark.read.schema(schema)
@@ -151,7 +153,12 @@ def _read_prior(
             .parquet(path)
             .filter(F.col("batch") < F.lit(int(before_batch)))
         )
-    except Exception:
+    except AnalysisException:
+        # ONLY the missing-path case (first batch, empty store) may mean
+        # "no prior state".  Transient FS errors must PROPAGATE: treating
+        # them as no-state would write the next cumulative summary
+        # missing all prior counts — a permanent silent undercount
+        # (ADVICE r9; same fix as cmstream._read_prior).
         return None
     latest = df.agg(F.max("batch").alias("batch"))
     return df.join(F.broadcast(latest), "batch").drop("batch")
@@ -236,6 +243,8 @@ def current_heavy_hitters(
     # each store's individual latest can differ by one mid-write (or
     # after a crash between writes) — pairing across batches could
     # understate cnt_upper (ADVICE r7).
+    from pyspark.errors import AnalysisException
+
     try:
         s = (
             spark.read.schema(SUMMARY_SCHEMA)
@@ -247,7 +256,10 @@ def current_heavy_hitters(
             .option("basePath", os.path.join(store_dir, "meta"))
             .parquet(os.path.join(store_dir, "meta"))
         )
-    except Exception:
+    except AnalysisException:
+        # missing store (never started) reads as empty; transient FS
+        # errors propagate rather than masquerade as an empty summary
+        # (ADVICE r9 — the cmstream._read_prior contract)
         return spark.createDataFrame(
             [], "key string, cnt_lower bigint, cnt_upper bigint"
         )

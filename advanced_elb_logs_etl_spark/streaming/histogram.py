@@ -147,6 +147,8 @@ def histogram_batch_step(
 def _read_prior(
     spark: SparkSession, path: str, before_batch: int
 ) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
     try:
         df = (
             spark.read.schema(COUNTS_SCHEMA)
@@ -154,7 +156,10 @@ def _read_prior(
             .parquet(path)
             .filter(F.col("batch") < F.lit(int(before_batch)))
         )
-    except Exception:
+    except AnalysisException:
+        # missing path == first batch only; transient FS errors must
+        # propagate or the next cumulative write silently drops all
+        # prior counts (ADVICE r9 — the cmstream._read_prior contract)
         return None
     latest = df.agg(F.max("batch").alias("batch"))
     return df.join(F.broadcast(latest), "batch").drop("batch")

@@ -337,6 +337,8 @@ def _first_seen_process_batch(
     kept_dir = os.path.join(store_dir, "kept")
     keys_dir = os.path.join(store_dir, "keys")
     spark = batch_df.sparkSession
+    from pyspark.errors import AnalysisException
+
     try:
         seen = (
             spark.read.schema(KEY_STORE_SCHEMA)
@@ -345,7 +347,10 @@ def _first_seen_process_batch(
             .filter(F.col("batch") < F.lit(int(batch_id)))
             .select("band", "key")
         )
-    except Exception:
+    except AnalysisException:
+        # missing store == first batch only; a transient FS error here
+        # must propagate — treating it as "nothing seen" would pass
+        # duplicates as first-seen (ADVICE r9 — the cmstream contract)
         seen = None
     # own the shingle-hash cache for the whole batch: blocking probe,
     # LSH pairs, verification, kept docs, and new keys all read ONE

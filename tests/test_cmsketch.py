@@ -164,3 +164,33 @@ def test_leftover_cm_w_column_is_ignored_when_unweighted(spark):
     df = spark.createDataFrame([("a", 99), ("a", 99)], "key string, _cm_w long")
     total = cm.cm_build(df, width=W, depth=D).agg(F.sum("cnt")).collect()[0][0]
     assert total == 2 * D  # two rows x D cells, weight 1 each
+
+
+def test_geometry_guard_catches_larger_sketch(spark):
+    """ADVICE r10: probing a sketch built at a LARGER geometry fails
+    loudly (cells outside the probe's depth x width) instead of
+    returning garbage; the guard never false-positives on the correct
+    geometry and can be opted out on pinned-geometry hot paths."""
+    sk = cm.cm_build(_rows(spark, KEYS), width=W, depth=D)
+    probes = _rows(spark, ["a", "b"])
+    # correct geometry: guarded estimates equal the unguarded ones
+    ok = {
+        r.key: r.est
+        for r in cm.cm_estimate(sk, probes, width=W, depth=D).collect()
+    }
+    raw = {
+        r.key: r.est
+        for r in cm.cm_estimate(
+            sk, probes, width=W, depth=D, check_geometry=False
+        ).collect()
+    }
+    assert ok == raw
+    # probe at a smaller geometry: the guard fires inside the job
+    with pytest.raises(Exception, match="geometry mismatch"):
+        cm.cm_estimate(sk, probes, width=W // 4, depth=D).collect()
+    with pytest.raises(Exception, match="geometry mismatch"):
+        cm.cm_estimate(sk, probes, width=W, depth=1).collect()
+    # opt-out skips the check (documented caller-owned geometry)
+    cm.cm_estimate(
+        sk, probes, width=W // 4, depth=D, check_geometry=False
+    ).collect()

@@ -97,3 +97,41 @@ def test_env_override_validation(spark, tmp_path, monkeypatch):
         autosize_for_inputs(spark, [str(f)])
     monkeypatch.setenv("ELB_SHUFFLE_PARTITIONS", " 96 ")
     assert autosize_for_inputs(spark, [str(f)]) == 96
+
+def test_autosize_never_lowers_deliberate_session_value(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: a session-level spark.sql.shuffle.partitions that
+    differs from Spark's stock default (200) is a deliberate operator
+    choice — the entry sizing may RAISE it but never silently lower it;
+    the stock default still gets the full estimate in both directions."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        f = tmp_path / "tiny.gz"
+        f.write_bytes(b"x" * 100)
+        monkeypatch.delenv("ELB_SHUFFLE_PARTITIONS", raising=False)
+        monkeypatch.setenv("ELB_DECODE_FACTOR", "1")
+        # deliberate high setting + tiny input (estimate clamps to
+        # cores): keep the operator's value, report no-op
+        spark.conf.set("spark.sql.shuffle.partitions", "4096")
+        assert autosize_for_inputs(spark, [str(f)]) is None
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4096"
+        # deliberate low setting + bigger estimate: raising is still the
+        # whole point of the sizing (the 200x window-sort spill fix)
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        monkeypatch.setenv("ELB_DECODE_FACTOR", str(256 * 1024 * 10))
+        applied = autosize_for_inputs(spark, [str(f)])
+        assert applied is not None and applied > 4
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(applied)
+        # the untouched stock default may be lowered by the estimate
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        monkeypatch.setenv("ELB_DECODE_FACTOR", "1")
+        assert autosize_for_inputs(spark, [str(f)]) == cores
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(cores)
+        # the ELB_SHUFFLE_PARTITIONS env override still beats everything
+        spark.conf.set("spark.sql.shuffle.partitions", "4096")
+        monkeypatch.setenv("ELB_SHUFFLE_PARTITIONS", "96")
+        assert autosize_for_inputs(spark, [str(f)]) == 96
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -113,3 +113,30 @@ def test_queued_stream_gate_matches_duckdb_twin(spark):
     assert sorted(cols) == scols
     assert srows == drows
     assert len(srows) >= 2
+
+
+def test_store_prunes_superseded_snapshots(spark):
+    """ADVICE r10: the cumulative store keeps only the latest snapshot
+    and its immediate predecessor (the retry-read target) — older
+    batch partitions are deleted after a successful write, so store
+    size is bounded on a long-lived stream."""
+    import os
+
+    with tempfile.TemporaryDirectory(prefix="sparkgraft_cms_") as store:
+        for i, keys in enumerate(BATCHES):
+            cms._process_batch(_rows(spark, keys), i, store, "key", W, D)
+        cells_dir = os.path.join(store, "cells")
+        kept = sorted(
+            d for d in os.listdir(cells_dir) if d.startswith("batch=")
+        )
+        assert kept == ["batch=1", "batch=2"]
+        # the surviving latest snapshot still equals the single-pass build
+        whole = cm.cm_build(_rows(spark, ALL), width=W, depth=D)
+        assert sorted(
+            map(tuple, cms.current_sketch(spark, store).collect())
+        ) == sorted(map(tuple, whole.collect()))
+        # a retry of the LAST batch still sees its predecessor
+        cms._process_batch(_rows(spark, BATCHES[2]), 2, store, "key", W, D)
+        assert sorted(
+            map(tuple, cms.current_sketch(spark, store).collect())
+        ) == sorted(map(tuple, whole.collect()))

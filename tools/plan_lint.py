@@ -68,6 +68,8 @@ CARTESIAN_ALLOW: dict[str, str] = {
     "bm25_topk": "1-row corpus (n_docs, dl_sum) frame broadcast into idf/contrib",
     "lm_perplexity_filter": "1-row unk-floor scalar broadcast into scoring",
     "pq_adc_topk": "three 1-row count frames stitched for the recall bound (the ivf pattern)",
+    "cm_point_frequency": "1-row cm_check_geometry guard frame broadcast into the probe side",
+    "stream_cm_point_frequency": "1-row cm_check_geometry guard frame broadcast into the probe side",
 }
 
 #: (query -> reason) for Window nodes with an empty partition spec. Every
