@@ -1,0 +1,218 @@
+"""K-Minimum-Values (KMV) distinct sketch with theta-style set
+operations — the distinct-count lane HLL can't serve: HLL registers
+merge only by UNION, while KMV/theta sketches also estimate
+INTERSECTION and DIFFERENCE cardinalities across segments (Bar-Yossef
+et al. 2002; Beyer et al. 2007, "On Synopses for Distinct Value
+Estimation"; the theta-sketch framing of Dasgupta et al. 2016 — all
+public methods).
+
+Where the reference's pipeline counts distinct client IPs per hour
+(reference write_hourly_aggregation, :345-363, COUNT(DISTINCT)), a
+100 TB deployment wants "distinct users in segment A AND segment B"
+without a corpus-sized join — that is exactly this operator.
+
+Determinism: the hash is the repo's shared 60-bit md5 (functions/
+hashing.h60), so the sketch CONTENTS — and therefore every estimate —
+are value-exact twinnable in SQL:
+
+    ('0x' || substr(md5(key), 1, 15))::BIGINT
+
+Estimator exactness discipline (the r10 float policy): estimates are
+emitted as BIGINT via floor((k-1) * 2^60 / kth).  (k-1) * 2^60 is one
+exactly-representable double (mantissa k-1, exponent +60), the BIGINT
+-> DOUBLE cast of kth rounds half-even identically in Spark and DuckDB,
+the division is one correctly-rounded IEEE op, and floor is exact — so
+the integer surface matches the twin bit-for-bit, no float column in
+any registered output.
+
+Scale shape (100 TB): kmv_build is one map-side-partial distinct
+aggregation over the hash column followed by TakeOrdered(k) — a k-row
+result, never a global sort.  The shuffle carries per-partition
+DISTINCT hashes; when a prior epoch's theta is available, pass it as
+``prefilter`` and the scan-side filter cuts that to ~k rows per
+partition (the production theta-sketch trick — see kmv_build's
+contract).  Sketches are k rows, so unions/intersections of sketches
+are driver-light k-row frames; merging across days/shards is
+kmv_union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60
+
+#: hash range: h60 is the first 15 hex digits of md5 = [0, 2^60).
+M = 1 << 60
+
+#: default sketch size (relative error ~ 1/sqrt(k-2) ~ 6.3%)
+K = 256
+
+
+def kmv_hash(col: Column) -> Column:
+    """The sketch hash of a key column (cast to string first — Spark and
+    SQL render integers identically).  SQL twin:
+    ('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT"""
+    return h60(col.cast("string"))
+
+
+def kmv_build(
+    df: DataFrame,
+    key_col: str = "key",
+    k: int = K,
+    prefilter: int | None = None,
+) -> DataFrame:
+    """The KMV sketch of a key column: a 1-column frame ``h`` holding
+    the k smallest DISTINCT hash values (fewer if the key domain is
+    smaller).  NULL keys are ignored (COUNT DISTINCT semantics).
+
+    Plan shape: project-to-hash (optionally filtered), partial+final
+    hash aggregation for the distinct, TakeOrdered(k).  No global sort,
+    no corpus-sized shuffle rows beyond the per-partition distinct set.
+
+    ``prefilter``: an upper bound on surviving hashes (e.g. the prior
+    epoch's theta = kth hash) — pushes a scan-side filter so the
+    distinct shuffle carries ~k rows per partition instead of the full
+    per-partition distinct set.  CONTRACT: the bound must be >= the true
+    kth smallest hash; if the filtered sketch comes back with FEWER than
+    k rows the bound may have cut real minima and the sketch must not be
+    trusted unless the key domain is genuinely smaller than k —
+    kmv_estimate(..., expect_saturated=True) turns that into a loud
+    in-plan failure."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hashes = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(kmv_hash(F.col(key_col)).alias("h"))
+    )
+    if prefilter is not None:
+        hashes = hashes.filter(F.col("h") < F.lit(int(prefilter)))
+    return hashes.distinct().orderBy("h").limit(k)
+
+
+def kmv_union(*sketches: DataFrame, k: int = K) -> DataFrame:
+    """Sketch of the UNION of the underlying key sets: merge hash sets,
+    keep the k smallest — exactly kmv_build of the concatenated inputs
+    (the mergeable-summaries contract; pinned by test).  Inputs must
+    share k and the h60 hash (same discipline as cmsketch.cm_merge)."""
+    if not sketches:
+        raise ValueError("kmv_union needs at least one sketch")
+    out = sketches[0].select("h")
+    for s in sketches[1:]:
+        out = out.unionByName(s.select("h"))
+    return out.distinct().orderBy("h").limit(k)
+
+
+def _est_floor(n_col: Column, kth_col: Column, k: int) -> Column:
+    """floor((k-1) * 2^60 / kth) when saturated, else the exact count.
+    SQL twin:
+    CASE WHEN n < k THEN n
+         ELSE CAST(floor({float((k-1) << 60)!r} / CAST(kth AS DOUBLE))
+                   AS BIGINT) END"""
+    km = float((k - 1) << 60)  # exactly representable: (k-1) * 2^60
+    return F.when(n_col < F.lit(k), n_col).otherwise(
+        F.floor(F.lit(km) / kth_col.cast("double"))
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, k: int = K, expect_saturated: bool = False
+) -> DataFrame:
+    """1-row (n_hashes, kth_hash, est_distinct): the distinct-count
+    estimate.  Under k distinct hashes the count is EXACT (the sketch
+    holds the whole hash set); at k the estimator is (k-1) * 2^60 / kth,
+    floored to BIGINT (see module docstring for the cross-engine
+    exactness argument).
+
+    ``expect_saturated=True`` asserts n_hashes == k inside the plan —
+    the loud-failure half of kmv_build's prefilter contract (a prefilter
+    that cut real minima surfaces here instead of skewing estimates)."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max("h").alias("kth_hash"),
+    )
+    if expect_saturated:
+        agg = agg.select(
+            F.coalesce(
+                F.assert_true(
+                    F.col("n_hashes") == F.lit(k),
+                    F.concat(
+                        F.lit(
+                            "KMV sketch expected saturated at k="
+                            f"{k} but holds "
+                        ),
+                        F.col("n_hashes").cast("string"),
+                        F.lit(
+                            " hashes — a kmv_build prefilter may have cut"
+                            " real minima"
+                        ),
+                    ),
+                ).cast("long"),
+                F.col("n_hashes"),
+            ).alias("n_hashes"),
+            "kth_hash",
+        )
+    return agg.select(
+        "n_hashes",
+        "kth_hash",
+        _est_floor(F.col("n_hashes"), F.col("kth_hash"), k)
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
+def kmv_intersect_estimate(
+    a: DataFrame, b: DataFrame, k: int = K
+) -> DataFrame:
+    """1-row (n_common, theta, est_intersect): theta-style intersection
+    estimate.  theta = min over sketches of (kth hash when saturated,
+    else 2^60); hashes below theta are a uniform sample of each set at
+    rate theta/2^60, so |A intersect B| ~= |common hashes < theta| *
+    2^60 / theta — floored to BIGINT with the same exactness argument
+    as kmv_estimate (n_common <= k is exact in a double).  When both
+    sketches are unsaturated (theta = 2^60) the estimate IS the exact
+    intersection cardinality.
+
+    Scale: both inputs are k-row frames, so this is driver-light Column
+    math — the corpus was touched only by the two builds."""
+    a_th = a.agg(
+        F.count(F.lit(1)).alias("n_a"), F.max("h").alias("kth_a")
+    )
+    b_th = b.agg(
+        F.count(F.lit(1)).alias("n_b"), F.max("h").alias("kth_b")
+    )
+    theta = (
+        a_th.crossJoin(F.broadcast(b_th))
+        .select(
+            F.least(
+                F.when(F.col("n_a") >= F.lit(k), F.col("kth_a")).otherwise(
+                    F.lit(M)
+                ),
+                F.when(F.col("n_b") >= F.lit(k), F.col("kth_b")).otherwise(
+                    F.lit(M)
+                ),
+            ).alias("theta")
+        )
+    )
+    common = (
+        a.select("h")
+        .join(b.select("h"), "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return common.crossJoin(F.broadcast(theta)).select(
+        "n_common",
+        "theta",
+        F.when(F.col("theta") >= F.lit(M), F.col("n_common"))
+        .otherwise(
+            F.floor(
+                F.col("n_common").cast("double")
+                * F.lit(float(M))
+                / F.col("theta").cast("double")
+            )
+        )
+        .cast("long")
+        .alias("est_intersect"),
+    )

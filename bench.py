@@ -200,6 +200,11 @@ def main() -> None:
             "shipping_priority_q3",
             "ntile_latency_buckets",
             "null_coding_cast",
+            # r9->r10 watch items (VERDICT r9 item 5): both moved >1.2x
+            # r8->r9 on unchanged code under ~1.7x load; the isolated
+            # row decides load vs plan change.
+            "semantic_dedup_corpus",
+            "alb_parse_roundtrip",
         )
         if name in CATALOG
     }

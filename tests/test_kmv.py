@@ -1,0 +1,292 @@
+"""KMV/theta distinct sketch (operators/kmv.py): pure-Python replica
+differentials, the exact-under-k regime, the saturated estimator, exact
+mergeability, the prefilter contract, and the DuckDB twin rehearsal for
+the queued r11 catalog gate (`kmv_distinct_setops`) — validated here so
+registration is a freeze-compliant pre-rehearsed move."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_elb_logs_etl_spark.operators import kmv
+
+K = 8  # small k so the saturated regime is cheap to exercise
+
+
+def _h_py(s: str) -> int:
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+
+def _kmv_py(keys, k=K):
+    return sorted({_h_py(k_) for k_ in keys if k_ is not None})[:k]
+
+
+def _est_py(hashes, k=K):
+    if len(hashes) < k:
+        return len(hashes)
+    return int(math.floor(float((k - 1) << 60) / float(hashes[k - 1])))
+
+
+def _rows(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "key string")
+
+
+KEYS_A = [f"user{i}" for i in range(40)] + ["user3", "user7"] * 5
+KEYS_B = [f"user{i}" for i in range(20, 70)]
+KEYS_SMALL = ["a", "b", "c", None, "a"]
+
+
+def test_build_matches_python_minima(spark):
+    got = [r.h for r in kmv.kmv_build(_rows(spark, KEYS_A), k=K).collect()]
+    assert sorted(got) == _kmv_py(KEYS_A)
+    # duplicates and NULLs are ignored (COUNT DISTINCT semantics)
+    small = [r.h for r in kmv.kmv_build(_rows(spark, KEYS_SMALL), k=K).collect()]
+    assert sorted(small) == _kmv_py(KEYS_SMALL)
+    with pytest.raises(ValueError):
+        kmv.kmv_build(_rows(spark, KEYS_SMALL), k=1)
+
+
+def test_estimate_exact_under_k_and_saturated(spark):
+    # under k distinct hashes the count is EXACT
+    sk = kmv.kmv_build(_rows(spark, KEYS_SMALL), k=K)
+    row = kmv.kmv_estimate(sk, k=K).collect()[0]
+    assert (row.n_hashes, row.est_distinct) == (3, 3)
+    # saturated: matches the replica formula bit-for-bit, and lands in a
+    # sane multiplicative band around truth (k=8 is a coarse sketch)
+    sk_a = kmv.kmv_build(_rows(spark, KEYS_A), k=K)
+    row = kmv.kmv_estimate(sk_a, k=K).collect()[0]
+    replica = _kmv_py(KEYS_A)
+    assert row.n_hashes == K and row.kth_hash == replica[K - 1]
+    assert row.est_distinct == _est_py(replica)
+    truth = len(set(KEYS_A))
+    assert truth / 4 <= row.est_distinct <= truth * 4
+
+
+def test_union_equals_build_of_concatenation(spark):
+    merged = kmv.kmv_union(
+        kmv.kmv_build(_rows(spark, KEYS_A), k=K),
+        kmv.kmv_build(_rows(spark, KEYS_B), k=K),
+        k=K,
+    )
+    whole = kmv.kmv_build(_rows(spark, KEYS_A + KEYS_B), k=K)
+    assert sorted(r.h for r in merged.collect()) == sorted(
+        r.h for r in whole.collect()
+    )
+    with pytest.raises(ValueError):
+        kmv.kmv_union(k=K)
+
+
+def test_intersect_estimate_replica_and_exact_regime(spark):
+    a = kmv.kmv_build(_rows(spark, KEYS_A), k=K)
+    b = kmv.kmv_build(_rows(spark, KEYS_B), k=K)
+    row = kmv.kmv_intersect_estimate(a, b, k=K).collect()[0]
+    ra, rb = _kmv_py(KEYS_A), _kmv_py(KEYS_B)
+    theta = min(ra[K - 1] if len(ra) >= K else kmv.M,
+                rb[K - 1] if len(rb) >= K else kmv.M)
+    common = len({h for h in ra if h < theta} & {h for h in rb if h < theta})
+    assert (row.n_common, row.theta) == (common, theta)
+    want = (
+        common
+        if theta >= kmv.M
+        else int(math.floor(float(common) * float(kmv.M) / float(theta)))
+    )
+    assert row.est_intersect == want
+    # both unsaturated -> the estimate IS the exact intersection count
+    sa = kmv.kmv_build(_rows(spark, ["a", "b", "c"]), k=K)
+    sb = kmv.kmv_build(_rows(spark, ["b", "c", "d"]), k=K)
+    row = kmv.kmv_intersect_estimate(sa, sb, k=K).collect()[0]
+    assert (row.theta, row.est_intersect) == (kmv.M, 2)
+
+
+def test_prefilter_contract(spark):
+    """A prefilter >= the true kth hash yields the identical sketch; a
+    too-small one surfaces as a LOUD in-plan failure through
+    kmv_estimate(expect_saturated=True), never a skewed estimate."""
+    replica = _kmv_py(KEYS_A)
+    full = kmv.kmv_build(_rows(spark, KEYS_A), k=K)
+    pre = kmv.kmv_build(
+        _rows(spark, KEYS_A), k=K, prefilter=replica[K - 1] + 1
+    )
+    assert sorted(r.h for r in pre.collect()) == sorted(
+        r.h for r in full.collect()
+    )
+    bad = kmv.kmv_build(_rows(spark, KEYS_A), k=K, prefilter=replica[2])
+    with pytest.raises(Exception, match="prefilter may have cut"):
+        kmv.kmv_estimate(bad, k=K, expect_saturated=True).collect()
+    # the expect_saturated guard passes (and changes nothing) when the
+    # sketch is genuinely saturated
+    row = kmv.kmv_estimate(full, k=K, expect_saturated=True).collect()[0]
+    assert row.n_hashes == K
+
+
+# --- the queued r11 catalog gate, rehearsed against DuckDB ----------------
+# Distinct-user set operations across two event segments at k=64:
+# saturated at sf0.01 (150 distinct users/type > 64), exact at sf0.001.
+# Every output column is BIGINT (the r10 float policy: integer-only
+# registered surfaces where the information permits).
+
+GATE_K = 64
+_KM = float((GATE_K - 1) << 60)
+_M_INT = kmv.M
+_M_F = float(kmv.M)
+
+KMV_ORACLE_QUEUED_R11 = f"""
+WITH a_h AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+), b_h AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+), a_sk AS (SELECT h FROM a_h ORDER BY h LIMIT {GATE_K}
+), b_sk AS (SELECT h FROM b_h ORDER BY h LIMIT {GATE_K}
+), u_sk AS (
+  SELECT h FROM (SELECT h FROM a_sk UNION SELECT h FROM b_sk)
+  ORDER BY h LIMIT {GATE_K}
+), est AS (
+  SELECT
+    (SELECT CASE WHEN count(*) < {GATE_K} THEN count(*)
+                 ELSE CAST(floor({_KM!r} / CAST(max(h) AS DOUBLE)) AS BIGINT)
+            END FROM a_sk) AS est_a,
+    (SELECT CASE WHEN count(*) < {GATE_K} THEN count(*)
+                 ELSE CAST(floor({_KM!r} / CAST(max(h) AS DOUBLE)) AS BIGINT)
+            END FROM b_sk) AS est_b,
+    (SELECT CASE WHEN count(*) < {GATE_K} THEN count(*)
+                 ELSE CAST(floor({_KM!r} / CAST(max(h) AS DOUBLE)) AS BIGINT)
+            END FROM u_sk) AS est_union
+), th AS (
+  SELECT least(
+    (SELECT CASE WHEN count(*) >= {GATE_K} THEN max(h) ELSE {_M_INT} END FROM a_sk),
+    (SELECT CASE WHEN count(*) >= {GATE_K} THEN max(h) ELSE {_M_INT} END FROM b_sk)
+  ) AS theta
+), common AS (
+  SELECT count(*)::BIGINT AS n_common
+  FROM a_sk JOIN b_sk USING (h), th WHERE h < theta
+), inter AS (
+  SELECT CASE WHEN th.theta >= {_M_INT} THEN c.n_common
+              ELSE CAST(floor(CAST(c.n_common AS DOUBLE) * {_M_F!r}
+                              / CAST(th.theta AS DOUBLE)) AS BIGINT)
+         END AS est_intersect
+  FROM common c, th
+), exact AS (
+  SELECT
+    count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)::BIGINT
+      AS exact_a,
+    count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)::BIGINT
+      AS exact_b,
+    count(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
+                        THEN user_id END)::BIGINT AS exact_union
+  FROM events WHERE user_id IS NOT NULL
+), exact_i AS (
+  SELECT count(*)::BIGINT AS exact_intersect FROM (
+    SELECT user_id FROM events WHERE event_type = 'click'
+      AND user_id IS NOT NULL
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+      AND user_id IS NOT NULL
+  )
+)
+SELECT est_a, exact_a, est_b, exact_b, est_union, exact_union,
+       est_intersect, exact_intersect
+FROM est, exact, inter, exact_i
+"""
+
+
+def q_kmv_distinct_setops(spark, sf_dir):
+    """The queued r11 registration body (kept next to its oracle so the
+    move is mechanical): KMV sketches of two event segments' user sets,
+    union + theta-intersection estimates beside the exact counts.
+
+    Scale: each build is one map-side-partial distinct agg +
+    TakeOrdered(k) over its segment; every later frame is k rows, so
+    the set operations never touch the corpus again.  The exact lanes
+    are gate-only instrumentation (the ivf/pq bounded-gate pattern)."""
+    from advanced_elb_logs_etl_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    a_keys = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("key")
+    )
+    b_keys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key")
+    )
+    a = kmv.kmv_build(a_keys, k=GATE_K).localCheckpoint(eager=True)
+    b = kmv.kmv_build(b_keys, k=GATE_K).localCheckpoint(eager=True)
+    est_a = kmv.kmv_estimate(a, k=GATE_K).select(
+        F.col("est_distinct").alias("est_a")
+    )
+    est_b = kmv.kmv_estimate(b, k=GATE_K).select(
+        F.col("est_distinct").alias("est_b")
+    )
+    est_u = kmv.kmv_estimate(kmv.kmv_union(a, b, k=GATE_K), k=GATE_K).select(
+        F.col("est_distinct").alias("est_union")
+    )
+    est_i = kmv.kmv_intersect_estimate(a, b, k=GATE_K).select(
+        F.col("est_intersect")
+    )
+    exact = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_b"),
+        F.countDistinct(
+            F.when(
+                F.col("event_type").isin("click", "purchase"),
+                F.col("user_id"),
+            )
+        ).alias("exact_union"),
+    )
+    exact_i = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    return (
+        est_a.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(est_i))
+        .crossJoin(F.broadcast(exact_i))
+        .select(
+            "est_a", "exact_a", "est_b", "exact_b",
+            "est_union", "exact_union", "est_intersect", "exact_intersect",
+        )
+    )
+
+
+def test_queued_catalog_gate_matches_duckdb_twin(spark):
+    """Full driver-protocol rehearsal of the queued r11 entry at sf0.01:
+    sorted-column value comparison under the full-precision oracle_sim
+    normalization (all-integer surface, so this is exact)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    sdf = q_kmv_distinct_setops(spark, sf)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        tuple(str(x) for x in r) for r in sdf.select(*scols).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    d = con.execute(KMV_ORACLE_QUEUED_R11)
+    cols = [c[0] for c in d.description]
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    drows = sorted(tuple(str(r[i]) for i in idx) for r in d.fetchall())
+    assert sorted(cols) == scols
+    assert srows == drows
+    assert len(srows) == 1
+    # the gate actually exercises the SATURATED regime at sf0.01
+    row = {c: v for c, v in zip(sorted(cols), drows[0])}
+    assert int(row["exact_a"]) > GATE_K
