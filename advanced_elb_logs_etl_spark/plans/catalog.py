@@ -123,9 +123,27 @@ FRONT_OF_CATALOG: list[str] = [
     # entries FIRST (positions 51-59), then the r7-green cycle in
     # CORRECTNESS_r07 record order (positions 60-109; the first 41
     # complete the r11 window, the last 9 head the r12 queue with the
-    # r8-green cycle behind them).  Any r11 stash registrations displace
-    # from the END of the window with the usual sibling-freshness
-    # justification.
+    # r8-green cycle behind them).  TWO stash candidates await r11
+    # window slots (both built + pytest-pinned + twin-rehearsed in this
+    # r10 session, the build-now/register-in-window discipline):
+    #   - kmv_distinct_setops (operators/kmv.py: KMV/theta distinct
+    #     sketch — union AND intersection cardinality estimates across
+    #     segments, the set-op lane HLL lacks; deterministic h60 hashes
+    #     + floored-integer estimators make contents AND estimates
+    #     value-exact twinnable).  Registration body + table-bound
+    #     oracle live next to their rehearsal in tests/test_kmv.py
+    #     (q_kmv_distinct_setops / KMV_ORACLE_QUEUED_R11, rehearsed
+    #     hash-green at sf0.01 under the driver protocol; saturated
+    #     regime exercised).  NOTE: needs two CARTESIAN_ALLOW entries
+    #     (1-row estimate/exact report frames) when registered.
+    #   - stream_kmv_distinct (streaming/kmvstream.py: the same minima
+    #     set across REAL micro-batches with the cmstream monotone
+    #     store + pruning — slicing-invariant, value-exact vs the batch
+    #     twin).  Rehearsed in tests/test_streaming_kmv.py
+    #     (q_stream_kmv_distinct / STREAM_KMV_ORACLE_QUEUED_R11).
+    #   Recommended r11 move: the r10 pattern — take the last two
+    #   window slots for the registrations and let the two displaced
+    #   r7-green entries head the r12 queue.
     "simhash_signatures",
     "stream_lsh_band_canonical",
     "substring_dedup_spans",

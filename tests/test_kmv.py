@@ -290,3 +290,37 @@ def test_queued_catalog_gate_matches_duckdb_twin(spark):
     # the gate actually exercises the SATURATED regime at sf0.01
     row = {c: v for c, v in zip(sorted(cols), drows[0])}
     assert int(row["exact_a"]) > GATE_K
+
+
+def test_prefilter_bounds_shuffle_records_measured(spark):
+    """The production theta-trick claim, MEASURED from executed-plan
+    SQLMetrics (the test_plan_quality discipline): an unfiltered build
+    shuffles the per-partition distinct hash set, while a prefiltered
+    build (prior epoch's theta) shuffles at most ~k rows per map
+    partition — and produces the identical sketch."""
+    from test_plan_quality import _executed_metric_sum
+    from pyspark.sql import functions as F
+
+    keys = spark.range(100_000).select(
+        (F.col("id") % 10_000).cast("string").alias("key")
+    )
+    full = kmv.kmv_build(keys, k=K)
+    got = full.collect()
+    shuffled_full = _executed_metric_sum(
+        full, "Exchange", "shuffleRecordsWritten"
+    )
+    kth = max(r.h for r in got)
+    pre = kmv.kmv_build(keys, k=K, prefilter=kth + 1)
+    got_pre = pre.collect()
+    shuffled_pre = _executed_metric_sum(
+        pre, "Exchange", "shuffleRecordsWritten"
+    )
+    assert sorted(r.h for r in got_pre) == sorted(r.h for r in got)
+    # unfiltered: the distinct set (10k hashes) moves; prefiltered: only
+    # hashes below theta survive the scan-side filter — orders less
+    assert shuffled_full >= 9_000, shuffled_full
+    n_parts = keys.rdd.getNumPartitions()
+    assert 0 < shuffled_pre <= K * max(n_parts, 1) + 16, (
+        shuffled_pre,
+        n_parts,
+    )
