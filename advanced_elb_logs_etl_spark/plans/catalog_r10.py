@@ -95,7 +95,11 @@ def q_cm_point_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-count agg); production callers probe the sketch alone."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens(F.col("text"))).alias("key"))
-    sk = cm.cm_build(tok)
+    # Materialize the <= d*w-cell sketch (bounded) so the geometry guard
+    # and the probe join read the cells instead of re-running the corpus
+    # tokenize+build — measured +59% wall when the guard re-evaluates a
+    # 10M-row build lineage (tools/scale_kmv_wave.py, SCALE.md r10).
+    sk = cm.cm_build(tok).localCheckpoint(eager=True)
     probes = docs.sparkSession.createDataFrame(
         [(t,) for t in _CM_PROBE_TERMS], "key string"
     )
