@@ -113,6 +113,13 @@ HEADLINERS = {
     "pq_adc_topk": "LUTs ride as array literals — per-row work is M element_at lookups + "
                    "an integer sum; TakeOrdered(k) per query; rank Window only AFTER the "
                    "k-row limit; zero Python in the search plan",
+    "cm_point_frequency": "build = ONE map-side-combinable hash agg onto <= d*w cells "
+                          "(localCheckpointed, so the guard + probe read cells, not the "
+                          "corpus); probe = |q|*d explode joined against the broadcast "
+                          "cell frame; the 1-row geometry guard rides the probe plan",
+    "stream_cm_point_frequency": "real micro-batch replay; per batch one bounded cell agg "
+                                 "+ a <= d*w-row union with the prior snapshot; estimates "
+                                 "probe the materialized store, never the stream",
     "classifier_score_topk": "one evaluate-once n-gram explode; 256-row model joined as "
                              "BroadcastHashJoin; single per-doc HashAggregate; "
                              "TakeOrderedAndProject top-50 (no global Sort)",
