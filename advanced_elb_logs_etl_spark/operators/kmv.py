@@ -38,7 +38,7 @@ kmv_union.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h60
@@ -89,6 +89,82 @@ def kmv_build(
     if prefilter is not None:
         hashes = hashes.filter(F.col("h") < F.lit(int(prefilter)))
     return hashes.distinct().orderBy("h").limit(k)
+
+
+def kmv_build_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str = "key",
+    k: int = K,
+) -> DataFrame:
+    """Per-group KMV sketches in one frame (group_cols..., h) — the
+    production shape of the reference's COUNT(DISTINCT client_ip) per
+    hour (reference :345-363) when the counts must also roll up across
+    groups: per-(hour, segment) sketches union into per-day /
+    per-segment sketches (kmv_merge_grouped) without touching the
+    corpus again, which re-counting exact distincts cannot do.
+
+    Plan shape: one partial+final distinct agg on (group, h), then a
+    row_number window partitioned by group (top-k smallest per group).
+    Two shuffles; per-group state in the window is one counter — never
+    a collect_set-style unbounded buffer.  Output is <= k rows per
+    group."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hashes = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, kmv_hash(F.col(key_col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(int(k)))
+        .drop("_rn")
+    )
+
+
+def kmv_merge_grouped(
+    sketches: DataFrame,
+    group_cols: list[str],
+    k: int = K,
+) -> DataFrame:
+    """Re-minimize per-group sketch rows under a COARSER grouping — the
+    roll-up: feed per-(day, hour) sketch rows with group_cols=["day"]
+    and get per-day sketches of the UNION of the hour key sets.  Also
+    merges same-group rows from different stores (union the frames
+    first).  Input is sketch rows (<= k per input group), so this never
+    touches corpus data."""
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        sketches.select(*group_cols, "h")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(int(k)))
+        .drop("_rn")
+    )
+
+
+def kmv_estimate_grouped(
+    sketch: DataFrame,
+    group_cols: list[str],
+    k: int = K,
+) -> DataFrame:
+    """(group_cols..., n_hashes, kth_hash, est_distinct): the per-group
+    distinct estimates — one hash agg over <= k-row groups, same
+    integer-exact estimator as kmv_estimate."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max("h").alias("kth_hash"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_hashes",
+        "kth_hash",
+        _est_floor(F.col("n_hashes"), F.col("kth_hash"), k)
+        .cast("long")
+        .alias("est_distinct"),
+    )
 
 
 def kmv_union(*sketches: DataFrame, k: int = K) -> DataFrame:
@@ -175,7 +251,12 @@ def kmv_intersect_estimate(
     intersection cardinality.
 
     Scale: both inputs are k-row frames, so this is driver-light Column
-    math — the corpus was touched only by the two builds."""
+    math — the corpus was touched only by the two builds.  Each input
+    is referenced TWICE in the plan (theta agg + the common join): pass
+    MATERIALIZED sketches (localCheckpoint the k-row build, as the
+    catalog gate does) when the build lineage is corpus-sized, or the
+    build runs twice (the cm_check_geometry lesson, priced in SCALE.md
+    r10)."""
     a_th = a.agg(
         F.count(F.lit(1)).alias("n_a"), F.max("h").alias("kth_a")
     )

@@ -324,3 +324,43 @@ def test_prefilter_bounds_shuffle_records_measured(spark):
         shuffled_pre,
         n_parts,
     )
+
+
+def test_grouped_build_estimate_and_rollup(spark):
+    """Per-group sketches match the per-group python replica; grouped
+    estimates use the same integer-exact estimator; and the roll-up
+    (kmv_merge_grouped under a coarser grouping) equals a direct build
+    at that grouping — the union-across-hours contract."""
+    rows = [
+        ("d1", "h1", u) for u in [f"a{i}" for i in range(30)]
+    ] + [
+        ("d1", "h2", u) for u in [f"b{i}" for i in range(5)]
+    ] + [
+        ("d2", "h1", u) for u in [f"a{i}" for i in range(10, 50)]
+    ]
+    df = spark.createDataFrame(rows, "day string, hour string, key string")
+    sk = kmv.kmv_build_grouped(df, ["day", "hour"], k=K)
+    got = {}
+    for r in sk.collect():
+        got.setdefault((r.day, r.hour), []).append(r.h)
+    want = {
+        ("d1", "h1"): _kmv_py([f"a{i}" for i in range(30)]),
+        ("d1", "h2"): _kmv_py([f"b{i}" for i in range(5)]),
+        ("d2", "h1"): _kmv_py([f"a{i}" for i in range(10, 50)]),
+    }
+    assert {g: sorted(v) for g, v in got.items()} == want
+    # grouped estimates: exact under k, replica formula at k
+    est = {
+        (r.day, r.hour): (r.n_hashes, r.est_distinct)
+        for r in kmv.kmv_estimate_grouped(sk, ["day", "hour"], k=K).collect()
+    }
+    assert est[("d1", "h2")] == (5, 5)
+    assert est[("d1", "h1")] == (K, _est_py(want[("d1", "h1")]))
+    # roll-up to per-day == direct build at per-day grouping
+    rolled = kmv.kmv_merge_grouped(sk, ["day"], k=K)
+    direct = kmv.kmv_build_grouped(df, ["day"], k=K)
+    assert sorted(map(tuple, rolled.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    with pytest.raises(ValueError):
+        kmv.kmv_build_grouped(df, ["day"], k=1)
