@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zvalue", "zorder_by", "compaction_plan"]
+__all__ = ["zvalue", "zorder_by", "compaction_plan", "write_bucketed"]
 
 
 def zvalue(a: Column, b: Column, bits: int = 16) -> Column:
@@ -103,3 +103,46 @@ def compaction_plan(
         .cast("long")
         .alias("bin"),
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a frame as a BUCKETED parquet table (``bucketBy`` +
+    optional ``sortBy`` + ``saveAsTable``) — the co-located-join layout:
+    two tables bucketed the same way on their join key join WITHOUT any
+    Exchange (verified from executed plans and SQLMetrics in
+    tests/test_layout.py), because every bucket id holds the same key
+    slice on both sides.
+
+    The 100 TB contract: a fact table joined repeatedly on the same key
+    pays its shuffle ONCE at write time; every subsequent join (and
+    groupBy on a prefix of the bucket columns) reuses the layout.  Pair
+    ``sort_cols`` with the bucket columns to also skip the sort of a
+    sort-merge join.  num_buckets should be sized like shuffle
+    partitions at full scale (the session.autosize arithmetic: total
+    bytes / ~128 MB).
+
+    Spark-specific notes, stated so callers don't rediscover them:
+    - bucketing metadata lives in the session catalog (saveAsTable);
+      plain ``.parquet(path)`` writes LOSE it, and reading the files
+      directly (not the table) ignores it.
+    - both join sides must have the SAME bucket count (or one a divisor
+      of the other with spark.sql.bucketing.coalesceBucketsInJoin
+      enabled) and bucket columns == join columns.
+    - spark.sql.sources.bucketing.enabled (default true) must be on at
+      READ time.
+    """
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    if not bucket_cols:
+        raise ValueError("bucket_cols must name at least one column")
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)

@@ -225,3 +225,52 @@ def test_compact_parquet_guards_manifest_scan_mismatch(spark, tmp_path):
     finally:
         _reports._canon_file_uri = orig
     assert not os.path.isdir(dst), "no partial output on refusal"
+
+
+def test_bucketed_join_is_shuffle_free_measured(spark):
+    """The co-located-join contract, MEASURED: two tables bucketed the
+    same way on the join key join with ZERO shuffle records written
+    (executed-plan SQLMetrics), while the identical unbucketed join
+    shuffles both sides.  Broadcast is disabled so the comparison is
+    SMJ-vs-SMJ, not hidden by a small-table fast path."""
+    import pytest
+    from test_plan_quality import _executed_metric_sum
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(5_000).select(
+            F.col("id").alias("k"), (F.col("id") + 1).alias("vb")
+        )
+        layout.write_bucketed(a, "bkt_t_a", ["k"], 8, sort_cols=["k"])
+        layout.write_bucketed(b, "bkt_t_b", ["k"], 8, sort_cols=["k"])
+        j = spark.table("bkt_t_a").join(spark.table("bkt_t_b"), "k")
+        assert j.count() == 5_000  # correctness before plan claims
+        j.collect()
+        assert (
+            _executed_metric_sum(j, "Exchange", "shuffleRecordsWritten") == 0
+        )
+        # identical join without the layout: both sides shuffle
+        ju = a.join(b, "k")
+        ju.collect()
+        assert (
+            _executed_metric_sum(ju, "Exchange", "shuffleRecordsWritten")
+            >= 15_000
+        )
+        # a groupBy on the bucket column also reuses the layout
+        g = spark.table("bkt_t_a").groupBy("k").agg(F.sum("va").alias("s"))
+        g.collect()
+        assert (
+            _executed_metric_sum(g, "Exchange", "shuffleRecordsWritten") == 0
+        )
+        with pytest.raises(ValueError):
+            layout.write_bucketed(a, "bkt_t_bad", ["k"], 0)
+        with pytest.raises(ValueError):
+            layout.write_bucketed(a, "bkt_t_bad", [], 8)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_t_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_t_b")
