@@ -111,6 +111,11 @@ def kmv_build_grouped(
     group."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    if not group_cols:
+        # an empty partitionBy would funnel the whole distinct set into
+        # ONE window partition — the global-window scale hazard plan
+        # lint polices; the global form is kmv_build (TakeOrdered).
+        raise ValueError("group_cols must be non-empty; use kmv_build")
     hashes = (
         df.filter(F.col(key_col).isNotNull())
         .select(*group_cols, kmv_hash(F.col(key_col)).alias("h"))
@@ -135,6 +140,10 @@ def kmv_merge_grouped(
     merges same-group rows from different stores (union the frames
     first).  Input is sketch rows (<= k per input group), so this never
     touches corpus data."""
+    if not group_cols:
+        # roll-up to the GLOBAL sketch: k-row inputs, use the
+        # TakeOrdered form rather than a single-partition window
+        return kmv_union(sketches, k=k)
     w = Window.partitionBy(*group_cols).orderBy("h")
     return (
         sketches.select(*group_cols, "h")

@@ -364,3 +364,20 @@ def test_grouped_build_estimate_and_rollup(spark):
     )
     with pytest.raises(ValueError):
         kmv.kmv_build_grouped(df, ["day"], k=1)
+
+
+def test_grouped_guards_and_global_rollup(spark):
+    """Empty group_cols must not silently become a single-partition
+    global window (r10 self-review): build raises, merge falls through
+    to the TakeOrdered union form and equals the global build."""
+    df = spark.createDataFrame(
+        [("g", f"x{i}") for i in range(20)], "g string, key string"
+    )
+    with pytest.raises(ValueError, match="use kmv_build"):
+        kmv.kmv_build_grouped(df, [], k=K)
+    sk = kmv.kmv_build_grouped(df, ["g"], k=K)
+    rolled = kmv.kmv_merge_grouped(sk, [], k=K)
+    direct = kmv.kmv_build(df, k=K)
+    assert sorted(r.h for r in rolled.collect()) == sorted(
+        r.h for r in direct.collect()
+    )
