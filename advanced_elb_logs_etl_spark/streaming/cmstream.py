@@ -99,7 +99,12 @@ def _prune_history(spark: SparkSession, path: str, batch_id: int) -> None:
     newest prior snapshot M must survive until a batch AFTER N commits —
     only batches < M are deleted (keeping exactly M and N).  Deletion is
     an optimization, never a correctness input, so failures here are
-    swallowed: an undeleted snapshot just means a larger store."""
+    swallowed: an undeleted snapshot just means a larger store.
+
+    Shared by every CUMULATIVE-snapshot store (cmstream, kmvstream,
+    heavyhitters summary+meta, histogram counts).  NOT applicable to
+    DELTA stores whose reads union ALL prior batches — the neardup
+    first-seen key store is one; pruning it would un-block seen keys."""
     try:
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)

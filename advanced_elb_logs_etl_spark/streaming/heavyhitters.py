@@ -212,6 +212,16 @@ def _process_batch(
     summary.unionByName(sentinel).write.mode("overwrite").parquet(
         os.path.join(sum_dir, f"batch={batch_id}")
     )
+    # State is cumulative, so snapshots older than the newest prior one
+    # are dead weight — prune both dirs after the batch's writes complete
+    # (the cmstream ADVICE-r9 fix; keeps the retry-read predecessor M and
+    # batch N, so a retried N still reads M, and the reader's max-common
+    # cut always lands on a surviving pair even across a mid-write crash:
+    # summary {M,N} / meta {L,M} cuts at M, which pruning never removes).
+    from .cmstream import _prune_history
+
+    _prune_history(spark, sum_dir, batch_id)
+    _prune_history(spark, meta_dir, batch_id)
 
 
 def heavy_hitters_stream(

@@ -181,6 +181,12 @@ def _process_batch(
     out.write.mode("overwrite").parquet(
         os.path.join(counts_dir, f"batch={batch_id}")
     )
+    # cumulative snapshots: prune everything older than the retry-read
+    # predecessor (the cmstream ADVICE-r9 fix) so the store stays
+    # bounded on a long-lived stream
+    from .cmstream import _prune_history
+
+    _prune_history(batch_df.sparkSession, counts_dir, batch_id)
 
 
 def histogram_stream(

@@ -230,3 +230,31 @@ def test_store_fold_matches_python_on_random_batches(spark):
         state, d_total = _mg_py(batches, capacity)
         want = {k: (c, c + d_total) for k, c in state.items()}
         assert got == want, (seed, capacity, batches, d_total)
+
+
+def test_store_prunes_superseded_snapshots(spark):
+    """r10: both cumulative dirs keep only the latest snapshot and its
+    retry-read predecessor; the reader's consistent cut and a retry of
+    the last batch still work after pruning."""
+    import os
+
+    with tempfile.TemporaryDirectory(prefix="sparkgraft_hh_") as store:
+        for i, keys in enumerate(BATCHES[:3]):
+            hh._process_batch(_rows(spark, keys), i, store, "key", 3)
+        for sub in ("summary", "meta"):
+            kept = sorted(
+                d
+                for d in os.listdir(os.path.join(store, sub))
+                if d.startswith("batch=")
+            )
+            assert kept == ["batch=1", "batch=2"], (sub, kept)
+        before = sorted(
+            map(tuple, hh.current_heavy_hitters(spark, store).collect())
+        )
+        hh._process_batch(_rows(spark, BATCHES[2]), 2, store, "key", 3)
+        assert (
+            sorted(
+                map(tuple, hh.current_heavy_hitters(spark, store).collect())
+            )
+            == before
+        )

@@ -169,3 +169,30 @@ def test_bucket_of_matches_duckdb_twin_fuzz(spark):
             """).fetchall()
         }
         assert got == want, s
+
+
+def test_store_prunes_superseded_snapshots(spark):
+    """r10: the cumulative counts dir keeps only the latest snapshot and
+    its retry-read predecessor; quantiles and a retried last batch are
+    unaffected."""
+    import os
+
+    with tempfile.TemporaryDirectory(prefix="sparkgraft_hist_") as store:
+        for i, vals in enumerate([[1, 2, 3], [4, 5, 6], [7, 8, 9]]):
+            hg._process_batch(_vals(spark, vals), i, store, "value", S)
+        kept = sorted(
+            d
+            for d in os.listdir(os.path.join(store, "counts"))
+            if d.startswith("batch=")
+        )
+        assert kept == ["batch=1", "batch=2"]
+        before = [
+            tuple(r)
+            for r in hg.quantile_estimates(spark, store, [0.5], S).collect()
+        ]
+        hg._process_batch(_vals(spark, [7, 8, 9]), 2, store, "value", S)
+        again = [
+            tuple(r)
+            for r in hg.quantile_estimates(spark, store, [0.5], S).collect()
+        ]
+        assert again == before
