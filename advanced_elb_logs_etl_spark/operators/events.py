@@ -107,3 +107,101 @@ def cohort_retention(
         )
         .agg(F.count_distinct(F.col(user_col)).alias("users"))
     )
+
+
+def attribution_by_channel(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    lookback_days: int = 7,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch conversion attribution by channel (the standard
+    first-touch / last-touch / linear models of marketing analytics —
+    public methodology): every ``conversion_type`` event credits the
+    user's PRIOR events (the touches) inside a lookback window, and the
+    credit is aggregated per touch channel (= event_type here).
+
+    Output (channel, n_touches, n_conversions_touched,
+    first_touch_micro, last_touch_micro, linear_micro) — one row per
+    channel, ALL-INTEGER surface (the r10 float policy): each
+    conversion distributes exactly 1e6 micro-credits per model; linear
+    splits them as div(1e6, n) per touch with the remainder assigned to
+    the LAST touch (deterministic: ties on timestamp break by event id),
+    so per-conversion credits always sum to exactly 1,000,000 and the
+    channel totals are exact integers on both engines.  Conversions
+    with no in-window prior touch drop out (report them via the funnel
+    operators).
+
+    Scale shape: one per-user equi-join between conversions and touches
+    with the window predicate pushed into the join filter, two keyed
+    row_number windows on the (conversion, touch) frame, then ONE hash
+    agg on channel.  Per-user fan-out is conversions x touches inside
+    the window — at 100 TB bound it with the bucketized range-join lane
+    (operators/temporal.py) or a shorter lookback; a power-user salt
+    follows the skew.py pattern.  No global windows, no driver loops."""
+    conv = (
+        events.filter(
+            (F.col(type_col) == conversion_type)
+            & F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("u"),
+            F.col(id_col).alias("conv_id"),
+            F.unix_micros(F.col(ts_col)).alias("conv_us"),
+        )
+    )
+    touches = events.filter(
+        (F.col(type_col) != conversion_type)
+        & F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"),
+        F.col(id_col).alias("touch_id"),
+        F.col(type_col).alias("channel"),
+        F.unix_micros(F.col(ts_col)).alias("touch_us"),
+    )
+    window_us = int(lookback_days) * 86_400_000_000
+    pairs = conv.join(touches, "u").filter(
+        (F.col("touch_us") < F.col("conv_us"))
+        & (F.col("touch_us") >= F.col("conv_us") - F.lit(window_us))
+    )
+    from pyspark.sql import Window
+
+    w_asc = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_us").asc(), F.col("touch_id").asc()
+    )
+    w_desc = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_us").desc(), F.col("touch_id").desc()
+    )
+    scored = (
+        pairs.withColumn("rn_first", F.row_number().over(w_asc))
+        .withColumn("rn_last", F.row_number().over(w_desc))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("conv_id")))
+    )
+    micro = F.lit(1_000_000)
+    base = F.expr("div(1000000, n)")
+    rem = micro - base * F.col("n")
+    scored = scored.select(
+        "channel",
+        "conv_id",
+        F.when(F.col("rn_first") == 1, micro).otherwise(F.lit(0)).alias(
+            "first_micro"
+        ),
+        F.when(F.col("rn_last") == 1, micro).otherwise(F.lit(0)).alias(
+            "last_micro"
+        ),
+        (
+            base + F.when(F.col("rn_last") == 1, rem).otherwise(F.lit(0))
+        ).alias("lin_micro"),
+    )
+    return scored.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("conv_id").alias("n_conversions_touched"),
+        F.sum("first_micro").cast("long").alias("first_touch_micro"),
+        F.sum("last_micro").cast("long").alias("last_touch_micro"),
+        F.sum("lin_micro").cast("long").alias("linear_micro"),
+    )

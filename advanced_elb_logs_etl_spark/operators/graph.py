@@ -491,3 +491,101 @@ def neighbor_jaccard_topk(
         .select("seed", "node", "common", dround(F.col("jaccard"), 8).alias("jaccard"))
         .orderBy("seed", F.desc("jaccard"), "node")
     )
+
+
+def bipartite_edges_customer_part(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Canonical bipartite edge list (l=customer, r=part) from the TPC-H
+    purchase graph: DISTINCT (o_custkey, l_partkey) through the
+    orders-lineitem equi-join.  One join + one distinct agg; edges are
+    two longs, orders-of-magnitude smaller than lineitem."""
+    return (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("l"), F.col("l_partkey").alias("r"))
+        .distinct()
+    )
+
+
+def butterfly_stats(edges: DataFrame, through: str = "auto") -> DataFrame:
+    """Global butterfly (bipartite 4-cycle) census of a bipartite graph
+    (Wang et al. 2019, "Vertex Priority Based Butterfly Counting for
+    Large-scale Bipartite Networks" — public method; this is the exact
+    side-selected wedge-aggregation form).  Butterflies are the
+    bipartite analogue of triangles — the density signal behind
+    bipartite community detection and co-purchase/co-click cohesion.
+
+    Input: canonical DISTINCT edges [l, r] (left/right vertex ids).
+    Output (1 row, ALL-INTEGER surface — the r10 float policy; derived
+    ratios like the bipartite clustering coefficient are one division
+    away for the caller): n_left, n_right, n_edges, n_wedges (2-paths
+    through the chosen side), n_coneighbor_pairs, n_butterflies.
+
+    Exactness: butterflies = sum over same-side vertex pairs of
+    C(common-neighbors, 2); the identity holds COUNTING FROM EITHER
+    SIDE, so the implementation wedges through the side with the
+    smaller sum of d*(d-1) — the exact cost of pair generation —
+    chosen by two 1-row aggregates (a bounded protocol collect when
+    through='auto'; pass 'left'/'right' to pin the plan, as the
+    catalog gate does).
+
+    Scale: pair generation is one self-equi-join on the through-side
+    vertex (fan-out d^2 per vertex, bounded by side selection; the
+    shuffle_hash hint keeps the probe unsorted — the triangle_census
+    treatment), one (u1, u2) hash agg whose output is at most the
+    number of co-neighbor pairs, and a 1-row fold.  No corpus-sized
+    sort anywhere."""
+    if through not in ("auto", "left", "right"):
+        raise ValueError(f"through must be auto|left|right, got {through!r}")
+    edges = edges.select("l", "r").localCheckpoint(eager=True)
+    if through == "auto":
+        # exact pair-generation cost on each side: sum d*(d-1)
+        costs = edges.groupBy("l").agg(F.count(F.lit(1)).alias("d")).agg(
+            F.expr("sum(d * (d - 1))").alias("cl")
+        ).crossJoin(
+            edges.groupBy("r").agg(F.count(F.lit(1)).alias("d")).agg(
+                F.expr("sum(d * (d - 1))").alias("cr")
+            )
+        ).collect()[0]
+        through = "left" if (costs.cl or 0) <= (costs.cr or 0) else "right"
+    # wedge THROUGH a vertex on `through`, pairing its other-side
+    # neighbors; canonical pair order makes each wedge count once
+    pivot, tip = ("l", "r") if through == "left" else ("r", "l")
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    pairs = (
+        e1.join(
+            e2.hint("shuffle_hash"),
+            (F.col(f"e1.{pivot}") == F.col(f"e2.{pivot}"))
+            & (F.col(f"e1.{tip}") < F.col(f"e2.{tip}")),
+        )
+        .groupBy(
+            F.col(f"e1.{tip}").alias("u1"), F.col(f"e2.{tip}").alias("u2")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    bf = pairs.agg(
+        F.expr("sum(w * (w - 1) div 2)").cast("long").alias("n_butterflies"),
+        F.count(F.lit(1)).alias("n_coneighbor_pairs"),
+    )
+    deg_stats = edges.groupBy(pivot).agg(F.count(F.lit(1)).alias("d")).agg(
+        F.expr("sum(d * (d - 1)) div 2").cast("long").alias("n_wedges")
+    )
+    counts = edges.agg(
+        F.countDistinct("l").alias("n_left"),
+        F.countDistinct("r").alias("n_right"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(deg_stats))
+        .crossJoin(F.broadcast(bf))
+        .select(
+            "n_left",
+            "n_right",
+            "n_edges",
+            "n_wedges",
+            "n_coneighbor_pairs",
+            "n_butterflies",
+        )
+    )

@@ -1,0 +1,147 @@
+"""Multi-touch attribution (operators/events.attribution_by_channel):
+hand-computed model cases, the exact-credit invariant, lookback and
+tie-break rules, and the DuckDB twin rehearsal for the queued r12 gate
+(`attribution_report`)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from advanced_elb_logs_etl_spark.operators import events as ev
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+
+
+def test_models_hand_case(spark):
+    rows = [
+        # user 1: A then B then conversion -> first=A, last=B, linear 50/50
+        (1, 1, "view", _ts(0)),
+        (2, 1, "click", _ts(1)),
+        (3, 1, "purchase", _ts(2)),
+        # user 2: three touches -> linear 333333/333333/333334 (remainder
+        # to the LAST touch)
+        (4, 2, "view", _ts(0)),
+        (5, 2, "view", _ts(1)),
+        (6, 2, "click", _ts(2)),
+        (7, 2, "purchase", _ts(3)),
+    ]
+    got = {
+        r.channel: r
+        for r in ev.attribution_by_channel(_frame(spark, rows)).collect()
+    }
+    assert got["view"].first_touch_micro == 2_000_000  # both conversions
+    assert got["click"].last_touch_micro == 2_000_000
+    assert got["view"].last_touch_micro == 0
+    assert got["click"].first_touch_micro == 0
+    # linear: u1 view 500000 + u2 views 333333*2; click 500000 + 333334
+    assert got["view"].linear_micro == 500_000 + 666_666
+    assert got["click"].linear_micro == 500_000 + 333_334
+    # exact-credit invariant: every model distributes 1e6 per conversion
+    for model in ("first_touch_micro", "last_touch_micro", "linear_micro"):
+        assert sum(getattr(r, model) for r in got.values()) == 2_000_000
+
+
+def test_lookback_and_tiebreak(spark):
+    rows = [
+        # touch outside the 7-day lookback is ignored
+        (1, 1, "view", dt.datetime(2023, 12, 1)),
+        (2, 1, "click", dt.datetime(2024, 1, 1)),
+        (3, 1, "purchase", dt.datetime(2024, 1, 2)),
+        # same-timestamp touches: id breaks the tie deterministically
+        (10, 2, "view", _ts(0)),
+        (11, 2, "click", _ts(0)),
+        (12, 2, "purchase", _ts(1)),
+        # conversion with NO in-window touch drops out entirely
+        (20, 3, "purchase", _ts(5)),
+    ]
+    got = {
+        r.channel: r
+        for r in ev.attribution_by_channel(_frame(spark, rows)).collect()
+    }
+    assert got["view"].n_touches == 1  # the stale view is excluded
+    assert got["view"].first_touch_micro == 1_000_000  # id 10 < 11
+    assert got["click"].last_touch_micro == 2_000_000  # ids 2 and 11
+    total_conv = {r.channel: r.n_conversions_touched for r in got.values()}
+    assert total_conv == {"view": 1, "click": 2}
+
+
+# --- the queued r12 catalog gate, rehearsed against DuckDB ----------------
+# Channel attribution over the events table (purchase conversions,
+# 7-day lookback).  All-integer surface.
+
+ATTRIBUTION_ORACLE_QUEUED_R12 = """
+WITH conv AS (
+  SELECT user_id AS u, event_id AS conv_id, epoch_us(ts) AS conv_us
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+), touch AS (
+  SELECT user_id AS u, event_id AS touch_id, event_type AS channel,
+         epoch_us(ts) AS touch_us
+  FROM events
+  WHERE event_type <> 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+), pairs AS (
+  SELECT c.conv_id, t.channel, t.touch_us, t.touch_id
+  FROM conv c JOIN touch t ON c.u = t.u
+  WHERE t.touch_us < c.conv_us
+    AND t.touch_us >= c.conv_us - 604800000000
+), scored AS (
+  SELECT channel, conv_id,
+    row_number() OVER (PARTITION BY conv_id
+                       ORDER BY touch_us ASC, touch_id ASC) AS rn_first,
+    row_number() OVER (PARTITION BY conv_id
+                       ORDER BY touch_us DESC, touch_id DESC) AS rn_last,
+    count(*) OVER (PARTITION BY conv_id) AS n
+  FROM pairs
+)
+SELECT channel,
+  count(*)::BIGINT AS n_touches,
+  count(DISTINCT conv_id)::BIGINT AS n_conversions_touched,
+  sum(CASE WHEN rn_first = 1 THEN 1000000 ELSE 0 END)::BIGINT
+    AS first_touch_micro,
+  sum(CASE WHEN rn_last = 1 THEN 1000000 ELSE 0 END)::BIGINT
+    AS last_touch_micro,
+  sum(1000000 // n
+      + CASE WHEN rn_last = 1 THEN 1000000 - (1000000 // n) * n
+             ELSE 0 END)::BIGINT AS linear_micro
+FROM scored GROUP BY channel
+"""
+
+
+def q_attribution_report(spark, sf_dir):
+    """The queued r12 registration body: first/last/linear attribution
+    of purchase conversions to prior-touch channels, 7-day lookback."""
+    from advanced_elb_logs_etl_spark.sources.testdata import load_table
+
+    return ev.attribution_by_channel(load_table(spark, sf_dir, "events"))
+
+
+def test_queued_catalog_gate_matches_duckdb_twin(spark):
+    """Full driver-protocol rehearsal of the queued r12 entry at sf0.01
+    (all-integer surface, exact compare)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    sdf = q_attribution_report(spark, sf)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        tuple(str(x) for x in r) for r in sdf.select(*scols).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    d = con.execute(ATTRIBUTION_ORACLE_QUEUED_R12)
+    cols = [c[0] for c in d.description]
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    drows = sorted(tuple(str(r[i]) for i in idx) for r in d.fetchall())
+    assert sorted(cols) == scols
+    assert srows == drows
+    assert len(srows) >= 2

@@ -1,0 +1,133 @@
+"""Bipartite butterfly census (operators/graph.butterfly_stats):
+closed-form cases, a pure-Python replica differential, side-selection
+invariance, and the DuckDB twin rehearsal for the queued r12 gate
+(`butterfly_census`) — the freeze discipline's pre-rehearsal."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+
+from advanced_elb_logs_etl_spark.operators import graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "l bigint, r bigint")
+
+
+def _butterflies_py(pairs):
+    right_of = {}
+    for l, r in set(pairs):
+        right_of.setdefault(l, set()).add(r)
+    total = 0
+    for l1, l2 in combinations(sorted(right_of), 2):
+        w = len(right_of[l1] & right_of[l2])
+        total += w * (w - 1) // 2
+    return total
+
+
+def test_closed_form_complete_bipartite(spark):
+    # K(2,2) is exactly one butterfly; K(3,2) has C(3,2)*C(2,2) = 3
+    k22 = [(l, r) for l in (1, 2) for r in (10, 20)]
+    got = graph.butterfly_stats(_edges(spark, k22)).collect()[0]
+    assert (got.n_left, got.n_right, got.n_edges, got.n_butterflies) == (
+        2, 2, 4, 1,
+    )
+    k32 = [(l, r) for l in (1, 2, 3) for r in (10, 20)]
+    got = graph.butterfly_stats(_edges(spark, k32)).collect()[0]
+    assert got.n_butterflies == 3
+    # a path (no 4-cycle) has none
+    path = [(1, 10), (2, 10), (2, 20), (3, 20)]
+    got = graph.butterfly_stats(_edges(spark, path)).collect()[0]
+    assert got.n_butterflies == 0
+    with pytest.raises(ValueError):
+        graph.butterfly_stats(_edges(spark, path), through="up")
+
+
+def test_replica_differential_and_side_invariance(spark):
+    # deterministic pseudo-random bipartite graph, duplicate edges in
+    # the input exercise the caller-side distinct contract
+    pairs = [((i * 7) % 13, (i * 11) % 9 + 100) for i in range(160)]
+    df = _edges(spark, pairs).distinct()
+    want = _butterflies_py(pairs)
+    left = graph.butterfly_stats(df, through="left").collect()[0]
+    right = graph.butterfly_stats(df, through="right").collect()[0]
+    auto = graph.butterfly_stats(df).collect()[0]
+    assert left.n_butterflies == right.n_butterflies == want
+    assert auto.n_butterflies == want
+    # wedge/pair counts differ by side; the invariant is the 4-cycles
+    assert (left.n_left, left.n_right) == (right.n_left, right.n_right)
+
+
+# --- the queued r12 catalog gate, rehearsed against DuckDB ----------------
+# Butterfly census of the customer-part purchase graph; through='right'
+# pins the plan (no protocol collect inside the registered query).
+# All-integer surface.
+
+BUTTERFLY_ORACLE_QUEUED_R12 = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS l, l_partkey AS r
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), pairs AS (
+  SELECT e1.l AS u1, e2.l AS u2, count(*)::BIGINT AS w
+  FROM e e1 JOIN e e2 ON e1.r = e2.r AND e1.l < e2.l
+  GROUP BY 1, 2
+), bf AS (
+  SELECT coalesce(sum(w * (w - 1) // 2), 0)::BIGINT AS n_butterflies,
+         count(*)::BIGINT AS n_coneighbor_pairs
+  FROM pairs
+), wd AS (
+  SELECT (coalesce(sum(d * (d - 1)), 0) // 2)::BIGINT AS n_wedges
+  FROM (SELECT count(*)::BIGINT AS d FROM e GROUP BY r)
+), counts AS (
+  SELECT count(DISTINCT l)::BIGINT AS n_left,
+         count(DISTINCT r)::BIGINT AS n_right,
+         count(*)::BIGINT AS n_edges
+  FROM e
+)
+SELECT n_left, n_right, n_edges, n_wedges, n_coneighbor_pairs,
+       n_butterflies
+FROM counts, wd, bf
+"""
+
+
+def q_butterfly_census(spark, sf_dir):
+    """The queued r12 registration body: butterfly census of the
+    customer-part purchase graph, wedging through parts (pinned side —
+    the registered plan carries no protocol collect)."""
+    from advanced_elb_logs_etl_spark.sources.testdata import load_table
+
+    edges = graph.bipartite_edges_customer_part(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    return graph.butterfly_stats(edges, through="right")
+
+
+def test_queued_catalog_gate_matches_duckdb_twin(spark):
+    """Full driver-protocol rehearsal of the queued r12 entry at
+    sf0.01 (all-integer surface, exact compare)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    sdf = q_butterfly_census(spark, sf)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        tuple(str(x) for x in r) for r in sdf.select(*scols).collect()
+    )
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    d = con.execute(BUTTERFLY_ORACLE_QUEUED_R12)
+    cols = [c[0] for c in d.description]
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    drows = sorted(tuple(str(r[i]) for i in idx) for r in d.fetchall())
+    assert sorted(cols) == scols
+    assert srows == drows
+    assert len(srows) == 1
+    # a real graph: the census actually counted something
+    row = dict(zip(sorted(cols), drows[0]))
+    assert int(row["n_butterflies"]) > 0
