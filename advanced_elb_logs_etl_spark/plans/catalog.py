@@ -144,6 +144,10 @@ FRONT_OF_CATALOG: list[str] = [
     #   Recommended r11 move: the r10 pattern — take the last two
     #   window slots for the registrations and let the two displaced
     #   r7-green entries head the r12 queue.
+    #   The r12 stash is ALSO pre-built (this r10 session, two deep per
+    #   the cadence): butterfly_census (tests/test_butterfly.py) and
+    #   attribution_report (tests/test_attribution.py), both rehearsed
+    #   hash-green at sf0.01 with all-integer surfaces.
     "simhash_signatures",
     "stream_lsh_band_canonical",
     "substring_dedup_spans",
