@@ -145,3 +145,63 @@ def test_queued_catalog_gate_matches_duckdb_twin(spark):
     assert sorted(cols) == scols
     assert srows == drows
     assert len(srows) >= 2
+
+
+def test_randomized_replica_differential(spark):
+    """A seeded random multi-user event stream (duplicate timestamps,
+    out-of-window touches, touchless conversions) attributed in one
+    Spark job and compared channel-for-channel against a pure Python
+    replica of the three models."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(0xA77B)
+    channels = ["view", "click", "error", "signup"]
+    rows = []
+    eid = 0
+    for u in range(40):
+        for _ in range(rng.randint(0, 25)):
+            eid += 1
+            etype = rng.choice(channels + ["purchase", "purchase"])
+            rows.append((eid, u, etype, _ts(rng.randint(0, 59))))
+    df = _frame(spark, rows)
+    got = {
+        r.channel: (
+            r.n_touches,
+            r.n_conversions_touched,
+            r.first_touch_micro,
+            r.last_touch_micro,
+            r.linear_micro,
+        )
+        for r in ev.attribution_by_channel(df, lookback_days=7).collect()
+    }
+    # python replica (7-day window never excludes anything here: all
+    # events sit inside one hour — the lookback rule has its own test)
+    per_user = defaultdict(list)
+    for e, u, t, ts in rows:
+        per_user[u].append((e, t, ts))
+    want = defaultdict(lambda: [0, set(), 0, 0, 0])
+    for u, evs in per_user.items():
+        convs = [(e, ts) for e, t, ts in evs if t == "purchase"]
+        touches = [(e, t, ts) for e, t, ts in evs if t != "purchase"]
+        for ce, cts in convs:
+            win = sorted(
+                (ts, e, t) for e, t, ts in touches if ts < cts
+            )
+            if not win:
+                continue
+            n = len(win)
+            base, rem = divmod(1_000_000, n)
+            for i, (ts, e, t) in enumerate(win):
+                w = want[t]
+                w[0] += 1
+                w[1].add(ce)
+                if i == 0:
+                    w[2] += 1_000_000
+                if i == n - 1:
+                    w[3] += 1_000_000
+                w[4] += base + (rem if i == n - 1 else 0)
+    want_t = {
+        t: (v[0], len(v[1]), v[2], v[3], v[4]) for t, v in want.items()
+    }
+    assert got == want_t

@@ -381,3 +381,42 @@ def test_grouped_guards_and_global_rollup(spark):
     assert sorted(r.h for r in rolled.collect()) == sorted(
         r.h for r in direct.collect()
     )
+
+
+def test_randomized_grouped_differential(spark):
+    """60 seeded random multisets (varied sizes, duplicate densities,
+    unicode keys) sketched in ONE Spark job via the grouped path, each
+    compared hash-for-hash and estimate-for-estimate against the pure
+    Python replica — the randomized-differential pattern of the
+    streaming store tests."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    alphabet = ["alpha", "beta", "γάμμα", "δ", "e-mail@x", "tab\tkey", "0"]
+    cases = {}
+    rows = []
+    for c in range(60):
+        n = rng.randint(0, 40)
+        dom = rng.randint(1, 12)
+        keys = [
+            f"{rng.choice(alphabet)}#{rng.randint(0, dom)}" for _ in range(n)
+        ]
+        cases[c] = keys
+        rows.extend((c, k_) for k_ in keys)
+        rows.append((c, None))  # every case carries a NULL to ignore
+    df = spark.createDataFrame(rows, "cid int, key string")
+    sk = kmv.kmv_build_grouped(df, ["cid"], k=K)
+    got_hashes = {}
+    for r in sk.collect():
+        got_hashes.setdefault(r.cid, []).append(r.h)
+    est = {
+        r.cid: (r.n_hashes, r.est_distinct)
+        for r in kmv.kmv_estimate_grouped(sk, ["cid"], k=K).collect()
+    }
+    for c, keys in cases.items():
+        replica = _kmv_py(keys)
+        assert sorted(got_hashes.get(c, [])) == replica, c
+        if replica:
+            assert est[c] == (len(replica), _est_py(replica)), c
+        else:
+            assert c not in est  # empty case: no sketch rows, no estimate
