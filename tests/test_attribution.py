@@ -205,3 +205,16 @@ def test_randomized_replica_differential(spark):
         t: (v[0], len(v[1]), v[2], v[3], v[4]) for t, v in want.items()
     }
     assert got == want_t
+
+
+def test_plan_windows_are_per_conversion(spark):
+    """Stash-time plan pin: both row_number windows and the count
+    window partition by conv_id — a global (empty-partition) window
+    here would single-task the touch-pair frame."""
+    rows = [(1, 1, "view", _ts(0)), (2, 1, "purchase", _ts(1))]
+    df = ev.attribution_by_channel(_frame(spark, rows))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "conv_id" in spec, plan[:2000]

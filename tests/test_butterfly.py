@@ -131,3 +131,18 @@ def test_queued_catalog_gate_matches_duckdb_twin(spark):
     # a real graph: the census actually counted something
     row = dict(zip(sorted(cols), drows[0]))
     assert int(row["n_butterflies"]) > 0
+
+
+def test_plan_has_no_global_sort_and_keeps_the_hint(spark):
+    """Stash-time plan pin (the test_plan_quality discipline): the
+    census is joins + hash aggs — no global Sort anywhere, and the
+    wedge self-join must not fall into a cartesian."""
+    e = _edges(spark, [(l, r) for l in range(6) for r in (1, 2)])
+    plan = (
+        graph.butterfly_stats(e, through="right")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "TakeOrdered" not in plan  # nothing orders anything
