@@ -50,6 +50,14 @@ def main() -> int:
     ap.add_argument(
         "--out", default=os.path.join(REPO, "tools", "oracle_sim_latest.json")
     )
+    ap.add_argument(
+        "--driver-memory",
+        default="8g",
+        help="JVM driver heap (the tool collects FULL results in one "
+        "process beside DuckDB; the 1g Spark default OOMs on the "
+        "O(input)-row queries at sf0.1 — found by the r10 sf-robustness "
+        "sweep, 163/207 green then cascading Py4J failures)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -59,6 +67,8 @@ def main() -> int:
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", args.driver_memory)
+        .config("spark.driver.maxResultSize", "4g")
         .getOrCreate()
     )
     import __spark_entry__ as entry
