@@ -565,12 +565,18 @@ def butterfly_stats(edges: DataFrame, through: str = "auto") -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    # coalesce the empty-aggregate NULLs to 0 so a butterfly-free (or
+    # empty) graph reports counts, matching the SQL twin's coalesce
     bf = pairs.agg(
-        F.expr("sum(w * (w - 1) div 2)").cast("long").alias("n_butterflies"),
+        F.coalesce(F.expr("sum(w * (w - 1) div 2)"), F.lit(0))
+        .cast("long")
+        .alias("n_butterflies"),
         F.count(F.lit(1)).alias("n_coneighbor_pairs"),
     )
     deg_stats = edges.groupBy(pivot).agg(F.count(F.lit(1)).alias("d")).agg(
-        F.expr("sum(d * (d - 1)) div 2").cast("long").alias("n_wedges")
+        F.coalesce(F.expr("sum(d * (d - 1)) div 2"), F.lit(0))
+        .cast("long")
+        .alias("n_wedges")
     )
     counts = edges.agg(
         F.countDistinct("l").alias("n_left"),

@@ -146,3 +146,13 @@ def test_plan_has_no_global_sort_and_keeps_the_hint(spark):
     )
     assert "CartesianProduct" not in plan
     assert "TakeOrdered" not in plan  # nothing orders anything
+
+
+def test_empty_graph_reports_zeros(spark):
+    """An empty edge list (and a graph with no co-neighbor pairs)
+    reports integer zeros, never NULL aggregates (r10 self-review:
+    matches the SQL twin's coalesce)."""
+    got = graph.butterfly_stats(
+        _edges(spark, []).filter("l IS NOT NULL"), through="left"
+    ).collect()[0]
+    assert tuple(got) == (0, 0, 0, 0, 0, 0)
