@@ -1,0 +1,126 @@
+"""Probabilistic record linkage scoring — the Fellegi-Sunter model
+(Fellegi & Sunter 1969, "A Theory for Record Linkage" — public method):
+each blocked candidate pair accumulates a log-likelihood-ratio score
+over field-agreement comparisons, where an agreeing field contributes
+ln(m/u) and a disagreeing one ln((1-m)/(1-u)) (m = P(agree | match),
+u = P(agree | non-match)); thresholds split pairs into link / possible
+/ non-link.
+
+This completes the entity-resolution lane the engine already carries:
+blocking (dedup banding, setsim prefix filtering, levenshtein blocks)
+-> THIS scoring -> clustering (cc.alternating_components) -> keep-best
+survivorship (dedup.dedup_keep_best).
+
+Exactness discipline (the r10 float policy): the m/u weights are
+snapped to integer micro-nats IN PYTHON (round(ln(m/u) * 1e6)) and ride
+the plan as literals — the same move as BM25's k1/b and the LM floor —
+so pair scores are exact integer sums and the SQL twin inlines the
+identical literals.  No transcendental is ever evaluated per row by
+either engine.
+
+Scale shape: scoring is pure Column math over the blocked-pair frame
+(zero extra shuffles beyond the caller's blocking join); classification
+is one CASE; top-k selection is TakeOrdered.  The pair frame's size is
+the caller's blocking quality — every blocking lane above bounds it.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 1_000_000
+
+
+def fs_weight_micro(m: float, u: float) -> tuple[int, int]:
+    """(agreement, disagreement) weights in integer micro-nats for one
+    field, from its m- and u-probabilities.  Python-side so both
+    engines consume identical literals."""
+    if not (0.0 < u < m < 1.0):
+        raise ValueError(
+            f"need 0 < u < m < 1 (agreement must be evidence FOR a "
+            f"match), got m={m}, u={u}"
+        )
+    return (
+        round(math.log(m / u) * _SCALE),
+        round(math.log((1.0 - m) / (1.0 - u)) * _SCALE),
+    )
+
+
+def score_pairs(
+    pairs: DataFrame,
+    fields: dict[str, tuple[float, float]],
+    upper_micro: int,
+    lower_micro: int,
+) -> DataFrame:
+    """Score + classify blocked candidate pairs.
+
+    ``pairs`` carries one BOOLEAN column per comparison field (NULL is
+    treated as disagreement — absent evidence is not agreement);
+    ``fields`` maps those column names to (m, u).  Adds:
+    score_micro (exact integer log-likelihood ratio), n_agree, and
+    decision ('link' >= upper_micro, 'non_link' < lower_micro,
+    'possible' between)."""
+    if not fields:
+        raise ValueError("fields must name at least one comparison column")
+    if lower_micro > upper_micro:
+        raise ValueError(
+            f"lower_micro {lower_micro} must be <= upper_micro {upper_micro}"
+        )
+    score: Column = F.lit(0).cast("long")
+    agree: Column = F.lit(0)
+    for col, (m, u) in fields.items():
+        w_a, w_d = fs_weight_micro(m, u)
+        hit = F.coalesce(F.col(col), F.lit(False))
+        score = score + F.when(hit, F.lit(w_a)).otherwise(F.lit(w_d))
+        agree = agree + F.when(hit, F.lit(1)).otherwise(F.lit(0))
+    scored = pairs.withColumn("score_micro", score).withColumn(
+        "n_agree", agree.cast("int")
+    )
+    return scored.withColumn(
+        "decision",
+        F.when(F.col("score_micro") >= F.lit(int(upper_micro)), F.lit("link"))
+        .when(
+            F.col("score_micro") < F.lit(int(lower_micro)), F.lit("non_link")
+        )
+        .otherwise(F.lit("possible")),
+    )
+
+
+def customer_block_pairs(customer: DataFrame) -> DataFrame:
+    """Gate-shaped blocking for the TPC-H customer table: candidate
+    pairs share a nation (the blocking key), with three agreement
+    fields — market segment equality, account balance within 5.00
+    currency units (compared on exact integer cents), and balance-sign
+    agreement.  Pure demonstration blocking: per-nation pair fan-out is
+    C(n_h, 2); production blocking uses the banding/prefix lanes."""
+    c = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("id1"),
+            F.col("b.c_custkey").alias("id2"),
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias(
+                "f_segment"
+            ),
+            (
+                F.abs(F.col("a.bal_cents") - F.col("b.bal_cents"))
+                <= F.lit(500)
+            ).alias("f_balance"),
+            (
+                (F.col("a.bal_cents") >= 0) == (F.col("b.bal_cents") >= 0)
+            ).alias("f_bal_sign"),
+        )
+    )

@@ -226,3 +226,107 @@ def temperature_mix(
         df.join(F.broadcast(rates), group_col)
         .where(u < F.col("rate"))
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    n: int,
+) -> DataFrame:
+    """Optimal (Neyman) stratified-sample allocation beside the
+    proportional baseline (Neyman 1934 — public method): stratum h of
+    size N_h and value stddev s_h gets n_h ~ n * N_h s_h / sum(N s),
+    minimizing the variance of the stratified mean at fixed total n —
+    the allocator a curation pipeline runs BEFORE stratified_sample /
+    sample_k_per_group when strata differ in spread.
+
+    Exactness discipline (the r10 float policy): s_h snaps through the
+    dround DECIMAL ladder to 6 decimals, scales to an integer
+    sd_micro, and every later step is integer math — weight = N_h *
+    sd_micro, floor allocation div(n * w, total), and largest-remainder
+    top-ups ordered by (remainder DESC, stratum) — so the output is
+    value-exact cross-engine and the allocations always sum to exactly
+    n.  Degenerate totals (all stddevs 0 or single-row strata) fall
+    back to proportional weights (w = N_h) rather than dividing by
+    zero.  Integer domain: n * N_h * sd_micro must stay under 2^63 —
+    holds for n <= 1e6 with N_h <= 1e9 rows and values <= ~1e3; widen
+    to DECIMAL if a deployment exceeds it.
+
+    Scale: one partial+final hash agg over the data (moment tuples on
+    the shuffle), then ALL remaining math on the |strata|-row frame —
+    the row_number window there is strata-bounded by construction
+    (the benford/freq-items class, never data rows)."""
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    from pyspark.sql import Window
+
+    from ..functions.scalars import dround
+
+    per = (
+        df.filter(
+            F.col(stratum_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dround(F.stddev_samp(value_col), 6).alias("sd6"),
+        )
+        .withColumn(
+            "sd_micro",
+            F.round(
+                (F.col("sd6") * F.lit(1e6)).cast("decimal(28,6)"), 0
+            )
+            .cast("long"),
+        )
+        .withColumn(
+            "w_neyman",
+            F.col("n_rows") * F.coalesce(F.col("sd_micro"), F.lit(0)),
+        )
+        .drop("sd6")
+    )
+
+    def _largest_remainder(frame: DataFrame, w_col: str, out_col: str):
+        tot = frame.agg(F.sum(w_col).alias("_tot"))
+        f = frame.crossJoin(F.broadcast(tot))
+        # degenerate total -> proportional fallback on row counts
+        f = f.withColumn(
+            "_w",
+            F.when(F.col("_tot") > 0, F.col(w_col)).otherwise(
+                F.col("n_rows")
+            ),
+        )
+        tot2 = f.agg(F.sum("_w").alias("_tot2"))
+        f = f.drop("_tot").crossJoin(F.broadcast(tot2))
+        f = f.withColumn(
+            "_base", F.expr(f"div({n} * _w, _tot2)")
+        ).withColumn("_rem", F.lit(n) * F.col("_w") - F.col("_base") * F.col("_tot2"))
+        leftover = f.agg(
+            (F.lit(n) - F.sum("_base")).alias("_left")
+        )
+        f = f.crossJoin(F.broadcast(leftover))
+        w = Window.orderBy(F.col("_rem").desc(), F.col("stratum"))
+        return (
+            f.withColumn("_rk", F.row_number().over(w))
+            .withColumn(
+                out_col,
+                (
+                    F.col("_base")
+                    + F.when(F.col("_rk") <= F.col("_left"), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("long"),
+            )
+            .drop("_w", "_tot2", "_base", "_rem", "_left", "_rk")
+        )
+
+    out = _largest_remainder(per, "w_neyman", "alloc_neyman")
+    out = _largest_remainder(out, "n_rows", "alloc_proportional")
+    return out.select(
+        "stratum",
+        "n_rows",
+        F.coalesce(F.col("sd_micro"), F.lit(0)).alias("sd_micro"),
+        F.col("w_neyman").alias("weight_micro"),
+        "alloc_neyman",
+        "alloc_proportional",
+    )

@@ -148,6 +148,11 @@ FRONT_OF_CATALOG: list[str] = [
     #   the cadence): butterfly_census (tests/test_butterfly.py) and
     #   attribution_report (tests/test_attribution.py), both rehearsed
     #   hash-green at sf0.01 with all-integer surfaces.
+    #   And the r13 stash: record_linkage_topk (tests/test_linkage.py)
+    #   and neyman_allocation_report (tests/test_neyman.py), rehearsed
+    #   the same way.  NOTE for registration: neyman's strata-bounded
+    #   row_number window needs a GLOBAL_WINDOW_ALLOW entry (the
+    #   benford/freq-items class).
     "simhash_signatures",
     "stream_lsh_band_canonical",
     "substring_dedup_spans",
