@@ -92,7 +92,14 @@ def cm_build(
 
     One explode + ONE hash aggregation with map-side combine: the
     shuffle moves at most depth*width partial cells per map partition,
-    never data rows."""
+    never data rows.
+
+    MATERIALIZE BEFORE FAN-OUT: the result is a lazy plan over the full
+    input — a caller that feeds it to several consumers (estimate +
+    merge, repeated probes) should localCheckpoint()/cache() it first or
+    each consumer re-scans the corpus.  cm_estimate's default geometry
+    guard handles its own double-use internally (lazy localCheckpoint),
+    but any other fan-out is caller-owned."""
     if width < 1 or depth < 1:
         raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
     base = df.filter(F.col(key_col).isNotNull())
@@ -216,9 +223,15 @@ def cm_estimate(
     ``check_geometry`` (default on) rides a 1-row cm_check_geometry
     guard into the plan via a broadcast cross join, so a probe against a
     larger-geometry sketch fails loudly instead of returning garbage.
-    The guard re-evaluates the sketch lineage once (an extra bounded agg
-    pass); pass False on a hot path where the geometry is pinned by
-    construction."""
+    With the guard on, the sketch is lazily localCheckpointed here so
+    the guard agg and the probe join share ONE materialization of the
+    <= depth*width-row cell frame instead of each re-running its build
+    lineage (ADVICE r10: the un-materialized double evaluation measured
+    +59% wall on a 10M-row build).  Pass False on a hot path where the
+    geometry is pinned by construction — or when the caller manages
+    persistence itself (localCheckpoint truncates lineage, so a lost
+    executor on a real cluster re-fails the job rather than recomputes;
+    acceptable for a d*w-row frame, but the caller may prefer cache())."""
     probes = (
         keys.filter(F.col(key_col).isNotNull())
         .select(F.col(key_col).cast("string").alias("key"))
@@ -226,6 +239,7 @@ def cm_estimate(
     )
     guard = None
     if check_geometry:
+        sketch = sketch.localCheckpoint(eager=False)
         guard = F.broadcast(cm_check_geometry(sketch, width, depth))
         probes = probes.crossJoin(guard)
     carry = ["geometry_guard"] if guard is not None else []

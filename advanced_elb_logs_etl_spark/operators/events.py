@@ -171,22 +171,29 @@ def attribution_by_channel(
     )
     from pyspark.sql import Window
 
-    w_asc = Window.partitionBy("conv_id").orderBy(
+    # Windows key on (u, conv_id), not conv_id alone: the conversion id
+    # is only guaranteed unique per user (the join above is per-user), so
+    # two users sharing an event id must stay separate window partitions.
+    # Same shuffle key prefix as the join — no extra Exchange.
+    w_asc = Window.partitionBy("u", "conv_id").orderBy(
         F.col("touch_us").asc(), F.col("touch_id").asc()
     )
-    w_desc = Window.partitionBy("conv_id").orderBy(
+    w_desc = Window.partitionBy("u", "conv_id").orderBy(
         F.col("touch_us").desc(), F.col("touch_id").desc()
     )
     scored = (
         pairs.withColumn("rn_first", F.row_number().over(w_asc))
         .withColumn("rn_last", F.row_number().over(w_desc))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("conv_id")))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("u", "conv_id"))
+        )
     )
     micro = F.lit(1_000_000)
     base = F.expr("div(1000000, n)")
     rem = micro - base * F.col("n")
     scored = scored.select(
         "channel",
+        "u",
         "conv_id",
         F.when(F.col("rn_first") == 1, micro).otherwise(F.lit(0)).alias(
             "first_micro"
@@ -200,7 +207,7 @@ def attribution_by_channel(
     )
     return scored.groupBy("channel").agg(
         F.count(F.lit(1)).alias("n_touches"),
-        F.countDistinct("conv_id").alias("n_conversions_touched"),
+        F.countDistinct("u", "conv_id").alias("n_conversions_touched"),
         F.sum("first_micro").cast("long").alias("first_touch_micro"),
         F.sum("last_micro").cast("long").alias("last_touch_micro"),
         F.sum("lin_micro").cast("long").alias("linear_micro"),

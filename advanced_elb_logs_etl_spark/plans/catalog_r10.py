@@ -167,8 +167,16 @@ def q_stream_cm_point_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.col("event_type").alias("key")
     )
     sk = cms.replay_cm(spark, keys, "key", num_batches=3, order_col="event_id")
-    probes = keys.select("key").distinct().unionByName(
-        spark.createDataFrame([("absent_key",)], "key string")
+    # .distinct() AFTER the union: the DuckDB twin's UNION is set
+    # semantics, so if 'absent_key' ever appears as a real event_type the
+    # two probe sets must still agree (ADVICE r10).  cm_estimate dedupes
+    # probes internally too — this keeps the two lanes equivalent at the
+    # source rather than relying on that.
+    probes = (
+        keys.select("key")
+        .distinct()
+        .unionByName(spark.createDataFrame([("absent_key",)], "key string"))
+        .distinct()
     )
     est = cm.cm_estimate(sk, probes)
     exact = keys.groupBy("key").agg(F.count(F.lit(1)).alias("exact"))

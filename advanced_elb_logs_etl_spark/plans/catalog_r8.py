@@ -160,7 +160,7 @@ WITH pad AS (
   LEFT JOIN word w USING (cur)
   CROSS JOIN floor_t f
 ), agg AS (
-  SELECT doc_id, count(*) AS n_transitions, -sum(s) AS nll_micro,
+  SELECT doc_id, count(*) AS n_transitions, (-sum(s))::BIGINT AS nll_micro,
          (-sum(s))::DOUBLE / count(*)::DOUBLE / 1e6 AS avg_nll
   FROM scored GROUP BY doc_id
 )
@@ -170,6 +170,10 @@ FROM agg ORDER BY avg_nll, nll_micro, doc_id LIMIT {_LM_K}
 # r10 fix: avg_nll stays the ORDER BY key (same IEEE quotient both
 # engines) but is dropped from the hashed projection — the registered
 # surface is integer-exact (doc_id, n_transitions, nll_micro).
+# r11 fix: (-sum(s))::BIGINT — DuckDB sum(BIGINT) widens to HUGEINT
+# (int128), which the pandas/Arrow fetch path renders as float64 ("3.0")
+# while Spark emits long ("3"); the un-cast column was the verified root
+# cause of the r9+r10 driver hash-mismatches.
 
 # ---------------------------------------------------------------------------
 # Also pre-validated this session (r10-queue candidate): BM25 retrieval,
@@ -209,7 +213,7 @@ tok AS (
                * 1e6)::BIGINT AS c_micro
   FROM stats s JOIN idf i USING (term), corpus c
 ), scored AS (
-  SELECT doc_id, count(*) AS n_hit_terms, sum(c_micro) AS score_micro
+  SELECT doc_id, count(*) AS n_hit_terms, sum(c_micro)::BIGINT AS score_micro
   FROM contrib GROUP BY doc_id
 )
 SELECT doc_id, n_hit_terms, score_micro
@@ -217,6 +221,8 @@ FROM scored ORDER BY score_micro DESC, doc_id LIMIT {_BM25_K}
 """
 # r10 fix: the derived DOUBLE score (= score_micro / 1e6) is dropped
 # from the hashed projection on both sides — integer-exact surface.
+# r11 fix: sum(c_micro)::BIGINT — same HUGEINT→float64 pandas-fetch
+# class as the LM oracle above (verified root cause of the driver reds).
 
 
 @register("gopher_rules_battery", _RULES_ORACLE)

@@ -69,24 +69,17 @@ def cm_batch_step(
 def _read_prior(
     spark: SparkSession, path: str, before_batch: int
 ) -> DataFrame | None:
-    from pyspark.errors import AnalysisException
+    """Latest cumulative snapshot strictly before ``before_batch``.
+    Delegates to store.read_latest_snapshot: the batch is selected from
+    the directory listing and ONLY that partition is scanned, so a
+    concurrent _prune_history can never fail a live read (ADVICE r10)
+    and the read stays O(1) directories however long the stream runs.
+    Missing store == no prior state; transient FS errors propagate
+    (the r9 contract — silently dropping prior counts would break the
+    one-sided estimate)."""
+    from .store import read_latest_snapshot
 
-    try:
-        df = (
-            spark.read.schema(CELLS_SCHEMA)
-            .option("basePath", path)
-            .parquet(path)
-            .filter(F.col("batch") < F.lit(int(before_batch)))
-        )
-    except AnalysisException:
-        # ONLY the missing-path case (first batch, empty store) may mean
-        # "no prior state".  Transient FS errors must PROPAGATE: treating
-        # them as no-state would persist a cumulative sketch missing all
-        # prior counts — a permanent silent undercount that breaks the
-        # one-sided estimate contract (r9 self-review finding).
-        return None
-    latest = df.agg(F.max("batch").alias("batch"))
-    return df.join(F.broadcast(latest), "batch").drop("batch")
+    return read_latest_snapshot(spark, path, CELLS_SCHEMA, before_batch)
 
 
 def _prune_history(spark: SparkSession, path: str, batch_id: int) -> None:

@@ -142,26 +142,14 @@ def _read_prior(
     spark: SparkSession, path: str, schema: T.StructType, before_batch: int
 ) -> DataFrame | None:
     """The LATEST ``batch=N`` partition strictly before ``before_batch``
-    (state is cumulative, older partitions are history).  The max-batch
-    selection is an in-plan self-join on the 1-row agg — no collect."""
-    from pyspark.errors import AnalysisException
+    (state is cumulative, older partitions are history), via
+    store.read_latest_snapshot: the batch is selected from the directory
+    listing and ONLY that partition is scanned — prune-race-free (ADVICE
+    r10) and O(1) directories per read.  Missing store == no prior
+    state; transient FS errors propagate (the r9 contract)."""
+    from .store import read_latest_snapshot
 
-    try:
-        df = (
-            spark.read.schema(schema)
-            .option("basePath", path)
-            .parquet(path)
-            .filter(F.col("batch") < F.lit(int(before_batch)))
-        )
-    except AnalysisException:
-        # ONLY the missing-path case (first batch, empty store) may mean
-        # "no prior state".  Transient FS errors must PROPAGATE: treating
-        # them as no-state would write the next cumulative summary
-        # missing all prior counts — a permanent silent undercount
-        # (ADVICE r9; same fix as cmstream._read_prior).
-        return None
-    latest = df.agg(F.max("batch").alias("batch"))
-    return df.join(F.broadcast(latest), "batch").drop("batch")
+    return read_latest_snapshot(spark, path, schema, before_batch)
 
 
 def _process_batch(
@@ -252,38 +240,31 @@ def current_heavy_hitters(
     # in summary AND meta.  The two per-batch writes are not atomic, so
     # each store's individual latest can differ by one mid-write (or
     # after a crash between writes) — pairing across batches could
-    # understate cnt_upper (ADVICE r7).
-    from pyspark.errors import AnalysisException
+    # understate cnt_upper (ADVICE r7).  The cut comes from the two
+    # DIRECTORY LISTINGS and only the two selected partitions are
+    # scanned (store.read_latest_snapshot — prune-race-free, ADVICE
+    # r10).  Missing store (never started) reads as empty; transient FS
+    # errors propagate rather than masquerade as an empty summary.
+    from .store import list_batches, read_latest_snapshot
 
-    try:
-        s = (
-            spark.read.schema(SUMMARY_SCHEMA)
-            .option("basePath", os.path.join(store_dir, "summary"))
-            .parquet(os.path.join(store_dir, "summary"))
-        )
-        m = (
-            spark.read.schema(META_SCHEMA)
-            .option("basePath", os.path.join(store_dir, "meta"))
-            .parquet(os.path.join(store_dir, "meta"))
-        )
-    except AnalysisException:
-        # missing store (never started) reads as empty; transient FS
-        # errors propagate rather than masquerade as an empty summary
-        # (ADVICE r9 — the cmstream._read_prior contract)
+    sum_dir = os.path.join(store_dir, "summary")
+    meta_dir = os.path.join(store_dir, "meta")
+    s_batches = list_batches(spark, sum_dir)
+    m_batches = list_batches(spark, meta_dir)
+    common = set(s_batches or []) & set(m_batches or [])
+    if not common:
         return spark.createDataFrame(
             [], "key string, cnt_lower bigint, cnt_upper bigint"
         )
-    cut = (
-        s.select("batch")
-        .intersect(m.select("batch"))
-        .agg(F.max("batch").alias("batch"))
-    )
+    cut = max(common)
     # drop the per-batch sentinel row AFTER the cut: it exists precisely
     # so an empty compacted summary still registers its batch here
-    summary = (
-        s.join(F.broadcast(cut), "batch").drop("batch").filter(F.col("cnt") > 0)
+    summary = read_latest_snapshot(
+        spark, sum_dir, SUMMARY_SCHEMA, cut + 1, at_batch=cut
+    ).filter(F.col("cnt") > 0)
+    meta = read_latest_snapshot(
+        spark, meta_dir, META_SCHEMA, cut + 1, at_batch=cut
     )
-    meta = m.join(F.broadcast(cut), "batch").drop("batch")
     d = meta.agg(F.coalesce(F.max("d_total"), F.lit(0)).alias("d_total"))
     out = summary.crossJoin(F.broadcast(d)).select(
         "key",

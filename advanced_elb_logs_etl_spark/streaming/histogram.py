@@ -147,22 +147,14 @@ def histogram_batch_step(
 def _read_prior(
     spark: SparkSession, path: str, before_batch: int
 ) -> DataFrame | None:
-    from pyspark.errors import AnalysisException
+    """Latest cumulative counts snapshot strictly before
+    ``before_batch`` via store.read_latest_snapshot (directory-listing
+    batch selection, single-partition scan — prune-race-free, ADVICE
+    r10).  Missing store == no prior state; transient FS errors
+    propagate (the r9 contract)."""
+    from .store import read_latest_snapshot
 
-    try:
-        df = (
-            spark.read.schema(COUNTS_SCHEMA)
-            .option("basePath", path)
-            .parquet(path)
-            .filter(F.col("batch") < F.lit(int(before_batch)))
-        )
-    except AnalysisException:
-        # missing path == first batch only; transient FS errors must
-        # propagate or the next cumulative write silently drops all
-        # prior counts (ADVICE r9 — the cmstream._read_prior contract)
-        return None
-    latest = df.agg(F.max("batch").alias("batch"))
-    return df.join(F.broadcast(latest), "batch").drop("batch")
+    return read_latest_snapshot(spark, path, COUNTS_SCHEMA, before_batch)
 
 
 def _process_batch(

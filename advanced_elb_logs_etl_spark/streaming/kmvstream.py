@@ -67,23 +67,15 @@ def kmv_batch_step(
 def _read_prior(
     spark: SparkSession, path: str, before_batch: int
 ) -> DataFrame | None:
-    from pyspark.errors import AnalysisException
+    """Latest cumulative minima snapshot strictly before
+    ``before_batch`` via store.read_latest_snapshot (directory-listing
+    batch selection, single-partition scan — prune-race-free, ADVICE
+    r10).  Missing store == no prior state; transient FS errors
+    propagate (silently dropping prior minima would overestimate every
+    subsequent distinct count)."""
+    from .store import read_latest_snapshot
 
-    try:
-        df = (
-            spark.read.schema(HASHES_SCHEMA)
-            .option("basePath", path)
-            .parquet(path)
-            .filter(F.col("batch") < F.lit(int(before_batch)))
-        )
-    except AnalysisException:
-        # ONLY the missing-path case (first batch, empty store) may mean
-        # "no prior state"; transient FS errors propagate (the cmstream
-        # contract — silently dropping prior minima would overestimate
-        # every subsequent distinct count).
-        return None
-    latest = df.agg(F.max("batch").alias("batch"))
-    return df.join(F.broadcast(latest), "batch").drop("batch")
+    return read_latest_snapshot(spark, path, HASHES_SCHEMA, before_batch)
 
 
 def _process_batch(

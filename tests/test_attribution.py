@@ -88,22 +88,24 @@ WITH conv AS (
   FROM events
   WHERE event_type <> 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
 ), pairs AS (
-  SELECT c.conv_id, t.channel, t.touch_us, t.touch_id
+  SELECT c.u, c.conv_id, t.channel, t.touch_us, t.touch_id
   FROM conv c JOIN touch t ON c.u = t.u
   WHERE t.touch_us < c.conv_us
     AND t.touch_us >= c.conv_us - 604800000000
 ), scored AS (
-  SELECT channel, conv_id,
-    row_number() OVER (PARTITION BY conv_id
+  -- windows key on (u, conv_id): conversion ids are only guaranteed
+  -- unique per user (mirrors the operator's r10-ADVICE hardening)
+  SELECT channel, u, conv_id,
+    row_number() OVER (PARTITION BY u, conv_id
                        ORDER BY touch_us ASC, touch_id ASC) AS rn_first,
-    row_number() OVER (PARTITION BY conv_id
+    row_number() OVER (PARTITION BY u, conv_id
                        ORDER BY touch_us DESC, touch_id DESC) AS rn_last,
-    count(*) OVER (PARTITION BY conv_id) AS n
+    count(*) OVER (PARTITION BY u, conv_id) AS n
   FROM pairs
 )
 SELECT channel,
   count(*)::BIGINT AS n_touches,
-  count(DISTINCT conv_id)::BIGINT AS n_conversions_touched,
+  count(DISTINCT (u, conv_id))::BIGINT AS n_conversions_touched,
   sum(CASE WHEN rn_first = 1 THEN 1000000 ELSE 0 END)::BIGINT
     AS first_touch_micro,
   sum(CASE WHEN rn_last = 1 THEN 1000000 ELSE 0 END)::BIGINT
@@ -209,12 +211,38 @@ def test_randomized_replica_differential(spark):
 
 def test_plan_windows_are_per_conversion(spark):
     """Stash-time plan pin: both row_number windows and the count
-    window partition by conv_id — a global (empty-partition) window
-    here would single-task the touch-pair frame."""
+    window partition by (u, conv_id) — a global (empty-partition)
+    window here would single-task the touch-pair frame, and a
+    conv_id-only partition would merge same-id conversions from
+    different users (r10 ADVICE)."""
     rows = [(1, 1, "view", _ts(0)), (2, 1, "purchase", _ts(1))]
     df = ev.attribution_by_channel(_frame(spark, rows))
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     import re
 
-    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
-        assert "conv_id" in spec, plan[:2000]
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan[:2000]
+    for spec in specs:
+        assert "conv_id" in spec and "u#" in spec, plan[:2000]
+
+
+def test_shared_event_id_across_users_stays_separate(spark):
+    """The r10 ADVICE failure scenario, pinned: two users whose
+    conversion events SHARE an event id must attribute independently
+    (one touch each -> each touch is both first and last in its own
+    window; a conv_id-only window would see n=2 and split credit)."""
+    rows = [
+        (1, 1, "view", _ts(0)),
+        (99, 1, "purchase", _ts(1)),
+        (2, 2, "click", _ts(0)),
+        (99, 2, "purchase", _ts(1)),  # same event id, different user
+    ]
+    got = {
+        r.channel: r
+        for r in ev.attribution_by_channel(_frame(spark, rows)).collect()
+    }
+    for ch in ("view", "click"):
+        assert got[ch].n_conversions_touched == 1
+        assert got[ch].first_touch_micro == 1_000_000
+        assert got[ch].last_touch_micro == 1_000_000
+        assert got[ch].linear_micro == 1_000_000

@@ -9,12 +9,41 @@ simulation": the driver's own CORRECTNESS_r{N}.json covers only the
 50-query window, so freshness of the other ~150 signals rests on this
 tool's output (tools/oracle_sim_latest.json, committed per round).
 
+DRIVER-EQUIVALENCE POSTMORTEM (r9 + r10 → fixed r11). Two rounds in a
+row this rehearsal passed queries the driver failed, each time because
+the rehearsal was weaker than the gate in a dimension value-level
+strictness cannot see:
+
+  r9  — float PRECISION: the old %.10g normalization hid last-ulp
+        divergence in derived DOUBLE columns.  Fix: repr() (shortest
+        round-trip, full precision).
+  r10 — fetch-path TYPE COERCION: the old `fetchall()` DuckDB fetch
+        rendered HUGEINT (DuckDB's silent widening of sum(BIGINT)) as a
+        Python int ("3"), while the driver's pandas/Arrow fetch renders
+        it float64 ("3.0") — so two oracles with un-cast sums rehearsed
+        green and shipped driver-red, twice, with values that were
+        numerically identical.
+
+Fixes, both structural:
+  1. BOTH sides now fetch through the pandas/Arrow path the driver
+     uses: Spark via `toPandas()` (Arrow enabled), DuckDB via `.df()`.
+     Whatever dtype coercion the driver's comparison sees (NULL int →
+     float64 NaN, HUGEINT → float64, DATE → midnight Timestamp), this
+     tool now sees identically.
+  2. A standing DESCRIBE type gate: every oracle's declared output
+     types must be in _ALLOWED_ORACLE_TYPES (BIGINT, DOUBLE, VARCHAR,
+     BOOLEAN, INTEGER, DATE, TIMESTAMP).  Anything else — HUGEINT,
+     DECIMAL, LIST, ... — fails the query HERE, at authoring time,
+     before the driver ever sees it.
+
 Usage: python tools/oracle_sim.py [--limit N] [--sf-dir DIR]
+       python tools/oracle_sim.py --type-gate-only   (fast, no Spark)
 """
 
 from __future__ import annotations
 
 import argparse
+import datetime
 import json
 import math
 import os
@@ -24,23 +53,92 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+# Declared DuckDB output types every registered oracle may emit.  The
+# r11 sweep of all 207 oracles found exactly these (and two HUGEINTs —
+# the r9/r10 driver-reds — since cast away).  Keep this list tight: a
+# new type only gets added together with a verified round-trip through
+# BOTH pandas fetch paths.
+_ALLOWED_ORACLE_TYPES = {
+    "BIGINT",
+    "DOUBLE",
+    "VARCHAR",
+    "BOOLEAN",
+    "INTEGER",
+    "DATE",
+    "TIMESTAMP",
+}
+
 
 def _norm(v):
-    """Value normalization for the cross-engine hash.
+    """Value normalization for the cross-engine hash, applied AFTER the
+    pandas fetch on both sides (so both sides have already been through
+    the same dtype coercions the driver's comparison sees).
 
-    Floats use FULL precision (repr = shortest round-trip string, 17
-    significant digits when needed) so this rehearsal is at least as
-    strict as the driver's gate on every type: a query only passes here
-    if its doubles are IEEE-bit-identical across engines.  (Round-9
-    postmortem: the old %.10g normalization was WEAKER than the driver
-    and let two derived-DOUBLE columns ship rehearsal-green but
-    driver-red.  Policy since: registered outputs are integer/decimal
-    exact or explicitly fixed-scale-rounded on both sides; any float
-    column must survive full-precision hashing here.)
+    - numpy scalars are unboxed first (.item()) so repr() is the plain
+      Python repr, not numpy's.
+    - NULL/NaN/NaT collapse to one token: in the pandas path a SQL NULL
+      in a numeric column IS NaN, on both engines, so distinguishing
+      them here would be stricter than any comparison the pandas path
+      can express.
+    - floats use repr (shortest round-trip string — full precision; the
+      r9 postmortem fix, kept).
+    - midnight tz-naive timestamps collapse to their date: DuckDB's
+      pandas fetch renders DATE as a midnight Timestamp while Spark's
+      Arrow fetch keeps datetime.date objects.
     """
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is None:
+        return "NULL"
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else repr(v)
+        return "NULL" if math.isnan(v) else repr(v)
+    import pandas as pd
+
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None and (v.hour, v.minute, v.second, v.microsecond) == (
+            0,
+            0,
+            0,
+            0,
+        ):
+            return v.strftime("%Y-%m-%d")
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     return str(v)
+
+
+def _pdf_rows(pdf):
+    """Row tuples from a pandas frame, numpy scalars unboxed lazily by
+    _norm.  dtype=object keeps pandas' Timestamp/None boxing."""
+    return [tuple(r) for r in pdf.to_numpy(dtype=object)]
+
+
+def type_gate(con, oracles) -> dict[str, str]:
+    """DESCRIBE every oracle; return {name: offending 'col: TYPE'} for
+    any declared output type outside _ALLOWED_ORACLE_TYPES."""
+    bad: dict[str, str] = {}
+    for name, sql in oracles.items():
+        try:
+            rows = con.execute(f"DESCRIBE ({sql})").fetchall()
+        except Exception as e:  # pragma: no cover - diagnostic path
+            bad[name] = f"DESCRIBE failed: {str(e)[:120]}"
+            continue
+        offending = [
+            f"{col}: {typ}"
+            for col, typ, *_ in rows
+            if typ not in _ALLOWED_ORACLE_TYPES
+        ]
+        if offending:
+            bad[name] = "; ".join(offending)
+    return bad
 
 
 def main() -> int:
@@ -49,6 +147,11 @@ def main() -> int:
     ap.add_argument("--limit", type=int, default=0, help="first N queries (0 = all)")
     ap.add_argument(
         "--out", default=os.path.join(REPO, "tools", "oracle_sim_latest.json")
+    )
+    ap.add_argument(
+        "--type-gate-only",
+        action="store_true",
+        help="run only the DESCRIBE type gate (no Spark; seconds, not minutes)",
     )
     ap.add_argument(
         "--driver-memory",
@@ -61,6 +164,30 @@ def main() -> int:
     args = ap.parse_args()
 
     import duckdb
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+    from advanced_elb_logs_etl_spark.sources.testdata import TABLES
+
+    oracles = entry.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    gate_bad = type_gate(con, oracles)
+    for name, why in sorted(gate_bad.items()):
+        print(f"TYPE-GATE FAIL {name}: {why}", flush=True)
+    print(
+        f"type gate: {len(oracles) - len(gate_bad)}/{len(oracles)} oracles "
+        f"within {sorted(_ALLOWED_ORACLE_TYPES)}",
+        flush=True,
+    )
+    if args.type_gate_only:
+        return 1 if gate_bad else 0
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -69,19 +196,10 @@ def main() -> int:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", args.driver_memory)
         .config("spark.driver.maxResultSize", "4g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
-    import __spark_entry__ as entry
-    from advanced_elb_logs_etl_spark.sources.testdata import TABLES
-
     qs = entry.queries()
-    oracles = entry.oracle_sql()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{args.sf_dir}/{t}.parquet')"
-        )
 
     names = list(qs)
     if args.limit:
@@ -91,11 +209,12 @@ def main() -> int:
     for i, name in enumerate(names):
         try:
             sdf = qs[name](spark, args.sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = _pdf_rows(spdf)
+            dpdf = con.execute(oracles[name]).df()
+            dcols = list(dpdf.columns)
+            drows = _pdf_rows(dpdf)
             ok_schema = sorted(scols) == sorted(dcols)
             ok_rows = len(srows) == len(drows)
             osd = sorted(range(len(scols)), key=lambda j: scols[j])
@@ -103,11 +222,13 @@ def main() -> int:
             ns = sorted(tuple(_norm(r[j]) for j in osd) for r in srows)
             nd = sorted(tuple(_norm(r[j]) for j in odd) for r in drows)
             ok_hash = ns == nd
-            ok = ok_rows and ok_schema and ok_hash
+            ok_type = name not in gate_bad
+            ok = ok_rows and ok_schema and ok_hash and ok_type
             results[name] = {
                 "rows_match": ok_rows,
                 "schema_match": ok_schema,
                 "hash_match": ok_hash,
+                "type_gate": ok_type,
                 "spark_rows": len(srows),
                 "err": None,
             }
@@ -117,6 +238,7 @@ def main() -> int:
                 "rows_match": False,
                 "schema_match": False,
                 "hash_match": False,
+                "type_gate": name not in gate_bad,
                 "spark_rows": 0,
                 "err": str(e)[:200],
             }
