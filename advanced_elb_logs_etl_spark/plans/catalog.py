@@ -44,115 +44,40 @@ def register(name: str, oracle: str | None):
 # CORRECTNESS_r01/r02) follow.  Names not present in CATALOG are ignored,
 # so this list may safely lead registration.
 FRONT_OF_CATALOG: list[str] = [
-    # ======== ROUND-10 WINDOW (positions 1-50) ========
-    # VERDICT r9 items 1, 3, 4 in one move.  Layout (histogram after
-    # CORRECTNESS_r09: r9=48, r8=50, r7=50, r6=50, r5=5, never=2):
-    #   positions 1-5   — the five r5-green entries displaced from the
-    #                     r9 window (staleness order: oldest first).
-    #   positions 6-7   — the item-1 RE-registrations: lm_perplexity_filter
-    #                     and bm25_topk were driver-red in r9 (hash-only,
-    #                     derived-DOUBLE normalization); their registered
-    #                     surfaces are now integer-exact (catalog_r9.py)
-    #                     and re-rehearsed under the full-precision
-    #                     oracle_sim hash.  They are the only entries
-    #                     with NO green driver row, so they outrank the
-    #                     r6 cycle.
-    #   positions 8-9   — the two reserved stash slots (item 4): the
-    #                     Count-Min pair, built + pytest-pinned +
-    #                     twin-rehearsed in the r9 session
-    #                     (plans/catalog_r10.py).
-    #   positions 10-50 — the first 41 of the r6-green cycle in driver-
-    #                     record order (the remaining 9 head the r11
-    #                     queue below, exactly the displacement move the
-    #                     r9 queue comment pre-approved for 2 slots,
-    #                     widened to 9 because the re-registrations and
-    #                     the CM pair take 4 window slots).
-    "grouping_sets_pricing",
-    "set_ops_battery",
-    "welch_t_values",
-    "rolling_median_value",
-    "triangle_count_sampled",
+    # ======== ROUND-11 WINDOW (positions 1-50) ========
+    # VERDICT r10 items 1, 4, 5, 6 in one move.  Layout (histogram after
+    # CORRECTNESS_r10: r10=48, r9=48, r8=50, r7=50, r6=9, never=2):
+    #   positions 1-2   — the item-1 THIRD registration attempt for
+    #                     lm_perplexity_filter and bm25_topk, now with
+    #                     the judge-verified root cause fixed: their
+    #                     twins' un-cast sum(BIGINT) aggregates widened
+    #                     to HUGEINT, which the driver's pandas fetch
+    #                     renders float64 ("3.0") vs Spark's long ("3").
+    #                     Both sums now cast ::BIGINT (catalog_r8.py)
+    #                     and the rehearsal compares through the same
+    #                     pandas fetch path + a standing DESCRIBE type
+    #                     gate (tools/oracle_sim.py).  Still the only
+    #                     never-green entries, so they outrank all.
+    #   positions 3-6   — the WIDENED stash drain (item 5: four slots,
+    #                     not two — the backlog was six deep): the KMV
+    #                     pair from the reserved r11 slots (item 4) plus
+    #                     butterfly_census + attribution_report pulled
+    #                     forward from the r12 stash.  All four built +
+    #                     pytest-pinned + twin-rehearsed in the r10
+    #                     session; registered in plans/catalog_r11.py;
+    #                     stash after this window: record_linkage_topk +
+    #                     neyman_allocation_report (= 2, item-5 target).
+    #   positions 7-15  — the nine r6-green entries displaced from the
+    #                     r10 window (staleness order, item 6).
+    #   positions 16-50 — the first 35 of the r7-green cycle in
+    #                     CORRECTNESS_r07 record order (the remaining 15
+    #                     head the r12 queue below).
     "lm_perplexity_filter",
     "bm25_topk",
-    "cm_point_frequency",
-    "stream_cm_point_frequency",
-    "pricing_summary",
-    "pipeline_e2e_hourly",
-    "sessionize",
-    "stream_first_seen_dedup",
-    "minhash_lsh_neardup",
-    "ann_cosine_topk",
-    "anti_join_uncached",
-    "asof_join_state",
-    "bot_origin_summary",
-    "bpe_train_merges",
-    "cohort_retention",
-    "compaction_plan_bins",
-    "date_parts",
-    "dedup_exact",
-    "dedup_keep_last",
-    "dsir_importance_topk",
-    "embedding_neardup_pairs",
-    "full_outer_nation_suppliers",
-    "funnel_conversion",
-    "grouped_topk_orders",
-    "hll_shard_union",
-    "hourly_agg_approx",
-    "ivf_cosine_topk",
-    "json_extract_summary",
-    "large_orders_q18",
-    "local_supplier_q5",
-    "minhash_signatures",
-    "multimodal_meta",
-    "ngram_jaccard_pairs",
-    "null_coding_cast",
-    "path_features",
-    "percentile_battery",
-    "pivot_event_counts",
-    "profile_table_approx",
-    "range_join_windows",
-    "rolling_5min_count",
-    "salted_agg_counts",
-    "semi_join_active",
-    "session_report",
-    "shipping_priority_q3",
-    "simhash_neardup",
-    # ======== position 51+ (the r11 rotation queue, full and exact) ===
-    # After this window ships the histogram is r10=50, r9=48, r8=50,
-    # r7=50, r6=9 — so the r11 window is: the nine remaining r6-green
-    # entries FIRST (positions 51-59), then the r7-green cycle in
-    # CORRECTNESS_r07 record order (positions 60-109; the first 41
-    # complete the r11 window, the last 9 head the r12 queue with the
-    # r8-green cycle behind them).  TWO stash candidates await r11
-    # window slots (both built + pytest-pinned + twin-rehearsed in this
-    # r10 session, the build-now/register-in-window discipline):
-    #   - kmv_distinct_setops (operators/kmv.py: KMV/theta distinct
-    #     sketch — union AND intersection cardinality estimates across
-    #     segments, the set-op lane HLL lacks; deterministic h60 hashes
-    #     + floored-integer estimators make contents AND estimates
-    #     value-exact twinnable).  Registration body + table-bound
-    #     oracle live next to their rehearsal in tests/test_kmv.py
-    #     (q_kmv_distinct_setops / KMV_ORACLE_QUEUED_R11, rehearsed
-    #     hash-green at sf0.01 under the driver protocol; saturated
-    #     regime exercised).  NOTE: needs two CARTESIAN_ALLOW entries
-    #     (1-row estimate/exact report frames) when registered.
-    #   - stream_kmv_distinct (streaming/kmvstream.py: the same minima
-    #     set across REAL micro-batches with the cmstream monotone
-    #     store + pruning — slicing-invariant, value-exact vs the batch
-    #     twin).  Rehearsed in tests/test_streaming_kmv.py
-    #     (q_stream_kmv_distinct / STREAM_KMV_ORACLE_QUEUED_R11).
-    #   Recommended r11 move: the r10 pattern — take the last two
-    #   window slots for the registrations and let the two displaced
-    #   r7-green entries head the r12 queue.
-    #   The r12 stash is ALSO pre-built (this r10 session, two deep per
-    #   the cadence): butterfly_census (tests/test_butterfly.py) and
-    #   attribution_report (tests/test_attribution.py), both rehearsed
-    #   hash-green at sf0.01 with all-integer surfaces.
-    #   And the r13 stash: record_linkage_topk (tests/test_linkage.py)
-    #   and neyman_allocation_report (tests/test_neyman.py), rehearsed
-    #   the same way.  NOTE for registration: neyman's strata-bounded
-    #   row_number window needs a GLOBAL_WINDOW_ALLOW entry (the
-    #   benford/freq-items class).
+    "kmv_distinct_setops",
+    "stream_kmv_distinct",
+    "butterfly_census",
+    "attribution_report",
     "simhash_signatures",
     "stream_lsh_band_canonical",
     "substring_dedup_spans",
@@ -162,6 +87,21 @@ FRONT_OF_CATALOG: list[str] = [
     "value_outliers_z",
     "volume_shipping_q7",
     "zorder_clustering_preview",
+    # ======== position 51+ (the r12 rotation queue, full and exact) ===
+    # After this window ships the histogram is r11=50, r10=48, r9=48,
+    # r8=50, r7=15 — so the r12 window is: the fifteen remaining
+    # r7-green entries FIRST (positions 51-65, listed below after the
+    # window's r7 slice), then the r8-green cycle in CORRECTNESS_r08
+    # record order (positions 66-115; the first 35 complete the r12
+    # window, the last 15 head the r13 queue with the r9-green cycle
+    # behind them).  The remaining stash (both built + pytest-pinned +
+    # twin-rehearsed in the r10 session) takes two r12 window slots:
+    #   - record_linkage_topk (operators/linkage.py, rehearsed in
+    #     tests/test_linkage.py).
+    #   - neyman_allocation_report (operators/sampling.py, rehearsed in
+    #     tests/test_neyman.py).  NOTE for registration: its
+    #     strata-bounded row_number window needs a GLOBAL_WINDOW_ALLOW
+    #     entry (the benford/freq-items class).
     # r7-green cycle (CORRECTNESS_r07 record order):
     "cube_pricing",
     "rollup_pricing",
@@ -213,6 +153,59 @@ FRONT_OF_CATALOG: list[str] = [
     "incremental_agg_merge",
     "semantic_dedup_corpus",
     "classifier_score_topk",
+    # r8-green cycle (CORRECTNESS_r08 record order; positions 66-115 —
+    # the first 35 complete the r12 window after the fifteen r7
+    # leftovers above, the last 15 head the r13 queue):
+    "rank_battery",
+    "grouping_sets_events",
+    "alb_parse_roundtrip",
+    "hourly_agg",
+    "ua_family_counts",
+    "triangle_census",
+    "graph_jaccard_topk",
+    "top_ngrams_per_lang",
+    "doc_minhash_containment",
+    "unigram_logprob_score",
+    "weighted_percentile",
+    "sessionize_gap_dynamic",
+    "skew_salted_join",
+    "time_spine_gap_fill",
+    "event_attribution_last_touch",
+    "interval_overlap_join",
+    "decimal_exact_ledger",
+    "robust_scale_features",
+    "winsorize_values",
+    "weighted_sample_es",
+    "time_weighted_avg",
+    "entropy_per_source",
+    "autocorr_lag1",
+    "month_over_month_revenue",
+    "benford_first_digit",
+    "gini_revenue_concentration",
+    "unpivot_metrics",
+    "url_query_explode",
+    "bitmap_distinct_dates",
+    "freq_items_battery",
+    "string_agg_sorted",
+    "mad_robust_stats",
+    "running_distinct_users",
+    "regression_battery",
+    "date_function_battery",
+    "collect_set_sorted",
+    "heavy_hitters_exact",
+    "f2_moment_users",
+    "min_cost_supplier_q2",
+    "forecast_revenue_q6",
+    "market_share_q8",
+    "product_profit_q9",
+    "important_value_q11",
+    "customer_distribution_q13",
+    "top_supplier_q15",
+    "disjunctive_revenue_q19",
+    "excess_supply_q20",
+    "waiting_supplier_q21",
+    "global_sales_q22",
+    "gopher_rules_battery",
 ]
 
 

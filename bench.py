@@ -205,6 +205,18 @@ def main() -> None:
             # row decides load vs plan change.
             "semantic_dedup_corpus",
             "alb_parse_roundtrip",
+            # VERDICT r10 item 3: every query that breached 2x vs r1 in
+            # the r10 driver record (load 4.1->6.2 during that run; all
+            # seven are small/sub-second queries — the documented
+            # contention signature) now carries a standing warm row so
+            # the record self-adjudicates load vs plan.
+            "pricing_summary",
+            "hourly_agg",
+            "path_features",
+            "url_parse",
+            "date_parts",
+            "status_bucket",
+            "error_report",
         )
         if name in CATALOG
     }

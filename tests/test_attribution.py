@@ -73,56 +73,16 @@ def test_lookback_and_tiebreak(spark):
     assert total_conv == {"view": 1, "click": 2}
 
 
-# --- the queued r12 catalog gate, rehearsed against DuckDB ----------------
-# Channel attribution over the events table (purchase conversions,
-# 7-day lookback).  All-integer surface.
+# --- the r11 catalog gate (REGISTERED in plans/catalog_r11.py; the
+# rehearsal imports the registered body + oracle so it exercises the
+# exact catalog entry).  Registered a round early: VERDICT r10 item 5
+# widened the stash drain to four slots.  Windows key on (u, conv_id) —
+# the r10 ADVICE hardening — in both the operator and the twin. --------
 
-ATTRIBUTION_ORACLE_QUEUED_R12 = """
-WITH conv AS (
-  SELECT user_id AS u, event_id AS conv_id, epoch_us(ts) AS conv_us
-  FROM events
-  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
-), touch AS (
-  SELECT user_id AS u, event_id AS touch_id, event_type AS channel,
-         epoch_us(ts) AS touch_us
-  FROM events
-  WHERE event_type <> 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
-), pairs AS (
-  SELECT c.u, c.conv_id, t.channel, t.touch_us, t.touch_id
-  FROM conv c JOIN touch t ON c.u = t.u
-  WHERE t.touch_us < c.conv_us
-    AND t.touch_us >= c.conv_us - 604800000000
-), scored AS (
-  -- windows key on (u, conv_id): conversion ids are only guaranteed
-  -- unique per user (mirrors the operator's r10-ADVICE hardening)
-  SELECT channel, u, conv_id,
-    row_number() OVER (PARTITION BY u, conv_id
-                       ORDER BY touch_us ASC, touch_id ASC) AS rn_first,
-    row_number() OVER (PARTITION BY u, conv_id
-                       ORDER BY touch_us DESC, touch_id DESC) AS rn_last,
-    count(*) OVER (PARTITION BY u, conv_id) AS n
-  FROM pairs
+from advanced_elb_logs_etl_spark.plans.catalog_r11 import (  # noqa: E402
+    ATTRIBUTION_ORACLE as ATTRIBUTION_ORACLE_QUEUED_R12,
+    q_attribution_report,
 )
-SELECT channel,
-  count(*)::BIGINT AS n_touches,
-  count(DISTINCT (u, conv_id))::BIGINT AS n_conversions_touched,
-  sum(CASE WHEN rn_first = 1 THEN 1000000 ELSE 0 END)::BIGINT
-    AS first_touch_micro,
-  sum(CASE WHEN rn_last = 1 THEN 1000000 ELSE 0 END)::BIGINT
-    AS last_touch_micro,
-  sum(1000000 // n
-      + CASE WHEN rn_last = 1 THEN 1000000 - (1000000 // n) * n
-             ELSE 0 END)::BIGINT AS linear_micro
-FROM scored GROUP BY channel
-"""
-
-
-def q_attribution_report(spark, sf_dir):
-    """The queued r12 registration body: first/last/linear attribution
-    of purchase conversions to prior-touch channels, 7-day lookback."""
-    from advanced_elb_logs_etl_spark.sources.testdata import load_table
-
-    return ev.attribution_by_channel(load_table(spark, sf_dir, "events"))
 
 
 def test_queued_catalog_gate_matches_duckdb_twin(spark):

@@ -60,49 +60,15 @@ def test_replica_differential_and_side_invariance(spark):
     assert (left.n_left, left.n_right) == (right.n_left, right.n_right)
 
 
-# --- the queued r12 catalog gate, rehearsed against DuckDB ----------------
-# Butterfly census of the customer-part purchase graph; through='right'
-# pins the plan (no protocol collect inside the registered query).
-# All-integer surface.
+# --- the r11 catalog gate (REGISTERED in plans/catalog_r11.py; the
+# rehearsal imports the registered body + oracle so it exercises the
+# exact catalog entry).  Registered a round early: VERDICT r10 item 5
+# widened the stash drain to four slots. --------------------------------
 
-BUTTERFLY_ORACLE_QUEUED_R12 = """
-WITH e AS (
-  SELECT DISTINCT o_custkey AS l, l_partkey AS r
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-), pairs AS (
-  SELECT e1.l AS u1, e2.l AS u2, count(*)::BIGINT AS w
-  FROM e e1 JOIN e e2 ON e1.r = e2.r AND e1.l < e2.l
-  GROUP BY 1, 2
-), bf AS (
-  SELECT coalesce(sum(w * (w - 1) // 2), 0)::BIGINT AS n_butterflies,
-         count(*)::BIGINT AS n_coneighbor_pairs
-  FROM pairs
-), wd AS (
-  SELECT (coalesce(sum(d * (d - 1)), 0) // 2)::BIGINT AS n_wedges
-  FROM (SELECT count(*)::BIGINT AS d FROM e GROUP BY r)
-), counts AS (
-  SELECT count(DISTINCT l)::BIGINT AS n_left,
-         count(DISTINCT r)::BIGINT AS n_right,
-         count(*)::BIGINT AS n_edges
-  FROM e
+from advanced_elb_logs_etl_spark.plans.catalog_r11 import (  # noqa: E402
+    BUTTERFLY_ORACLE as BUTTERFLY_ORACLE_QUEUED_R12,
+    q_butterfly_census,
 )
-SELECT n_left, n_right, n_edges, n_wedges, n_coneighbor_pairs,
-       n_butterflies
-FROM counts, wd, bf
-"""
-
-
-def q_butterfly_census(spark, sf_dir):
-    """The queued r12 registration body: butterfly census of the
-    customer-part purchase graph, wedging through parts (pinned side —
-    the registered plan carries no protocol collect)."""
-    from advanced_elb_logs_etl_spark.sources.testdata import load_table
-
-    edges = graph.bipartite_edges_customer_part(
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-    )
-    return graph.butterfly_stats(edges, through="right")
 
 
 def test_queued_catalog_gate_matches_duckdb_twin(spark):

@@ -123,145 +123,19 @@ def test_prefilter_contract(spark):
     assert row.n_hashes == K
 
 
-# --- the queued r11 catalog gate, rehearsed against DuckDB ----------------
+# --- the r11 catalog gate (REGISTERED in plans/catalog_r11.py; the
+# rehearsal below imports the registered body + oracle so it exercises
+# the exact catalog entry — the catalog_r10/cmsketch pattern) ----------
 # Distinct-user set operations across two event segments at k=64:
 # saturated at sf0.01 (150 distinct users/type > 64), exact at sf0.001.
 # Every output column is BIGINT (the r10 float policy: integer-only
 # registered surfaces where the information permits).
 
-GATE_K = 64
-_KM = float((GATE_K - 1) << 60)
-_M_INT = kmv.M
-_M_F = float(kmv.M)
-
-KMV_ORACLE_QUEUED_R11 = f"""
-WITH a_h AS (
-  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
-), b_h AS (
-  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
-), a_sk AS (SELECT h FROM a_h ORDER BY h LIMIT {GATE_K}
-), b_sk AS (SELECT h FROM b_h ORDER BY h LIMIT {GATE_K}
-), u_sk AS (
-  SELECT h FROM (SELECT h FROM a_sk UNION SELECT h FROM b_sk)
-  ORDER BY h LIMIT {GATE_K}
-), est AS (
-  SELECT
-    (SELECT CASE WHEN count(*) < {GATE_K} THEN count(*)
-                 ELSE CAST(floor({_KM!r} / CAST(max(h) AS DOUBLE)) AS BIGINT)
-            END FROM a_sk) AS est_a,
-    (SELECT CASE WHEN count(*) < {GATE_K} THEN count(*)
-                 ELSE CAST(floor({_KM!r} / CAST(max(h) AS DOUBLE)) AS BIGINT)
-            END FROM b_sk) AS est_b,
-    (SELECT CASE WHEN count(*) < {GATE_K} THEN count(*)
-                 ELSE CAST(floor({_KM!r} / CAST(max(h) AS DOUBLE)) AS BIGINT)
-            END FROM u_sk) AS est_union
-), th AS (
-  SELECT least(
-    (SELECT CASE WHEN count(*) >= {GATE_K} THEN max(h) ELSE {_M_INT} END FROM a_sk),
-    (SELECT CASE WHEN count(*) >= {GATE_K} THEN max(h) ELSE {_M_INT} END FROM b_sk)
-  ) AS theta
-), common AS (
-  SELECT count(*)::BIGINT AS n_common
-  FROM a_sk JOIN b_sk USING (h), th WHERE h < theta
-), inter AS (
-  SELECT CASE WHEN th.theta >= {_M_INT} THEN c.n_common
-              ELSE CAST(floor(CAST(c.n_common AS DOUBLE) * {_M_F!r}
-                              / CAST(th.theta AS DOUBLE)) AS BIGINT)
-         END AS est_intersect
-  FROM common c, th
-), exact AS (
-  SELECT
-    count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)::BIGINT
-      AS exact_a,
-    count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)::BIGINT
-      AS exact_b,
-    count(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
-                        THEN user_id END)::BIGINT AS exact_union
-  FROM events WHERE user_id IS NOT NULL
-), exact_i AS (
-  SELECT count(*)::BIGINT AS exact_intersect FROM (
-    SELECT user_id FROM events WHERE event_type = 'click'
-      AND user_id IS NOT NULL
-    INTERSECT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
-      AND user_id IS NOT NULL
-  )
+from advanced_elb_logs_etl_spark.plans.catalog_r11 import (  # noqa: E402
+    GATE_K,
+    KMV_SETOPS_ORACLE as KMV_ORACLE_QUEUED_R11,
+    q_kmv_distinct_setops,
 )
-SELECT est_a, exact_a, est_b, exact_b, est_union, exact_union,
-       est_intersect, exact_intersect
-FROM est, exact, inter, exact_i
-"""
-
-
-def q_kmv_distinct_setops(spark, sf_dir):
-    """The queued r11 registration body (kept next to its oracle so the
-    move is mechanical): KMV sketches of two event segments' user sets,
-    union + theta-intersection estimates beside the exact counts.
-
-    Scale: each build is one map-side-partial distinct agg +
-    TakeOrdered(k) over its segment; every later frame is k rows, so
-    the set operations never touch the corpus again.  The exact lanes
-    are gate-only instrumentation (the ivf/pq bounded-gate pattern)."""
-    from advanced_elb_logs_etl_spark.sources.testdata import load_table
-
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull()
-    )
-    a_keys = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("key")
-    )
-    b_keys = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("key")
-    )
-    a = kmv.kmv_build(a_keys, k=GATE_K).localCheckpoint(eager=True)
-    b = kmv.kmv_build(b_keys, k=GATE_K).localCheckpoint(eager=True)
-    est_a = kmv.kmv_estimate(a, k=GATE_K).select(
-        F.col("est_distinct").alias("est_a")
-    )
-    est_b = kmv.kmv_estimate(b, k=GATE_K).select(
-        F.col("est_distinct").alias("est_b")
-    )
-    est_u = kmv.kmv_estimate(kmv.kmv_union(a, b, k=GATE_K), k=GATE_K).select(
-        F.col("est_distinct").alias("est_union")
-    )
-    est_i = kmv.kmv_intersect_estimate(a, b, k=GATE_K).select(
-        F.col("est_intersect")
-    )
-    exact = ev.agg(
-        F.countDistinct(
-            F.when(F.col("event_type") == "click", F.col("user_id"))
-        ).alias("exact_a"),
-        F.countDistinct(
-            F.when(F.col("event_type") == "purchase", F.col("user_id"))
-        ).alias("exact_b"),
-        F.countDistinct(
-            F.when(
-                F.col("event_type").isin("click", "purchase"),
-                F.col("user_id"),
-            )
-        ).alias("exact_union"),
-    )
-    exact_i = (
-        ev.filter(F.col("event_type") == "click")
-        .select("user_id")
-        .intersect(
-            ev.filter(F.col("event_type") == "purchase").select("user_id")
-        )
-        .agg(F.count(F.lit(1)).alias("exact_intersect"))
-    )
-    return (
-        est_a.crossJoin(F.broadcast(exact))
-        .crossJoin(F.broadcast(est_b))
-        .crossJoin(F.broadcast(est_u))
-        .crossJoin(F.broadcast(est_i))
-        .crossJoin(F.broadcast(exact_i))
-        .select(
-            "est_a", "exact_a", "est_b", "exact_b",
-            "est_union", "exact_union", "est_intersect", "exact_intersect",
-        )
-    )
 
 
 def test_queued_catalog_gate_matches_duckdb_twin(spark):

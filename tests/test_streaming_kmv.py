@@ -92,52 +92,14 @@ def test_empty_store_and_k_guard(spark):
         kms.kmv_stream(None, "/tmp/x", k=1)
 
 
-# --- the queued r11 streaming gate, rehearsed against DuckDB --------------
-# Replay the events user_id stream through the sketch at k=64 in 3 REAL
-# micro-batches, then emit the estimate beside the exact distinct count.
-# Slicing-invariant, so the oracle is the plain batch twin.  All-BIGINT
-# surface (the r10 float policy).
+# --- the r11 streaming gate (REGISTERED in plans/catalog_r11.py; the
+# rehearsal imports the registered body + oracle so it exercises the
+# exact catalog entry — the catalog_r10/cmstream pattern) --------------
 
-GATE_K = 64
-_KM = float((GATE_K - 1) << 60)
-
-STREAM_KMV_ORACLE_QUEUED_R11 = f"""
-WITH keys AS (
-  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-  FROM events WHERE user_id IS NOT NULL
-), sk AS (SELECT h FROM keys ORDER BY h LIMIT {GATE_K}
-), est AS (
-  SELECT count(*)::BIGINT AS n_hashes, max(h) AS kth_hash,
-         CASE WHEN count(*) < {GATE_K} THEN count(*)
-              ELSE CAST(floor({_KM!r} / CAST(max(h) AS DOUBLE)) AS BIGINT)
-         END AS est_distinct
-  FROM sk
-), exact AS (
-  SELECT count(DISTINCT user_id)::BIGINT AS exact_distinct
-  FROM events WHERE user_id IS NOT NULL
+from advanced_elb_logs_etl_spark.plans.catalog_r11 import (  # noqa: E402
+    STREAM_KMV_ORACLE as STREAM_KMV_ORACLE_QUEUED_R11,
+    q_stream_kmv_distinct,
 )
-SELECT n_hashes, kth_hash, est_distinct, exact_distinct FROM est, exact
-"""
-
-
-def q_stream_kmv_distinct(spark, sf_dir):
-    """The queued r11 registration body: real 3-batch replay of the
-    events user_id stream through the KMV store, then the distinct
-    estimate beside the exact count (gate instrumentation)."""
-    from advanced_elb_logs_etl_spark.sources.testdata import load_table
-
-    ev = load_table(spark, sf_dir, "events")
-    keys = ev.filter(F.col("user_id").isNotNull()).select(
-        "event_id", F.col("user_id").alias("key")
-    )
-    sk = kms.replay_kmv(
-        spark, keys, "key", k=GATE_K, num_batches=3, order_col="event_id"
-    )
-    est = kmv.kmv_estimate(sk, k=GATE_K)
-    exact = keys.agg(F.countDistinct("key").alias("exact_distinct"))
-    return est.crossJoin(F.broadcast(exact)).select(
-        "n_hashes", "kth_hash", "est_distinct", "exact_distinct"
-    )
 
 
 def test_queued_stream_gate_matches_duckdb_twin(spark):

@@ -1,5 +1,5 @@
 """The driver's correctness gate covers the FIRST 50 names queries()
-emits — pin the shipped round-10 window so a refactor can't silently
+emits — pin the shipped round-11 window so a refactor can't silently
 reorder it between the rehearsal and the driver run."""
 
 from __future__ import annotations
@@ -10,23 +10,21 @@ import os
 from advanced_elb_logs_etl_spark.plans.catalog import CATALOG, FRONT_OF_CATALOG
 from advanced_elb_logs_etl_spark.plans import queries, oracle_sql
 
-R10_HEAD = [
-    # the five r5-green entries displaced from the r9 window
-    "grouping_sets_pricing",
-    "set_ops_battery",
-    "welch_t_values",
-    "rolling_median_value",
-    "triangle_count_sampled",
-    # the two never-green re-registrations (r9 hash-only reds, surfaces
-    # now integer-exact)
+R11_HEAD = [
+    # the two never-green entries, third registration attempt — twins'
+    # HUGEINT sums now cast ::BIGINT (the judge-verified r10 root cause)
     "lm_perplexity_filter",
     "bm25_topk",
-    # the two reserved stash slots: the Count-Min pair
-    "cm_point_frequency",
-    "stream_cm_point_frequency",
+    # the widened stash drain (VERDICT r10 item 5: four slots): the KMV
+    # pair from the reserved r11 slots plus butterfly + attribution
+    # pulled forward from the r12 stash
+    "kmv_distinct_setops",
+    "stream_kmv_distinct",
+    "butterfly_census",
+    "attribution_report",
 ]
 
-R11_HEAD = [
+R11_R6_SLICE = [
     # the nine r6-green entries displaced from the r10 window
     "simhash_signatures",
     "stream_lsh_band_canonical",
@@ -56,41 +54,45 @@ def _last_green(max_round: int) -> dict[str, int]:
     return last
 
 
-def test_r10_window_is_the_rehearsed_50():
+def test_r11_window_is_the_rehearsed_50():
     names = list(queries())
-    # positions 1-9: displaced r5 entries, re-registrations, CM pair
-    assert names[:9] == R10_HEAD
+    # positions 1-6: the never-green pair, then the four registrations
+    assert names[:6] == R11_HEAD
+    # positions 7-15: the displaced r6-green entries
+    assert names[6:15] == R11_R6_SLICE
     # the window is exactly the documented FRONT head (order included)
     assert names[:50] == [n for n in FRONT_OF_CATALOG if n in CATALOG][:50]
-    # the nine displaced r6-green entries head the r11 queue
-    assert names[50:59] == R11_HEAD
-    assert not set(R11_HEAD) & set(names[:50])
 
 
-def test_r10_window_follows_staleness_order():
+def test_r11_window_follows_staleness_order():
     """The window is computed from the committed driver records: the
-    five r5-green entries first, the two never-green re-registrations
-    and the two brand-new registrations next, then only r6-green
-    entries — so a queue that skips a stale cycle fails mechanically."""
-    last = _last_green(9)
+    two never-green entries first, the four brand-new registrations
+    next, then the r6-green cycle's tail, then only r7-green entries —
+    so a queue that skips a stale cycle fails mechanically."""
+    last = _last_green(10)
     names = list(queries())
-    assert all(last.get(n) == 5 for n in names[:5]), names[:5]
-    # lm/bm25 have NO green driver row in any record (the r9 reds)
-    assert all(n not in last for n in names[5:7]), names[5:7]
-    # the CM pair is brand new (no record at all)
-    assert all(n not in last for n in names[7:9]), names[7:9]
-    # positions 10-50 and the r11 head: r6-green only
-    assert all(last.get(n) == 6 for n in names[9:59]), [
-        (n, last.get(n)) for n in names[9:59] if last.get(n) != 6
+    # lm/bm25 have NO green driver row in any record (r9+r10 reds)
+    assert all(n not in last for n in names[:2]), names[:2]
+    # the four r11 registrations are brand new (no record at all)
+    assert all(n not in last for n in names[2:6]), names[2:6]
+    # positions 7-15: r6-green only (the complete remaining r6 cycle)
+    assert all(last.get(n) == 6 for n in names[6:15]), [
+        (n, last.get(n)) for n in names[6:15] if last.get(n) != 6
     ]
-    # positions 60-109: the complete r7-green cycle
+    assert {n for n in names if last.get(n) == 6} == set(names[6:15])
+    # positions 16-65: the complete r7-green cycle (first 35 in the
+    # window, the 15 leftovers heading the r12 queue)
     r7green = {n for n in names if last.get(n) == 7}
-    assert set(names[59:109]) == r7green
+    assert set(names[15:65]) == r7green
     assert len(r7green) == 50
+    # positions 66-115: the complete r8-green cycle queued for r12/r13
+    r8green = {n for n in names if last.get(n) == 8}
+    assert set(names[65:115]) == r8green
+    assert len(r8green) == 50
 
 
 def test_catalog_is_complete_and_oracled():
     names = list(queries())
-    assert len(names) == len(set(names)) == 207
+    assert len(names) == len(set(names)) == 211
     # zero rows-only checks: every query carries an oracle
     assert set(oracle_sql()) == set(names)

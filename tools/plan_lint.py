@@ -70,6 +70,9 @@ CARTESIAN_ALLOW: dict[str, str] = {
     "pq_adc_topk": "three 1-row count frames stitched for the recall bound (the ivf pattern)",
     "cm_point_frequency": "1-row cm_check_geometry guard frame broadcast into the probe side",
     "stream_cm_point_frequency": "1-row cm_check_geometry guard frame broadcast into the probe side",
+    "kmv_distinct_setops": "five 1-row estimate/exact report frames stitched (k-row sketches, never data)",
+    "stream_kmv_distinct": "1-row estimate x 1-row exact count (the hll_shard_union shape)",
+    "butterfly_census": "three 1-row census aggregates combined (the triangle_census shape)",
 }
 
 #: (query -> reason) for Window nodes with an empty partition spec. Every

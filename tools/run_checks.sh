@@ -24,6 +24,15 @@ if grep -rInE 'https?://[a-z0-9.-]*anthropic\.[a-z]+' \
   echo "LEAKCHECK: builder-identifying contact URL in fixtures/tree" >&2
   exit 1
 fi
+# Oracle type-policy gate (VERDICT r10 items 2+7): DESCRIBE every
+# registered oracle in DuckDB and fail on any declared output type
+# outside the verified allowlist (BIGINT/DOUBLE/VARCHAR/BOOLEAN/
+# INTEGER/DATE/TIMESTAMP).  This is the standing authoring-time audit
+# that kills the HUGEINT class (un-cast sum(BIGINT) widened to int128,
+# which the driver's pandas fetch renders float64 and hash-mismatches);
+# the companion float-PRECISION audit is the full-precision repr hash
+# inside oracle_sim/test_oracle_parity themselves (r9 policy).
+python tools/oracle_sim.py --type-gate-only
 python -m pytest tests/ -x -q
 SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
 python tools/plan_lint.py
