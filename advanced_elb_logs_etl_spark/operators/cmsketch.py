@@ -39,7 +39,13 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import h60
 
-__all__ = ["cm_bucket", "cm_build", "cm_merge", "cm_estimate"]
+__all__ = [
+    "cm_bucket",
+    "cm_build",
+    "cm_merge",
+    "cm_estimate",
+    "cm_join_size",
+]
 
 #: Default geometry: eps = e/1024 ~= 0.27%, delta = e^-4 ~= 1.8%.
 WIDTH = 1024
@@ -265,3 +271,90 @@ def cm_estimate(
     if guard is not None:
         est_expr = est_expr + F.col("geometry_guard")
     return joined.groupBy("key").agg(F.min(est_expr).alias("est"))
+
+
+def cm_join_size(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    width: int = WIDTH,
+    depth: int = DEPTH,
+    check_geometry: bool = True,
+) -> DataFrame:
+    """1-row (est_join_size,) — the Count-Min JOIN-SIZE estimate: the
+    number of (row from A, row from B) pairs an equi-join on the
+    sketched key would produce, WITHOUT executing the join.  This is
+    the inner-product query of Cormode & Muthukrishnan 2005 §4.2
+    (public method): for each sketch row i,
+
+        Q_i = sum over buckets b of  A[i][b] * B[i][b]
+
+    and the estimate is min_i Q_i.  Each Q_i = true + (hash-collision
+    cross terms) >= true, so the estimate inherits the one-sided
+    guarantee: true <= est <= true + eps * N_A * N_B  (w.p. 1 - delta,
+    eps = e / width, delta = e^-depth).
+
+    Why it matters at 100 TB: |A join B| decides broadcast vs shuffle
+    vs skew-salt BEFORE the shuffle is paid, from two d*w-cell sketches
+    that were built in one map-side-combinable pass each (or read back
+    from a sketch store — cells merge across shards/days, so per-day
+    join-size trends cost nothing extra).  The alternative — an exact
+    groupBy on each side plus a join of the count frames — shuffles the
+    full key domain twice.
+
+    Determinism: pure integer arithmetic over deterministic md5 cells,
+    so the estimate is value-exact twinnable in SQL (the cm_estimate
+    contract).  Plan shape: the two bounded cell frames join on
+    (row, bucket) — broadcast-sized by construction — then ONE d-row
+    agg and ONE 1-row min.  No corpus is touched here at all.
+
+    ``check_geometry`` rides the cm_check_geometry guard for BOTH
+    sketches into the 1-row output (broadcast cross join, the
+    cm_estimate pattern), failing loudly on a geometry mismatch that
+    would otherwise silently misalign buckets.  Same-width/depth across
+    the two sketches is the caller's contract (cm_merge's note).
+    """
+    if check_geometry:
+        # the guard aggs and the product join each read a sketch twice —
+        # lazily checkpoint ONCE so both lanes share one materialization
+        # of each <= d*w-row cell frame (the cm_estimate ADVICE-r10 fix)
+        sketch_a = sketch_a.localCheckpoint(eager=False)
+        sketch_b = sketch_b.localCheckpoint(eager=False)
+    a = sketch_a.select("row", "bucket", F.col("cnt").alias("cnt_a"))
+    b = sketch_b.select("row", "bucket", F.col("cnt").alias("cnt_b"))
+    # inner join: a bucket absent from either side contributes 0 to Q_i
+    prod = a.join(b, ["row", "bucket"]).select(
+        "row", (F.col("cnt_a") * F.col("cnt_b")).alias("p")
+    )
+    # rows with NO common bucket at all have Q_i = 0 (true join size has
+    # to be 0 then — every key collides nowhere); densify over the depth
+    # so min_i runs over ALL d rows, not just the populated ones.
+    rows = F.broadcast(
+        sketch_a.sparkSession.range(depth).select(
+            F.col("id").cast("int").alias("row")
+        )
+    )
+    per_row = rows.join(
+        prod.groupBy("row").agg(F.sum("p").alias("q")), "row", "left"
+    ).select(F.coalesce(F.col("q"), F.lit(0)).alias("q"))
+    out = per_row.agg(F.min("q").alias("est_join_size"))
+    if check_geometry:
+        ga = F.broadcast(
+            cm_check_geometry(sketch_a, width, depth).withColumnRenamed(
+                "geometry_guard", "_g_a"
+            )
+        )
+        gb = F.broadcast(
+            cm_check_geometry(sketch_b, width, depth).withColumnRenamed(
+                "geometry_guard", "_g_b"
+            )
+        )
+        out = (
+            out.crossJoin(ga)
+            .crossJoin(gb)
+            .select(
+                (
+                    F.col("est_join_size") + F.col("_g_a") + F.col("_g_b")
+                ).alias("est_join_size")
+            )
+        )
+    return out

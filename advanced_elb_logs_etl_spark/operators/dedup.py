@@ -514,6 +514,53 @@ def neardup_components(
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train: float = 0.8,
+    val: float = 0.1,
+    hashed: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: every document receives its
+    near-dup CLUSTER's split assignment, so no near-duplicate of a
+    training document can land in val/test (the eval-set leakage the
+    plain per-document hash split — sampling.assign_split — cannot
+    prevent; splitting by dedup cluster is the standard countermeasure
+    in LLM training-data pipelines, same public motivation as
+    decontamination).
+
+    Composition, all existing verified pieces: LSH-verified pairs
+    (minhash_neardup_pairs, unless ``pairs`` is supplied) -> connected
+    components (neardup_components) -> singleton backfill (a doc in no
+    pair is its own cluster) -> the deterministic hash split keyed on
+    the CLUSTER id instead of the doc id (sampling.assign_split, same
+    seed/threshold math, so the oracle is value-exact like
+    hash_stratified_split's).  Adding data never reassigns an existing
+    cluster, and cluster membership growth moves a whole cluster at
+    once, never splits it across sides.
+
+    Output: df's columns + (component, split).
+
+    Scale: the pair pipeline and component loop dominate (both already
+    measured in SCALE.md — banding caps, diameter-bounded rounds); the
+    split itself is a broadcast-sized left join (components exist only
+    for paired docs, a small fraction of the corpus) + one hash
+    expression.  No new shuffle class."""
+    if pairs is None:
+        pairs = minhash_neardup_pairs(
+            df, id_col=id_col, text_col=text_col, hashed=hashed
+        )
+    comp = neardup_components(pairs)
+    from .sampling import assign_split
+
+    assigned = df.join(
+        comp.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+    return assign_split(assigned, key_col="component", train=train, val=val)
+
+
 def dedup_corpus(
     df: DataFrame,
     id_col: str = "doc_id",

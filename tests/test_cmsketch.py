@@ -194,3 +194,202 @@ def test_geometry_guard_catches_larger_sketch(spark):
     cm.cm_estimate(
         sk, probes, width=W // 4, depth=D, check_geometry=False
     ).collect()
+
+
+# --- cm_join_size: the inner-product join-size estimate -------------------
+
+
+def _joinsize_py(keys_a, keys_b, width=W, depth=D):
+    ca, cb = _cm_py(keys_a, width, depth), _cm_py(keys_b, width, depth)
+    qs = []
+    for r in range(depth):
+        qs.append(
+            sum(
+                v * cb.get((rr, bb), 0)
+                for (rr, bb), v in ca.items()
+                if rr == r
+            )
+        )
+    return min(qs)
+
+
+def test_join_size_matches_replica_and_one_sided(spark):
+    """Deterministic replica differential at a collision-heavy geometry,
+    plus the inherited one-sided contract: true <= est (Cormode &
+    Muthukrishnan 2005 §4.2 — each per-row inner product = true join
+    size + non-negative collision cross terms)."""
+    keys_b = list("abccc") * 4 + ["boilerplate"] * 2 + list("pqr")
+    sa = cm.cm_build(_rows(spark, KEYS), width=W, depth=D)
+    sb = cm.cm_build(_rows(spark, keys_b), width=W, depth=D)
+    got = cm.cm_join_size(sa, sb, width=W, depth=D).collect()[0].est_join_size
+    assert got == _joinsize_py(KEYS, keys_b)
+    true_join = sum(
+        KEYS.count(k) * keys_b.count(k) for k in set(KEYS) & set(keys_b)
+    )
+    assert got >= true_join
+    # symmetric (inner products commute)
+    assert (
+        cm.cm_join_size(sb, sa, width=W, depth=D).collect()[0].est_join_size
+        == got
+    )
+
+
+def test_join_size_exact_when_collision_free(spark):
+    """At a width far above the key cardinality the estimate is EXACT
+    (no colliding cross terms in any row), and disjoint key sets
+    estimate zero."""
+    a = _rows(spark, ["k1", "k1", "k2", "k3"])
+    b = _rows(spark, ["k2", "k2", "k3", "zz"])
+    est = cm.cm_join_size(
+        cm.cm_build(a, width=4096, depth=D),
+        cm.cm_build(b, width=4096, depth=D),
+        width=4096,
+        depth=D,
+    ).collect()[0].est_join_size
+    assert est == 1 * 0 + 1 * 2 + 1 * 1  # k2: 1x2, k3: 1x1
+    disj = cm.cm_join_size(
+        cm.cm_build(_rows(spark, ["a", "b"]), width=4096, depth=D),
+        cm.cm_build(_rows(spark, ["c", "d"]), width=4096, depth=D),
+        width=4096,
+        depth=D,
+    ).collect()[0].est_join_size
+    assert disj == 0
+
+
+def test_join_size_empty_side_is_zero_and_guard_fires(spark):
+    """An empty sketch (no cells) gives est 0 via the depth-densified
+    min; the geometry guard rejects a larger-geometry operand the same
+    way cm_estimate's does."""
+    empty = cm.cm_build(
+        _rows(spark, ["x"]).filter("key IS NULL"), width=W, depth=D
+    )
+    full = cm.cm_build(_rows(spark, KEYS), width=W, depth=D)
+    assert (
+        cm.cm_join_size(empty, full, width=W, depth=D)
+        .collect()[0]
+        .est_join_size
+        == 0
+    )
+    big = cm.cm_build(_rows(spark, KEYS), width=W * 8, depth=D)
+    with pytest.raises(Exception) as ei:
+        cm.cm_join_size(full, big, width=W, depth=D).collect()
+    assert "geometry" in str(ei.value).lower() or "ASSERT" in str(
+        ei.value
+    ).upper()
+
+
+def test_join_size_respects_merge(spark):
+    """Sketch of (A1 ++ A2) == merged sketches, so the join-size
+    estimate computed from shard sketches equals the single-build one —
+    the per-day-trend use case costs nothing extra."""
+    a1, a2 = KEYS[:10], KEYS[10:]
+    b = list("abcde") * 3
+    sb = cm.cm_build(_rows(spark, b), width=W, depth=D)
+    merged = cm.cm_merge(
+        cm.cm_build(_rows(spark, a1), width=W, depth=D),
+        cm.cm_build(_rows(spark, a2), width=W, depth=D),
+    )
+    whole = cm.cm_build(_rows(spark, KEYS), width=W, depth=D)
+    est_m = cm.cm_join_size(merged, sb, width=W, depth=D).collect()[0]
+    est_w = cm.cm_join_size(whole, sb, width=W, depth=D).collect()[0]
+    assert tuple(est_m) == tuple(est_w)
+
+
+# --- the queued r13 catalog gate, rehearsed against DuckDB ----------------
+# Join-size estimate for orders JOIN customer ON custkey at the default
+# 1024x4 geometry, beside the exact join count (bounded-gate pattern).
+# All-BIGINT + BOOLEAN surface; DuckDB sums cast ::BIGINT (the r10
+# HUGEINT postmortem — enforced by the standing type gate).
+
+CM_JOINSIZE_ORACLE_QUEUED_R13 = f"""
+WITH rows_ AS (
+  SELECT UNNEST(generate_series(0, {cm.DEPTH - 1})) AS row
+), a_cells AS (
+  SELECT r.row,
+         ('0x' || substr(md5(r.row || ':' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+           % {cm.WIDTH} AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM orders, rows_ r WHERE o_custkey IS NOT NULL
+  GROUP BY 1, 2
+), b_cells AS (
+  SELECT r.row,
+         ('0x' || substr(md5(r.row || ':' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+           % {cm.WIDTH} AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM customer, rows_ r WHERE c_custkey IS NOT NULL
+  GROUP BY 1, 2
+), q AS (
+  SELECT r.row,
+         coalesce((SELECT sum(a.cnt * b.cnt)
+                   FROM a_cells a JOIN b_cells b
+                     ON a.row = r.row AND b.row = r.row
+                    AND a.bucket = b.bucket), 0)::BIGINT AS q
+  FROM rows_ r
+), est AS (
+  SELECT min(q) AS est_join_size FROM q
+), exact AS (
+  SELECT count(*)::BIGINT AS exact_join_size
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT est_join_size, exact_join_size,
+       est_join_size >= exact_join_size AS overestimate_ok
+FROM est, exact
+"""
+
+
+def q_cm_join_size(spark, sf_dir):
+    """The queued r13 registration body: Count-Min join-size estimate
+    for orders x customer on custkey (the plan-time broadcast/shuffle/
+    salt decision input), beside the exact join count.
+
+    Scale: two bounded sketch builds (one map-side-combinable agg
+    each), then every later frame is <= d*w rows — the exact lane is
+    gate-only instrumentation."""
+    from advanced_elb_logs_etl_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sk_o = cm.cm_build(orders.select(F.col("o_custkey").alias("key")))
+    sk_c = cm.cm_build(cust.select(F.col("c_custkey").alias("key")))
+    est = cm.cm_join_size(sk_o, sk_c)
+    exact = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_size",
+        "exact_join_size",
+        (F.col("est_join_size") >= F.col("exact_join_size")).alias(
+            "overestimate_ok"
+        ),
+    )
+
+
+def test_queued_joinsize_gate_matches_duckdb_twin(spark):
+    """Full driver-protocol rehearsal of the queued r13 entry at sf0.01
+    (all-integer surface, exact compare through the pandas-equivalent
+    string normalization)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    sdf = q_cm_join_size(spark, sf)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        tuple(str(x) for x in r) for r in sdf.select(*scols).collect()
+    )
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    d = con.execute(CM_JOINSIZE_ORACLE_QUEUED_R13)
+    cols = [c[0] for c in d.description]
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    drows = sorted(tuple(str(r[i]) for i in idx) for r in d.fetchall())
+    assert sorted(cols) == scols
+    assert srows == drows
+    assert len(srows) == 1
+    row = dict(zip(sorted(cols), drows[0]))
+    # the gate exercises a real overestimate regime (1.5k keys over
+    # 1024 buckets collide) while staying within the CM error bound
+    assert int(row["est_join_size"]) >= int(row["exact_join_size"]) > 0
