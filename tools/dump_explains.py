@@ -123,6 +123,18 @@ HEADLINERS = {
     "classifier_score_topk": "one evaluate-once n-gram explode; 256-row model joined as "
                              "BroadcastHashJoin; single per-doc HashAggregate; "
                              "TakeOrderedAndProject top-50 (no global Sort)",
+    "kmv_distinct_setops": "each build = map-side-partial distinct agg + TakeOrdered(k); "
+                           "every downstream frame is k rows (checkpointed cells), the "
+                           "set ops and exact lanes stitch as broadcast 1-row frames",
+    "stream_kmv_distinct": "real 3-batch replay; per batch a 2k-row TakeOrdered union "
+                           "with the prior minima snapshot; the estimate reads the "
+                           "k-row store, never the stream",
+    "butterfly_census": "wedge self-join equi-keyed on the part side (SHJ probe) + two "
+                        "hash aggs; census scalars combine as 1-row broadcast frames — "
+                        "no CartesianProduct, no global Sort",
+    "attribution_report": "ONE per-user equi-join with the lookback predicate in the "
+                          "join condition; all three windows share the (u, conv_id) "
+                          "Exchange; one final channel hash agg",
     "khop_reachability": "checkpointed adjacency probed per hop; frontier joins + distinct, "
                          "no re-derivation of the edge pipeline",
     "event_transition_matrix": "ONE keyed lead window then a |types|^2 hash agg; "
