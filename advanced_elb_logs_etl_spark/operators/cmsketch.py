@@ -42,8 +42,11 @@ from ..functions.hashing import h60
 __all__ = [
     "cm_bucket",
     "cm_build",
+    "cm_build_grouped",
     "cm_merge",
+    "cm_merge_grouped",
     "cm_estimate",
+    "cm_estimate_grouped",
     "cm_join_size",
 ]
 
@@ -138,6 +141,148 @@ def cm_build(
         _cells(base, key_col, width, depth, weighted=weight_col is not None)
         .groupBy("row", "bucket")
         .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cm_build_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str = "key",
+    width: int = WIDTH,
+    depth: int = DEPTH,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-group CM sketches in one frame (group_cols..., row, bucket,
+    cnt) — the production shape of per-hour / per-source token-frequency
+    screens: build once per micro-window, roll up across windows with
+    cm_merge_grouped, point-estimate any group with cm_estimate_grouped,
+    all without rescanning the corpus.  The grouped twin of
+    kmv_build_grouped, same contract.
+
+    Plan shape: the same depth-way explode as cm_build into ONE
+    map-side-combinable hash agg keyed on (group, row, bucket) — output
+    <= d*width rows per group, shuffle carries cells, never data."""
+    if width < 1 or depth < 1:
+        raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; use cm_build")
+    base = df.filter(F.col(key_col).isNotNull())
+    if weight_col is not None:
+        # same integral/non-negative contract as cm_build (the
+        # overestimate-only guarantee); reuse its guard by delegating
+        # the weight column preparation
+        dtype = dict(df.dtypes)[weight_col]
+        if dtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"weight_col {weight_col!r} must be an integral column, "
+                f"got {dtype} (fractional weights would truncate and "
+                "break the overestimate-only contract)"
+            )
+        w = F.col(weight_col)
+        base = base.withColumn(
+            "_cm_w",
+            F.when(
+                F.assert_true(
+                    w.isNotNull() & (w >= 0),
+                    f"cm_build_grouped: NULL or negative weight in {weight_col!r}",
+                ).isNull(),
+                w,
+            ),
+        )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                cm_bucket(F.col(key_col).cast("string"), r, width).alias(
+                    "bucket"
+                ),
+            )
+            for r in range(depth)
+        ]
+    )
+    cells = base.select(
+        *group_cols,
+        F.explode(pairs).alias("c"),
+        (F.col("_cm_w") if weight_col is not None else F.lit(1))
+        .cast("long")
+        .alias("w"),
+    ).select(*group_cols, "c.row", "c.bucket", "w")
+    return cells.groupBy(*group_cols, "row", "bucket").agg(
+        F.sum("w").alias("cnt")
+    )
+
+
+def cm_merge_grouped(
+    cells: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Cell-wise sum under a COARSER grouping — the roll-up: feed
+    per-(day, hour) cells with group_cols=["day"] and get per-day
+    sketches of the summed streams (CM cells are plain sums, so the
+    roll-up equals a direct build at the coarser grouping — the
+    mergeable-summaries contract).  group_cols=[] rolls up to the
+    global sketch (delegates to cm_merge's agg shape).  Input is cell
+    rows, so this never touches corpus data."""
+    if not group_cols:
+        return cells.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    return cells.groupBy(*group_cols, "row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cm_estimate_grouped(
+    cells: DataFrame,
+    keys: DataFrame,
+    group_cols: list[str],
+    key_col: str = "key",
+    width: int = WIDTH,
+    depth: int = DEPTH,
+) -> DataFrame:
+    """(group_cols..., key, est): per-group point estimates for every
+    (group, probe key) combination — absent cells read 0, so a key
+    unseen in a group estimates 0..collision-noise exactly like the
+    global cm_estimate.
+
+    Plan shape: the probe frame is |groups| x |probes| x depth rows
+    (groups come from the cells frame itself — bounded by construction;
+    probes are caller-bounded), left-joined against the broadcast cell
+    frame, one (group, key) min agg.  Geometry checking is the caller's
+    concern here (pin width/depth as module constants; the 1-row guard
+    pattern composes via cm_check_geometry on the ungrouped projection
+    if needed)."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; use cm_estimate")
+    probes = (
+        keys.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col).cast("string").alias("key"))
+        .distinct()
+    )
+    groups = cells.select(*group_cols).distinct()
+    # bounded x bounded by construction: |distinct groups| x |probes|
+    probe_cells = (
+        groups.crossJoin(F.broadcast(probes))
+        .select(
+            *group_cols,
+            "key",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row"),
+                            cm_bucket(F.col("key"), r, width).alias("bucket"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .select(*group_cols, "key", "c.row", "c.bucket")
+    )
+    joined = probe_cells.join(
+        F.broadcast(cells), [*group_cols, "row", "bucket"], "left"
+    )
+    return joined.groupBy(*group_cols, "key").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
     )
 
 

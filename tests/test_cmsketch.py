@@ -393,3 +393,102 @@ def test_queued_joinsize_gate_matches_duckdb_twin(spark):
     # the gate exercises a real overestimate regime (1.5k keys over
     # 1024 buckets collide) while staying within the CM error bound
     assert int(row["est_join_size"]) >= int(row["exact_join_size"]) > 0
+
+
+# --- grouped Count-Min: per-group sketches + roll-up -----------------------
+
+
+def _grows(spark, rows):
+    return spark.createDataFrame(rows, "g string, key string")
+
+
+def test_grouped_build_matches_python_per_group(spark):
+    """Per-group cells match the per-group Python replica; NULL keys are
+    dropped; empty group_cols is rejected (the kmv_build_grouped
+    contract)."""
+    rows = (
+        [("g1", k) for k in KEYS[:12]]
+        + [("g2", k) for k in KEYS[12:]]
+        + [("g1", None)]
+    )
+    got = {}
+    for r in cm.cm_build_grouped(
+        _grows(spark, rows), ["g"], width=W, depth=D
+    ).collect():
+        got.setdefault(r.g, {})[(r.row, r.bucket)] = r.cnt
+    assert got["g1"] == _cm_py(KEYS[:12])
+    assert got["g2"] == _cm_py(KEYS[12:])
+    with pytest.raises(ValueError, match="use cm_build"):
+        cm.cm_build_grouped(_grows(spark, rows), [], width=W, depth=D)
+    with pytest.raises(ValueError):
+        cm.cm_build_grouped(_grows(spark, rows), ["g"], width=0, depth=D)
+
+
+def test_grouped_rollup_equals_direct_build(spark):
+    """cm_merge_grouped under a coarser grouping == a direct grouped
+    build at that grouping (cells are plain sums — the mergeable-
+    summaries contract); [] rolls up to the global cm_build."""
+    rows = [
+        ("d1", "h1", k) for k in KEYS[:10]
+    ] + [
+        ("d1", "h2", k) for k in KEYS[10:20]
+    ] + [
+        ("d2", "h1", k) for k in KEYS[20:]
+    ]
+    df = spark.createDataFrame(rows, "day string, hour string, key string")
+    fine = cm.cm_build_grouped(df, ["day", "hour"], width=W, depth=D)
+    rolled = cm.cm_merge_grouped(fine, ["day"])
+    direct = cm.cm_build_grouped(df, ["day"], width=W, depth=D)
+    assert sorted(map(tuple, rolled.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    glob = cm.cm_merge_grouped(fine, [])
+    whole = cm.cm_build(
+        df.select("key"), width=W, depth=D
+    )
+    assert sorted(map(tuple, glob.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_grouped_estimate_matches_replica_everywhere(spark):
+    """Every (group, probe) estimate equals the per-group Python
+    replica — including keys absent from a group (0 + collision noise,
+    one-sided like the global form)."""
+    rows = [("g1", k) for k in KEYS[:12]] + [("g2", k) for k in KEYS[12:]]
+    cells = cm.cm_build_grouped(_grows(spark, rows), ["g"], width=W, depth=D)
+    probe_keys = sorted(set(KEYS)) + ["absent1"]
+    got = {
+        (r.g, r.key): r.est
+        for r in cm.cm_estimate_grouped(
+            cells, _rows(spark, probe_keys), ["g"], width=W, depth=D
+        ).collect()
+    }
+    replicas = {"g1": _cm_py(KEYS[:12]), "g2": _cm_py(KEYS[12:])}
+    truths = {"g1": KEYS[:12], "g2": KEYS[12:]}
+    assert len(got) == 2 * len(probe_keys)  # full group x probe grid
+    for g, cells_py in replicas.items():
+        for k in probe_keys:
+            assert got[(g, k)] == _est_py(cells_py, k), (g, k)
+            assert got[(g, k)] >= truths[g].count(k), (g, k)
+    with pytest.raises(ValueError, match="use cm_estimate"):
+        cm.cm_estimate_grouped(cells, _rows(spark, probe_keys), [], width=W)
+
+
+def test_grouped_weighted_build_and_guards(spark):
+    """Weighted grouped builds carry the same integral/non-negative
+    contract as cm_build."""
+    df = spark.createDataFrame(
+        [("g1", "a", 3), ("g1", "a", 2), ("g2", "a", 7)],
+        "g string, key string, n long",
+    )
+    got = {}
+    for r in cm.cm_build_grouped(
+        df, ["g"], width=W, depth=D, weight_col="n"
+    ).collect():
+        got.setdefault(r.g, {})[(r.row, r.bucket)] = r.cnt
+    assert got["g1"] == _cm_py(["a"], weights=[5])
+    assert got["g2"] == _cm_py(["a"], weights=[7])
+    frac = spark.createDataFrame([("g", "a", 1.5)], "g string, key string, n double")
+    with pytest.raises(ValueError, match="integral"):
+        cm.cm_build_grouped(frac, ["g"], weight_col="n")
