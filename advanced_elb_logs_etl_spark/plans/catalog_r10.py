@@ -188,3 +188,46 @@ def q_stream_cm_point_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overestimate_ok"
         ),
     )
+
+
+# Production forms (r11, the pq/ivf precedent): the headline bench
+# number measures what a production caller runs — sketch build +
+# estimates — while the registered gate form (with its corpus-sized
+# exact lanes) keeps its own `<name>_gate` row in every record.
+from .catalog import register_production  # noqa: E402
+
+
+@register_production("cm_point_frequency")
+def q_cm_point_frequency_production(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production shape: build the sketch, estimate the probe terms —
+    no exact token-frequency lane (that groupBy is as big as the key
+    domain; avoiding it is the sketch's reason to exist)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("key"))
+    sk = cm.cm_build(tok).localCheckpoint(eager=True)
+    probes = docs.sparkSession.createDataFrame(
+        [(t,) for t in _CM_PROBE_TERMS], "key string"
+    )
+    return cm.cm_estimate(sk, probes)
+
+
+@register_production("stream_cm_point_frequency")
+def q_stream_cm_point_frequency_production(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production shape: real 3-batch replay + point estimates from the
+    materialized store — no exact count lane."""
+    ev = _t(spark, sf_dir, "events")
+    keys = ev.filter(F.col("event_type").isNotNull()).select(
+        "event_id", F.col("event_type").alias("key")
+    )
+    sk = cms.replay_cm(spark, keys, "key", num_batches=3, order_col="event_id")
+    probes = (
+        keys.select("key")
+        .distinct()
+        .unionByName(spark.createDataFrame([("absent_key",)], "key string"))
+        .distinct()
+    )
+    return cm.cm_estimate(sk, probes)

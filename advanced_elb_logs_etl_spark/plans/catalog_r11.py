@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from ..operators import events as ev_ops
 from ..operators import graph, kmv
 from ..streaming import kmvstream as kms
-from .catalog import _t, register
+from .catalog import _t, register, register_production
 
 # ---------------------------------------------------------------------------
 # kmv_distinct_setops
@@ -192,6 +192,42 @@ def q_kmv_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_production("kmv_distinct_setops")
+def q_kmv_distinct_setops_production(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production shape (the pq/ivf precedent): sketches + the four
+    estimates — no exact countDistinct/INTERSECT lanes (those re-scan
+    the corpus; avoiding them is the sketch's reason to exist).  The
+    registered gate form keeps its own `_gate` bench row."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    a_keys = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("key")
+    )
+    b_keys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key")
+    )
+    a = kmv.kmv_build(a_keys, k=GATE_K).localCheckpoint(eager=True)
+    b = kmv.kmv_build(b_keys, k=GATE_K).localCheckpoint(eager=True)
+    est_a = kmv.kmv_estimate(a, k=GATE_K).select(
+        F.col("est_distinct").alias("est_a")
+    )
+    est_b = kmv.kmv_estimate(b, k=GATE_K).select(
+        F.col("est_distinct").alias("est_b")
+    )
+    est_u = kmv.kmv_estimate(kmv.kmv_union(a, b, k=GATE_K), k=GATE_K).select(
+        F.col("est_distinct").alias("est_union")
+    )
+    est_i = kmv.kmv_intersect_estimate(a, b, k=GATE_K).select(
+        F.col("est_intersect")
+    )
+    return (
+        est_a.crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(est_i))
+    )
+
+
 # ---------------------------------------------------------------------------
 # stream_kmv_distinct
 # ---------------------------------------------------------------------------
@@ -242,6 +278,22 @@ def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(exact)).select(
         "n_hashes", "kth_hash", "est_distinct", "exact_distinct"
     )
+
+
+@register_production("stream_kmv_distinct")
+def q_stream_kmv_distinct_production(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production shape: replay + the estimate from the k-row store —
+    no exact countDistinct lane."""
+    ev = _t(spark, sf_dir, "events")
+    keys = ev.filter(F.col("user_id").isNotNull()).select(
+        "event_id", F.col("user_id").alias("key")
+    )
+    sk = kms.replay_kmv(
+        spark, keys, "key", k=GATE_K, num_batches=3, order_col="event_id"
+    )
+    return kmv.kmv_estimate(sk, k=GATE_K)
 
 
 # ---------------------------------------------------------------------------
