@@ -146,6 +146,12 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--limit", type=int, default=0, help="first N queries (0 = all)")
     ap.add_argument(
+        "--names",
+        default="",
+        help="comma-separated query names to rehearse (focused re-check "
+        "of specific entries; unknown names error loudly)",
+    )
+    ap.add_argument(
         "--out", default=os.path.join(REPO, "tools", "oracle_sim_latest.json")
     )
     ap.add_argument(
@@ -201,7 +207,19 @@ def main() -> int:
     )
     qs = entry.queries()
 
+    default_out = os.path.join(REPO, "tools", "oracle_sim_latest.json")
+    if (args.names or args.limit) and args.out == default_out:
+        # a partial run must never overwrite the committed full-catalog
+        # record the judge reads
+        args.out = os.path.join(REPO, "tools", "oracle_sim_focused.json")
     names = list(qs)
+    if args.names:
+        wanted = [n.strip() for n in args.names.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in qs]
+        if unknown:
+            print(f"unknown query names: {unknown}", file=sys.stderr)
+            return 2
+        names = wanted
     if args.limit:
         names = names[: args.limit]
     results: dict[str, dict] = {}
