@@ -492,3 +492,87 @@ def test_grouped_weighted_build_and_guards(spark):
     frac = spark.createDataFrame([("g", "a", 1.5)], "g string, key string, n double")
     with pytest.raises(ValueError, match="integral"):
         cm.cm_build_grouped(frac, ["g"], weight_col="n")
+
+
+# --- property-based differential (the test_property_parity pattern) -------
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_key = st.sampled_from(
+    ["a", "b", "c", "dd", "ee", "boiler", "plate", "x1", "x2", "γ"]
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(_key, min_size=0, max_size=40),
+    st.lists(_key, min_size=0, max_size=40),
+)
+def test_join_size_property_replica_and_one_sided(spark, keys_a, keys_b):
+    """Random multisets over a collision-prone alphabet: the Spark
+    estimate equals the pure-Python replica bit-for-bit and never
+    undercounts the true join size (the §4.2 one-sided contract),
+    including empty sides."""
+    sa = cm.cm_build(_rows(spark, keys_a), width=W, depth=D)
+    sb = cm.cm_build(_rows(spark, keys_b), width=W, depth=D)
+    got = (
+        cm.cm_join_size(sa, sb, width=W, depth=D).collect()[0].est_join_size
+    )
+    assert got == _joinsize_py(keys_a, keys_b)
+    true_join = sum(
+        keys_a.count(k) * keys_b.count(k) for k in set(keys_a) & set(keys_b)
+    )
+    assert got >= true_join
+
+
+def test_randomized_grouped_differential(spark):
+    """60 seeded random multisets (varied sizes, duplicate densities,
+    unicode keys, per-case NULLs) sketched in ONE Spark job via the
+    grouped path, each compared cell-for-cell and estimate-for-estimate
+    against the pure Python replica — the grouped-KMV discipline."""
+    import random
+
+    rng = random.Random(0xC011)
+    alphabet = ["alpha", "beta", "γάμμα", "δ", "e-mail@x", "tab\tkey", "0"]
+    cases = {}
+    rows = []
+    for c in range(60):
+        n = rng.randint(0, 40)
+        dom = rng.randint(1, 12)
+        keys = [
+            f"{rng.choice(alphabet)}#{rng.randint(0, dom)}" for _ in range(n)
+        ]
+        cases[c] = keys
+        rows.extend((c, k_) for k_ in keys)
+        rows.append((c, None))  # every case carries a NULL to ignore
+    df = spark.createDataFrame(rows, "cid int, key string")
+    cells = cm.cm_build_grouped(df, ["cid"], width=W, depth=D)
+    got = {}
+    for r in cells.collect():
+        got.setdefault(r.cid, {})[(r.row, r.bucket)] = r.cnt
+    probe_keys = sorted({k for ks in cases.values() for k in ks})[:20] + [
+        "absent"
+    ]
+    est = {
+        (r.cid, r.key): r.est
+        for r in cm.cm_estimate_grouped(
+            cells, _rows(spark, probe_keys), ["cid"], width=W, depth=D
+        ).collect()
+    }
+    n_nonempty = 0
+    for c, keys in cases.items():
+        replica = _cm_py(keys)
+        assert got.get(c, {}) == replica, c
+        if not keys:
+            continue  # empty case: no cells, no estimate rows
+        n_nonempty += 1
+        for k in probe_keys:
+            assert est[(c, k)] == _est_py(replica, k), (c, k)
+            assert est[(c, k)] >= keys.count(k), (c, k)
+    assert n_nonempty > 40  # the generator actually produced real cases
