@@ -124,3 +124,127 @@ def test_queued_stream_gate_matches_duckdb_twin(spark):
     assert sorted(cols) == scols
     assert srows == drows
     assert len(srows) == 1
+
+
+# --- grouped streaming KMV: per-group minima on the stream ----------------
+# (the streaming form of the reference's per-hour COUNT(DISTINCT
+# client_ip), reference :345-363)
+
+G_BATCHES = [
+    [("h1", f"u{i}") for i in range(10)] + [("h2", f"v{i}") for i in range(3)],
+    [("h1", f"u{i}") for i in range(5, 25)],
+    [("h2", f"v{i}") for i in range(2, 20)] + [("h1", "u1")],
+]
+G_ALL = [r for b in G_BATCHES for r in b]
+
+
+def _grows(spark, rows):
+    return spark.createDataFrame(rows, "hour string, key string")
+
+
+def _by_group(frame_rows):
+    out = {}
+    for r in frame_rows:
+        out.setdefault(r.hour, []).append(r.h)
+    return {g: sorted(v) for g, v in out.items()}
+
+
+def test_grouped_batch_fold_equals_single_grouped_build(spark):
+    from advanced_elb_logs_etl_spark.operators import kmv as kmv_ops
+
+    state = None
+    for rows in G_BATCHES:
+        out = kms.kmv_grouped_batch_step(
+            _grows(spark, rows), state, ["hour"], k=K
+        )
+        state = spark.createDataFrame(out.collect(), "hour string, h long")
+    whole = kmv_ops.kmv_build_grouped(_grows(spark, G_ALL), ["hour"], k=K)
+    assert _by_group(state.collect()) == _by_group(whole.collect())
+
+
+def test_grouped_process_batch_retry_idempotent_and_missing_group(spark):
+    """A retried batch reads only prior state and overwrites; a batch
+    that misses a group entirely carries that group's prior minima
+    forward verbatim (the no-sentinel argument, per group)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="sparkgraft_gkmv_") as store:
+        kms._process_batch_grouped(
+            _grows(spark, G_BATCHES[0]), 0, store, ["hour"],
+            "hour string", "key", K,
+        )
+        # batch 1 has NO h2 rows: h2 state must survive unchanged
+        kms._process_batch_grouped(
+            _grows(spark, G_BATCHES[1]), 1, store, ["hour"],
+            "hour string", "key", K,
+        )
+        first = _by_group(
+            kms.current_kmv_grouped(spark, store, "hour string").collect()
+        )
+        from advanced_elb_logs_etl_spark.operators import kmv as kmv_ops
+
+        want01 = _by_group(
+            kmv_ops.kmv_build_grouped(
+                _grows(spark, G_BATCHES[0] + G_BATCHES[1]), ["hour"], k=K
+            ).collect()
+        )
+        assert first == want01
+        kms._process_batch_grouped(  # retry of batch 1
+            _grows(spark, G_BATCHES[1]), 1, store, ["hour"],
+            "hour string", "key", K,
+        )
+        assert (
+            _by_group(
+                kms.current_kmv_grouped(spark, store, "hour string").collect()
+            )
+            == first
+        )
+
+
+def test_grouped_replay_equals_batch_build_and_estimates(spark):
+    """Real 3-batch micro-batch replay == the batch grouped build, and
+    the per-group estimates match kmv_estimate_grouped of that build."""
+    from advanced_elb_logs_etl_spark.operators import kmv as kmv_ops
+
+    rows = [(i, h, k_) for i, (h, k_) in enumerate(G_ALL)]
+    df = spark.createDataFrame(rows, "rid bigint, hour string, key string")
+    got = kms.replay_kmv_grouped(
+        spark, df.select("rid", "hour", "key"), ["hour"], "hour string",
+        "key", k=K, num_batches=3, order_col="rid",
+    )
+    whole = kmv_ops.kmv_build_grouped(
+        _grows(spark, G_ALL), ["hour"], k=K
+    )
+    assert _by_group(got.collect()) == _by_group(whole.collect())
+    est_stream = {
+        r.hour: (r.n_hashes, r.est_distinct)
+        for r in kmv_ops.kmv_estimate_grouped(got, ["hour"], k=K).collect()
+    }
+    est_batch = {
+        r.hour: (r.n_hashes, r.est_distinct)
+        for r in kmv_ops.kmv_estimate_grouped(whole, ["hour"], k=K).collect()
+    }
+    assert est_stream == est_batch
+    # real distinct counts per group, exact where under k
+    truth = {}
+    for h, k_ in G_ALL:
+        truth.setdefault(h, set()).add(k_)
+    for g, (n, est) in est_batch.items():
+        if n < K:
+            assert est == len(truth[g]), g
+
+
+def test_grouped_empty_store_and_guards(spark):
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="sparkgraft_gkmv_") as store:
+        assert (
+            kms.current_kmv_grouped(spark, store, "hour string").collect()
+            == []
+        )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="use kmv_stream"):
+        kms.kmv_stream_grouped(None, "/tmp/x", [], "hour string", k=K)
+    with _pytest.raises(ValueError):
+        kms.kmv_stream_grouped(None, "/tmp/x", ["hour"], "hour string", k=1)
