@@ -16,11 +16,15 @@ SF = "/root/testdata/sf0.001"
 
 def test_every_gate_has_a_registered_production_form():
     assert sorted(PRODUCTION_FORMS) == [
+        "cm_point_frequency",
         "hll_shard_union",
         "hourly_agg_approx",
         "ivf_cosine_topk",
+        "kmv_distinct_setops",
         "pq_adc_topk",
         "profile_table_approx",
+        "stream_cm_point_frequency",
+        "stream_kmv_distinct",
     ]
     for name in PRODUCTION_FORMS:
         assert name in CATALOG, name
@@ -134,3 +138,28 @@ def test_hll_production_estimate_bound(spark):
         .n
     )
     assert abs(est - exact) <= 0.05 * exact
+
+
+def test_cm_production_estimates_equal_gate_lanes(spark):
+    """The sketch math is deterministic, so the production (key, est)
+    must equal the gate's estimate lane value-for-value — both batch
+    and streaming forms."""
+    for name in ("cm_point_frequency", "stream_cm_point_frequency"):
+        prod = {
+            r.key: r.est for r in PRODUCTION_FORMS[name](spark, SF).collect()
+        }
+        gate = {
+            r.key: r.est for r in CATALOG[name][0](spark, SF).collect()
+        }
+        assert prod == gate, name
+
+
+def test_kmv_production_estimates_equal_gate_lanes(spark):
+    prod = PRODUCTION_FORMS["kmv_distinct_setops"](spark, SF).collect()[0]
+    gate = CATALOG["kmv_distinct_setops"][0](spark, SF).collect()[0]
+    for c in ("est_a", "est_b", "est_union", "est_intersect"):
+        assert getattr(prod, c) == getattr(gate, c), c
+    sprod = PRODUCTION_FORMS["stream_kmv_distinct"](spark, SF).collect()[0]
+    sgate = CATALOG["stream_kmv_distinct"][0](spark, SF).collect()[0]
+    for c in ("n_hashes", "kth_hash", "est_distinct"):
+        assert getattr(sprod, c) == getattr(sgate, c), c
