@@ -140,3 +140,121 @@ def test_store_prunes_superseded_snapshots(spark):
         assert sorted(
             map(tuple, cms.current_sketch(spark, store).collect())
         ) == sorted(map(tuple, whole.collect()))
+
+
+# --- grouped streaming CM: per-group cells on the stream -------------------
+
+G_BATCHES = [
+    [("h1", k) for k in list("aaabbc")] + [("h2", "z")],
+    [("h1", k) for k in list("bcdd")],
+    [("h2", k) for k in list("zzy")] + [("h1", "a")],
+]
+G_ALL = [r for b in G_BATCHES for r in b]
+
+
+def _grows(spark, rows):
+    return spark.createDataFrame(rows, "hour string, key string")
+
+
+def _cells_by_group(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.hour, {})[(r.row, r.bucket)] = r.cnt
+    return out
+
+
+def test_grouped_batch_fold_equals_single_grouped_build(spark):
+    state = None
+    for rows in G_BATCHES:
+        out = cms.cm_grouped_batch_step(
+            _grows(spark, rows), state, ["hour"], width=W, depth=D
+        )
+        state = spark.createDataFrame(
+            out.collect(), "hour string, row int, bucket int, cnt long"
+        )
+    whole = cm.cm_build_grouped(_grows(spark, G_ALL), ["hour"], width=W, depth=D)
+    assert _cells_by_group(state.collect()) == _cells_by_group(whole.collect())
+
+
+def test_grouped_process_batch_retry_and_missing_group(spark):
+    """Retry reads only prior state and overwrites; a batch missing a
+    group carries that group's cells forward verbatim (cell counts are
+    monotone per group — the no-sentinel argument)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="sparkgraft_gcm_") as store:
+        cms._process_batch_grouped(
+            _grows(spark, G_BATCHES[0]), 0, store, ["hour"],
+            "hour string", "key", W, D,
+        )
+        # batch 1 has NO h2 rows: h2 cells must survive unchanged
+        cms._process_batch_grouped(
+            _grows(spark, G_BATCHES[1]), 1, store, ["hour"],
+            "hour string", "key", W, D,
+        )
+        first = _cells_by_group(
+            cms.current_sketch_grouped(spark, store, "hour string").collect()
+        )
+        want01 = _cells_by_group(
+            cm.cm_build_grouped(
+                _grows(spark, G_BATCHES[0] + G_BATCHES[1]), ["hour"],
+                width=W, depth=D,
+            ).collect()
+        )
+        assert first == want01
+        cms._process_batch_grouped(  # retry of batch 1
+            _grows(spark, G_BATCHES[1]), 1, store, ["hour"],
+            "hour string", "key", W, D,
+        )
+        assert (
+            _cells_by_group(
+                cms.current_sketch_grouped(
+                    spark, store, "hour string"
+                ).collect()
+            )
+            == first
+        )
+
+
+def test_grouped_replay_equals_batch_build_and_estimates(spark):
+    """Real 3-batch replay == the batch grouped build; per-(group, key)
+    estimates from the streamed cells match cm_estimate_grouped of that
+    build and stay one-sided vs true per-group counts."""
+    rows = [(i, h, k_) for i, (h, k_) in enumerate(G_ALL)]
+    df = spark.createDataFrame(rows, "rid bigint, hour string, key string")
+    got = cms.replay_cm_grouped(
+        spark, df.select("rid", "hour", "key"), ["hour"], "hour string",
+        "key", width=W, depth=D, num_batches=3, order_col="rid",
+    )
+    whole = cm.cm_build_grouped(_grows(spark, G_ALL), ["hour"], width=W, depth=D)
+    assert _cells_by_group(got.collect()) == _cells_by_group(whole.collect())
+    probes = spark.createDataFrame(
+        [(k,) for k in ["a", "b", "z", "absent"]], "key string"
+    )
+    est = {
+        (r.hour, r.key): r.est
+        for r in cm.cm_estimate_grouped(
+            got, probes, ["hour"], width=W, depth=D
+        ).collect()
+    }
+    truth = {}
+    for h, k_ in G_ALL:
+        truth[(h, k_)] = truth.get((h, k_), 0) + 1
+    for (h, k_), e in est.items():
+        assert e >= truth.get((h, k_), 0), (h, k_)
+
+
+def test_grouped_empty_store_and_guards(spark):
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="sparkgraft_gcm_") as store:
+        assert (
+            cms.current_sketch_grouped(
+                spark, store, "hour string"
+            ).collect()
+            == []
+        )
+    with pytest.raises(ValueError, match="use cm_stream"):
+        cms.cm_stream_grouped(None, "/tmp/x", [], "hour string")
+    with pytest.raises(ValueError):
+        cms.cm_stream_grouped(None, "/tmp/x", ["hour"], "hour string", width=0)
