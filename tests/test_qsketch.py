@@ -1,0 +1,322 @@
+"""Mergeable quantile sketch (operators/qsketch.py): pure-Python replica
+differentials, the exact-under-k regime, mergeability (= build of the
+concatenation), grouped build/roll-up, the integer rank/CDF surface, the
+TakeOrdered plan shape, and the DuckDB twin rehearsal for the queued r14
+catalog gate (`quantile_sketch_report`) — validated here so registration
+is a freeze-compliant pre-rehearsed move."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_elb_logs_etl_spark.operators import qsketch
+
+K = 8  # small k so the saturated regime is cheap to exercise
+
+
+def _h_py(s) -> int:
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+
+def _sketch_py(rows, k=K):
+    """(h, v) bottom-k by (h, v) — the module's total order."""
+    pairs = sorted(
+        (_h_py(i), v) for i, v in rows if i is not None and v is not None
+    )
+    return pairs[:k]
+
+
+def _quant_py(vals, p_micro):
+    vs = sorted(vals)
+    n = len(vs)
+    r = max(1, -(-(p_micro * n) // qsketch.MICRO))  # ceil div
+    return vs[r - 1]
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, v double")
+
+
+ROWS_A = [(i, float((i * 37) % 100)) for i in range(40)] + [
+    (100, None),
+    (None, 5.0),
+]
+ROWS_B = [(1000 + i, float(i) / 3.0) for i in range(50)]
+ROWS_SMALL = [(1, 3.0), (2, 1.0), (3, 2.0), (4, None), (None, 9.0)]
+
+
+def test_build_matches_python_bottom_k(spark):
+    got = [(r.h, r.v) for r in qsketch.q_build(_rows(spark, ROWS_A), k=K).collect()]
+    assert sorted(got) == _sketch_py(ROWS_A)
+    # NULL ids and NULL values are excluded from the sampled population
+    small = [
+        (r.h, r.v)
+        for r in qsketch.q_build(_rows(spark, ROWS_SMALL), k=K).collect()
+    ]
+    assert sorted(small) == _sketch_py(ROWS_SMALL)
+    with pytest.raises(ValueError):
+        qsketch.q_build(_rows(spark, ROWS_SMALL), k=1)
+
+
+def test_unsaturated_quantiles_are_exact(spark):
+    """Population smaller than k: the sample IS the population, so every
+    estimated quantile equals the exact discrete quantile."""
+    sk = qsketch.q_build(_rows(spark, ROWS_SMALL), k=K)
+    got = {
+        r.p_micro: (r.n_sample, r.est_value)
+        for r in qsketch.q_quantiles(sk, [0.0, 0.25, 0.5, 1.0], k=K).collect()
+    }
+    vals = [3.0, 1.0, 2.0]
+    for pm, (n, est) in got.items():
+        assert n == len(vals)
+        assert est == _quant_py(vals, pm)
+    # p=0 clamps to rank 1 (the minimum)
+    assert got[0] == (3, 1.0)
+    with pytest.raises(ValueError):
+        qsketch.q_quantiles(sk, [])
+    with pytest.raises(ValueError):
+        qsketch.q_quantiles(sk, [1.5])
+
+
+def test_merge_equals_build_of_concatenation_and_is_idempotent(spark):
+    merged = qsketch.q_merge(
+        qsketch.q_build(_rows(spark, ROWS_A), k=K),
+        qsketch.q_build(_rows(spark, ROWS_B), k=K),
+        k=K,
+    )
+    whole = qsketch.q_build(_rows(spark, ROWS_A + ROWS_B), k=K)
+    assert sorted((r.h, r.v) for r in merged.collect()) == sorted(
+        (r.h, r.v) for r in whole.collect()
+    )
+    # distinct makes self-merge a no-op (overlapping stores)
+    a = qsketch.q_build(_rows(spark, ROWS_A), k=K)
+    again = qsketch.q_merge(a, a, k=K)
+    assert sorted((r.h, r.v) for r in again.collect()) == _sketch_py(ROWS_A)
+    with pytest.raises(ValueError):
+        qsketch.q_merge(k=K)
+
+
+def test_grouped_build_quantiles_and_rollup(spark):
+    """Per-group sketches match the per-group replica; grouped quantile
+    estimates use the same rank formula; q_merge_grouped rolls fine
+    groups into coarse ones; [] group roll-up equals the global build."""
+    rows = [
+        (g, i, float((i * 13 + ord(g)) % 50))
+        for g in ("x", "y", "z")
+        for i in range(g != "z" and 30 or 3)
+    ]
+    df = spark.createDataFrame(
+        [(g, f"{g}:{i}", v) for g, i, v in rows], "g string, id string, v double"
+    )
+    sk = qsketch.q_build_grouped(df, ["g"], "v", "id", k=K)
+    by_g = {}
+    for g, i, v in rows:
+        by_g.setdefault(g, []).append((f"{g}:{i}", v))
+    got = {}
+    for r in sk.collect():
+        got.setdefault(r.g, []).append((r.h, r.v))
+    assert {g: sorted(v) for g, v in got.items()} == {
+        g: _sketch_py(v, k=K) for g, v in by_g.items()
+    }
+    # unsaturated group "z": grouped quantiles are exact for it
+    med = {
+        r.g: r.est_value
+        for r in qsketch.q_quantiles_grouped(sk, ["g"], [0.5], k=K).collect()
+    }
+    assert med["z"] == _quant_py([v for _, v in by_g["z"]], 500_000)
+    # roll-up across all groups == the global sketch (ids globally unique)
+    rolled = qsketch.q_merge_grouped(sk, [], k=K)
+    whole = qsketch.q_build(
+        df.select(F.col("id"), F.col("v")), "v", "id", k=K
+    )
+    assert sorted((r.h, r.v) for r in rolled.collect()) == sorted(
+        (r.h, r.v) for r in whole.collect()
+    )
+    with pytest.raises(ValueError):
+        qsketch.q_build_grouped(df, [], "v", "id", k=K)
+    with pytest.raises(ValueError):
+        qsketch.q_quantiles_grouped(sk, [], [0.5], k=K)
+
+
+def test_cdf_micro_matches_replica(spark):
+    sk = qsketch.q_build(_rows(spark, ROWS_SMALL), k=K)
+    got = {
+        r.x: (r.n_sample, r.rank_micro)
+        for r in qsketch.q_cdf_micro(sk, [0.5, 1.0, 2.5, 99.0]).collect()
+    }
+    vals = [3.0, 1.0, 2.0]
+    for x, (n, rm) in got.items():
+        le = sum(1 for v in vals if v <= x)
+        assert (n, rm) == (len(vals), (le * qsketch.MICRO) // len(vals))
+    with pytest.raises(ValueError):
+        qsketch.q_cdf_micro(sk, [])
+
+
+def test_saturated_median_lands_in_the_rank_band(spark):
+    """Accuracy, not just mechanics: k=256 over a 40k-value population —
+    the estimated median's TRUE rank must sit within the documented 3σ
+    rank band (3*sqrt(0.25/k) ≈ 9.4%)."""
+    n, k = 40_000, 256
+    df = spark.range(n).select(
+        F.col("id").alias("id"),
+        ((F.col("id") * 7919) % n).cast("double").alias("v"),
+    )
+    sk = qsketch.q_build(df, "v", "id", k=k)
+    row = qsketch.q_quantiles(sk, [0.5], k=k).collect()[0]
+    assert row.n_sample == k
+    # v is a permutation of 0..n-1, so true rank of value x is (x+1)/n
+    true_rank = (row.est_value + 1) / n
+    band = 3 * math.sqrt(0.25 / k)
+    assert abs(true_rank - 0.5) <= band, (true_rank, band)
+
+
+def test_build_plan_is_takeordered_no_global_sort(spark):
+    """The build must be TakeOrderedAndProject — a global Sort+Exchange
+    over the corpus would be the exact cost the sketch exists to avoid."""
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    plan = (
+        qsketch.q_build(df, "v", "id", k=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+# ---------------------------------------------------------------------------
+# Queued r14 catalog gate: quantile_sketch_report
+# ---------------------------------------------------------------------------
+
+GATE_K = 256
+GATE_PROBS = [0.25, 0.5, 0.75, 0.9]
+#: 3σ hypergeometric rank band per prob, in micro-units, plus 1-sample
+#: discretization slack — computed driver-side once, injected as the same
+#: integer literal into BOTH engines.
+GATE_BOUNDS = {
+    int(round(p * qsketch.MICRO)): int(
+        round((3 * math.sqrt(p * (1 - p) / GATE_K) + 1.0 / GATE_K) * qsketch.MICRO)
+    )
+    for p in GATE_PROBS
+}
+
+
+def q_quantile_sketch_report(spark, sf_dir):
+    """Queued r14 gate: bottom-k quantile sketch of o_totalprice keyed by
+    o_orderkey, the four estimated quantiles, and the in-record accuracy
+    proof — each estimate's EXACT population rank (one conditional-count
+    pass over orders, integer micro-units) beside its 3σ band.
+
+    Scale: the build is one TakeOrdered(k) pass; the exact-rank lane is
+    one corpus pass with a 4-row broadcast fan-out — the expensive lane
+    exists only to carry the accuracy evidence into the driver record
+    (at 100 TB you run the sketch lane alone).  All-integer surface
+    except est_value, a copied parquet double (bit-exact both engines).
+    """
+    from advanced_elb_logs_etl_spark.plans.catalog import _t
+
+    orders = _t(spark, sf_dir, "orders")
+    pop = orders.filter(
+        F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    ).select(F.col("o_totalprice").alias("v"))
+    sk = qsketch.q_build(orders, "o_totalprice", "o_orderkey", k=GATE_K)
+    est = qsketch.q_quantiles(sk, GATE_PROBS, k=GATE_K)
+    exact = (
+        pop.crossJoin(F.broadcast(est.select("p_micro", "est_value")))
+        .groupBy("p_micro", "est_value")
+        .agg(
+            F.count_if(F.col("v") <= F.col("est_value")).alias("c_le"),
+            F.count(F.lit(1)).alias("n_pop"),
+        )
+        .select(
+            "p_micro",
+            F.floor(
+                F.col("c_le") * F.lit(qsketch.MICRO) / F.col("n_pop")
+            ).alias("exact_rank_micro"),
+        )
+    )
+    bounds = spark.createDataFrame(
+        sorted(GATE_BOUNDS.items()), "p_micro long, bound_micro long"
+    )
+    return (
+        est.join(F.broadcast(exact), "p_micro")
+        .join(F.broadcast(bounds), "p_micro")
+        .select(
+            "p_micro",
+            "n_sample",
+            "est_value",
+            "exact_rank_micro",
+            (
+                F.abs(F.col("exact_rank_micro") - F.col("p_micro"))
+                <= F.col("bound_micro")
+            ).alias("within_bound"),
+        )
+    )
+
+
+_PROBE_VALUES = ", ".join(
+    f"({pm}, {b})" for pm, b in sorted(GATE_BOUNDS.items())
+)
+
+QSKETCH_ORACLE_QUEUED_R14 = f"""
+WITH pop AS (
+  SELECT o_totalprice AS v,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+), sk AS (
+  SELECT h, v FROM pop ORDER BY h, v LIMIT {GATE_K}
+), agg AS (
+  SELECT list_sort(list(v)) AS vs, count(*)::BIGINT AS n_sample FROM sk
+), probes(p_micro, bound_micro) AS (VALUES {_PROBE_VALUES}
+), est AS (
+  SELECT p_micro::BIGINT AS p_micro, n_sample,
+         vs[CAST(greatest(1, (p_micro * n_sample + {qsketch.MICRO - 1})
+                             // {qsketch.MICRO}) AS INT)] AS est_value,
+         bound_micro
+  FROM probes, agg
+), exact AS (
+  SELECT e.p_micro, e.n_sample, e.est_value, e.bound_micro,
+         ({qsketch.MICRO} * (SELECT count(*) FROM pop WHERE v <= e.est_value))
+           // (SELECT count(*) FROM pop) AS exact_rank_micro
+  FROM est e
+)
+SELECT p_micro, n_sample, est_value, exact_rank_micro,
+       abs(exact_rank_micro - p_micro) <= bound_micro AS within_bound
+FROM exact
+"""
+
+
+def test_queued_catalog_gate_matches_duckdb_twin(spark):
+    """Full driver-protocol rehearsal of the queued r14 entry at sf0.01:
+    sorted-column value comparison through the pandas fetch path (the
+    driver-equivalent form, per the r10 postmortem)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    sdf = q_quantile_sketch_report(spark, sf)
+    scols = sorted(sdf.columns)
+    spd = sdf.select(*scols).toPandas()
+    srows = sorted(tuple(str(x) for x in r) for r in spd.itertuples(index=False))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    dpd = con.execute(QSKETCH_ORACLE_QUEUED_R14).df()
+    assert sorted(dpd.columns) == scols
+    drows = sorted(
+        tuple(str(x) for x in r)
+        for r in dpd[scols].itertuples(index=False)
+    )
+    assert srows == drows
+    assert len(srows) == len(GATE_PROBS)
+    # the gate exercises the SATURATED regime and the band actually holds
+    for r in spd.itertuples(index=False):
+        assert r.n_sample == GATE_K
+        assert bool(r.within_bound), (r.p_micro, r.exact_rank_micro)
