@@ -306,3 +306,67 @@ def kmv_intersect_estimate(
         .cast("long")
         .alias("est_intersect"),
     )
+
+
+def kmv_difference_estimate(
+    a: DataFrame, b: DataFrame, k: int = K
+) -> DataFrame:
+    """1-row (n_only, theta, est_difference): theta-style A-NOT-B
+    estimate — completes the sketch set algebra (kmv_union |
+    kmv_intersect_estimate | this).  theta = min over sketches of
+    (kth hash when saturated, else 2^60); below theta each sketch holds
+    ALL of its set's hashes (a saturated sketch's kth hash bounds its
+    contents, an unsaturated one holds everything), so the a-side hashes
+    below theta ABSENT from b are a uniform sample of A \\ B at rate
+    theta/2^60: |A \\ B| ~= |a-only hashes < theta| * 2^60 / theta —
+    floored to BIGINT with the same exactness argument as kmv_estimate
+    (n_only <= k is exact in a double).  When both sketches are
+    unsaturated (theta = 2^60) the estimate IS the exact difference
+    cardinality.  "Users in segment A who never touched segment B",
+    without a corpus-sized anti-join.
+
+    Scale: both inputs are k-row frames — driver-light Column math; the
+    anti-probe is a k-row broadcast join.  Same double-evaluation note
+    as kmv_intersect_estimate: pass MATERIALIZED sketches when the build
+    lineage is corpus-sized (each input is referenced twice: theta agg +
+    the anti join)."""
+    a_th = a.agg(
+        F.count(F.lit(1)).alias("n_a"), F.max("h").alias("kth_a")
+    )
+    b_th = b.agg(
+        F.count(F.lit(1)).alias("n_b"), F.max("h").alias("kth_b")
+    )
+    theta = (
+        a_th.crossJoin(F.broadcast(b_th))
+        .select(
+            F.least(
+                F.when(F.col("n_a") >= F.lit(k), F.col("kth_a")).otherwise(
+                    F.lit(M)
+                ),
+                F.when(F.col("n_b") >= F.lit(k), F.col("kth_b")).otherwise(
+                    F.lit(M)
+                ),
+            ).alias("theta")
+        )
+    )
+    only = (
+        a.select("h")
+        .join(F.broadcast(b.select("h")), "h", "left_anti")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_only"))
+    )
+    return only.crossJoin(F.broadcast(theta)).select(
+        "n_only",
+        "theta",
+        F.when(F.col("theta") >= F.lit(M), F.col("n_only"))
+        .otherwise(
+            F.floor(
+                F.col("n_only").cast("double")
+                * F.lit(float(M))
+                / F.col("theta").cast("double")
+            )
+        )
+        .cast("long")
+        .alias("est_difference"),
+    )

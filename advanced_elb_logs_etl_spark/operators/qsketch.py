@@ -304,3 +304,62 @@ def q_cdf_micro(sketch: DataFrame, points: list) -> DataFrame:
         "n_sample",
         F.floor(le * F.lit(MICRO) / F.col("n_sample")).alias("rank_micro"),
     )
+
+
+def q_range_boundaries(
+    sketch: DataFrame, n_ranges: int, k: int = K
+) -> DataFrame:
+    """(boundary_no, value): the n_ranges-1 split points that divide the
+    sketched population into n_ranges near-equal ranges — boundary i is
+    the estimated (i/n_ranges)-quantile.  This is what Spark's
+    RangePartitioner computes by reservoir-sampling the input per job
+    (core/Partitioner.scala's sketch pass); building it from the
+    quantile sketch makes the boundaries DETERMINISTIC, reusable across
+    jobs (write once, range-partition every downstream sort/layout
+    against the same splits), and mergeable across days without
+    re-sampling the corpus — the range-layout twin of
+    layout.write_bucketed's hash side.
+
+    Balance: each range receives a (i-1/n, i/n] rank slice, so its true
+    mass is 1/n_ranges ± the sketch's rank error (~3*sqrt(1/4k) at 3σ);
+    with k = 1024 that is 1/n ± ~4.7 points — at 100 TB this bounds the
+    largest output file/partition without any global sort.
+
+    Plan: one bounded aggregation over the <= k-row sketch + a literal
+    explode — driver-light.  Rows where consecutive quantiles coincide
+    (heavy ties) keep both boundaries; downstream assignment is still
+    correct, the ranges are just empty."""
+    if n_ranges < 2:
+        raise ValueError(f"n_ranges must be >= 2, got {n_ranges}")
+    probs = [i / n_ranges for i in range(1, n_ranges)]
+    qs = q_quantiles(sketch, probs, k=k)
+    # p_micro of i/n_ranges is round(1e6*i/n) — recover the ordinal
+    return qs.select(
+        F.floor(
+            (F.col("p_micro") * F.lit(n_ranges) + F.lit(MICRO // 2))
+            / F.lit(MICRO)
+        ).alias("boundary_no"),
+        F.col("est_value").alias("value"),
+    )
+
+
+def assign_range_ids(
+    df: DataFrame, value_col: str, boundaries: list
+) -> DataFrame:
+    """Append ``range_id`` (0-based) from a driver-side boundary list
+    (the collected, <= n_ranges-1-row output of q_range_boundaries):
+    range_id = |{b : b <= v}| — rows below every boundary get 0, NULL
+    values get NULL (they carry no rank).
+
+    The boundary list is bounded (splits, not data), so it ships as an
+    array literal inside whole-stage codegen — no join, no shuffle; cost
+    is O(n_ranges) per row, the RangePartitioner contract.  Feed the
+    result to ``df.repartitionByRange`` replacement patterns or a
+    partitioned write (partitionBy("range_id"))."""
+    bs = sorted(boundaries)
+    arr = F.array(*[F.lit(b) for b in bs])
+    rid = F.when(
+        F.col(value_col).isNotNull(),
+        F.size(F.filter(arr, lambda b: b <= F.col(value_col))),
+    )
+    return df.withColumn("range_id", rid.cast("int"))

@@ -102,6 +102,38 @@ def test_intersect_estimate_replica_and_exact_regime(spark):
     assert (row.theta, row.est_intersect) == (kmv.M, 2)
 
 
+def test_difference_estimate_replica_and_exact_regime(spark):
+    """A-NOT-B completes the theta set algebra: replica-exact in the
+    saturated regime, EXACT when both sketches are unsaturated, and the
+    three estimates compose (|A| ~ |A∩B| + |A\\B| under one theta)."""
+    a = kmv.kmv_build(_rows(spark, KEYS_A), k=K)
+    b = kmv.kmv_build(_rows(spark, KEYS_B), k=K)
+    row = kmv.kmv_difference_estimate(a, b, k=K).collect()[0]
+    ra, rb = _kmv_py(KEYS_A), _kmv_py(KEYS_B)
+    theta = min(ra[K - 1] if len(ra) >= K else kmv.M,
+                rb[K - 1] if len(rb) >= K else kmv.M)
+    only = len({h for h in ra if h < theta} - set(rb))
+    assert (row.n_only, row.theta) == (only, theta)
+    want = (
+        only
+        if theta >= kmv.M
+        else int(math.floor(float(only) * float(kmv.M) / float(theta)))
+    )
+    assert row.est_difference == want
+    # under one theta the sample partitions: common + only = |a below theta|
+    common = kmv.kmv_intersect_estimate(a, b, k=K).collect()[0].n_common
+    below = len([h for h in ra if h < theta])
+    assert common + only == below
+    # both unsaturated -> the estimate IS the exact difference count
+    sa = kmv.kmv_build(_rows(spark, ["a", "b", "c"]), k=K)
+    sb = kmv.kmv_build(_rows(spark, ["b", "c", "d"]), k=K)
+    row = kmv.kmv_difference_estimate(sa, sb, k=K).collect()[0]
+    assert (row.theta, row.est_difference) == (kmv.M, 1)
+    # and the empty difference is zero
+    row = kmv.kmv_difference_estimate(sa, sa, k=K).collect()[0]
+    assert row.est_difference == 0
+
+
 def test_prefilter_contract(spark):
     """A prefilter >= the true kth hash yields the identical sketch; a
     too-small one surfaces as a LOUD in-plan failure through

@@ -190,6 +190,49 @@ def test_build_plan_is_takeordered_no_global_sort(spark):
     assert "Sort " not in plan
 
 
+def test_range_boundaries_balance_and_assignment(spark):
+    """The layout lever: boundaries from a k=256 sketch over 40k rows
+    split the population into 8 ranges each within the documented rank
+    band of 1/8; assignment is shuffle-free Column math; the
+    unsaturated regime yields EXACT quantile boundaries."""
+    n, k, n_ranges = 40_000, 256, 8
+    df = spark.range(n).select(
+        F.col("id"), ((F.col("id") * 7919) % n).cast("double").alias("v")
+    )
+    sk = qsketch.q_build(df, "v", "id", k=k)
+    brows = qsketch.q_range_boundaries(sk, n_ranges, k=k).collect()
+    assert sorted(r.boundary_no for r in brows) == list(range(1, n_ranges))
+    bounds = [r.value for r in sorted(brows, key=lambda r: r.boundary_no)]
+    assert bounds == sorted(bounds)
+    assigned = qsketch.assign_range_ids(df, "v", bounds)
+    sizes = {
+        r.range_id: r.cnt
+        for r in assigned.groupBy("range_id").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    assert set(sizes) == set(range(n_ranges))
+    band = 3 * math.sqrt(0.25 / k)  # rank band per boundary
+    for rid, cnt in sizes.items():
+        assert abs(cnt / n - 1 / n_ranges) <= 2 * band, (rid, cnt)
+    # NULL values carry no rank
+    with_null = spark.createDataFrame([(1, None)], "id bigint, v double")
+    assert (
+        qsketch.assign_range_ids(with_null, "v", bounds).collect()[0].range_id
+        is None
+    )
+    # unsaturated: boundaries are exact discrete quantiles
+    small = _rows(spark, [(i, float(i)) for i in range(1, 9)])
+    sk_small = qsketch.q_build(small, k=16)
+    got = {
+        r.boundary_no: r.value
+        for r in qsketch.q_range_boundaries(sk_small, 4, k=16).collect()
+    }
+    assert got == {1: 2.0, 2: 4.0, 3: 6.0}
+    with pytest.raises(ValueError):
+        qsketch.q_range_boundaries(sk_small, 1, k=16)
+
+
 # ---------------------------------------------------------------------------
 # Queued r14 catalog gate: quantile_sketch_report
 # ---------------------------------------------------------------------------
