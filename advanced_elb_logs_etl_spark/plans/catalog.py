@@ -102,6 +102,18 @@ FRONT_OF_CATALOG: list[str] = [
     #     tests/test_neyman.py).  NOTE for registration: its
     #     strata-bounded row_number window needs a GLOBAL_WINDOW_ALLOW
     #     entry (the benford/freq-items class).
+    # r13 stash (built + pytest-pinned + twin-rehearsed in the r11
+    # session), two r13 window slots:
+    #   - cm_join_size (operators/cmsketch.py, tests/test_cmsketch.py).
+    #   - leakage_safe_split_report (operators/dedup.py,
+    #     tests/test_leakage_split.py; needs one CARTESIAN_ALLOW entry).
+    # r14 stash (built + pytest-pinned + twin-rehearsed in the r11
+    # session), two r14 window slots — the quantile-sketch pair:
+    #   - quantile_sketch_report (operators/qsketch.py, gate body +
+    #     oracle in tests/test_qsketch.py; bounded collect_list agg —
+    #     check against the plan-lint collect policy at registration).
+    #   - stream_quantile_sketch (streaming/qstream.py, gate body +
+    #     oracle in tests/test_streaming_qsketch.py).
     # r7-green cycle (CORRECTNESS_r07 record order):
     "cube_pricing",
     "rollup_pricing",
