@@ -308,6 +308,94 @@ def kmv_intersect_estimate(
     )
 
 
+def kmv_pairwise_intersect(
+    sketch: DataFrame,
+    group_col: str,
+    pairs: DataFrame,
+    k: int = K,
+) -> DataFrame:
+    """(g1, g2, n_common, theta, est_intersect): theta-style intersection
+    estimates for MANY group pairs at once from ONE grouped sketch frame
+    (kmv_build_grouped output) — the retention/overlap-matrix lane:
+    "estimated returning users for every consecutive day pair" or
+    "audience overlap for every segment pair" without any corpus-sized
+    self-join.  ``pairs`` carries columns (g1, g2) naming the group
+    pairs to estimate; per pair the math is exactly
+    kmv_intersect_estimate's (theta = min of the two per-group thetas,
+    hashes below theta are uniform samples, est floored to BIGINT with
+    the same exactness argument).
+
+    Scale: per-group stats are one hash agg over <= k-row groups; the
+    common-hash probe joins the <= k-rows-per-group sketch to the pairs
+    frame and then to itself on (group, h) — every intermediate is
+    bounded by |pairs| * k rows, never corpus-sized.  The grouped
+    sketch is referenced three times (two probe sides + stats): pass a
+    MATERIALIZED frame when its build lineage is corpus-sized (the
+    kmv_intersect_estimate lesson).
+
+    Pairs naming a group with no sketch rows are DROPPED, not zeroed: a
+    group with zero keys leaves no rows in kmv_build_grouped, so "empty
+    set" and "no such group" are indistinguishable — inner-join
+    semantics are the only consistent answer (pinned by test)."""
+    stats = sketch.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("h").alias("_kth")
+    )
+    theta_of = F.when(
+        F.col("_n") >= F.lit(k), F.col("_kth")
+    ).otherwise(F.lit(M))
+    s1 = stats.select(
+        F.col(group_col).alias("g1"), theta_of.alias("_theta1")
+    )
+    s2 = stats.select(
+        F.col(group_col).alias("g2"), theta_of.alias("_theta2")
+    )
+    keyed = (
+        pairs.select("g1", "g2")
+        .join(s1, "g1")
+        .join(s2, "g2")
+        .select(
+            "g1",
+            "g2",
+            F.least("_theta1", "_theta2").alias("theta"),
+        )
+    )
+    a = sketch.select(F.col(group_col).alias("g1"), "h")
+    b = sketch.select(F.col(group_col).alias("g2"), "h")
+    common = (
+        keyed.join(a, "g1")
+        .filter(F.col("h") < F.col("theta"))
+        .join(b, ["g2", "h"])
+        .groupBy("g1", "g2", "theta")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # pairs with zero common hashes drop out of the join — restore them
+    out = (
+        keyed.join(common.select("g1", "g2", "n_common"), ["g1", "g2"], "left")
+        .select(
+            "g1",
+            "g2",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            "theta",
+        )
+    )
+    return out.select(
+        "g1",
+        "g2",
+        "n_common",
+        "theta",
+        F.when(F.col("theta") >= F.lit(M), F.col("n_common"))
+        .otherwise(
+            F.floor(
+                F.col("n_common").cast("double")
+                * F.lit(float(M))
+                / F.col("theta").cast("double")
+            )
+        )
+        .cast("long")
+        .alias("est_intersect"),
+    )
+
+
 def kmv_difference_estimate(
     a: DataFrame, b: DataFrame, k: int = K
 ) -> DataFrame:

@@ -134,6 +134,40 @@ def test_difference_estimate_replica_and_exact_regime(spark):
     assert row.est_difference == 0
 
 
+def test_pairwise_intersect_matches_per_pair_estimates(spark):
+    """The overlap-matrix operator: for every requested (g1, g2) pair
+    the grouped form must produce EXACTLY kmv_intersect_estimate's
+    numbers from single-group sketches; zero-overlap pairs emit 0; a
+    pair naming an absent group is dropped (inner-join semantics)."""
+    groups = {
+        "mon": [f"u{i}" for i in range(30)],
+        "tue": [f"u{i}" for i in range(15, 45)],
+        "wed": [f"w{i}" for i in range(20)],  # disjoint from mon
+    }
+    rows = [(g, key) for g, keys in groups.items() for key in keys]
+    df = spark.createDataFrame(rows, "g string, key string")
+    sk = kmv.kmv_build_grouped(df, ["g"], "key", k=K)
+    pairs = spark.createDataFrame(
+        [("mon", "tue"), ("mon", "wed"), ("tue", "ghost")],
+        "g1 string, g2 string",
+    )
+    got = {
+        (r.g1, r.g2): (r.n_common, r.theta, r.est_intersect)
+        for r in kmv.kmv_pairwise_intersect(sk, "g", pairs, k=K).collect()
+    }
+    assert set(got) == {("mon", "tue"), ("mon", "wed")}  # ghost dropped
+    for g1, g2 in got:
+        a = kmv.kmv_build(_rows(spark, groups[g1]), k=K)
+        b = kmv.kmv_build(_rows(spark, groups[g2]), k=K)
+        want = kmv.kmv_intersect_estimate(a, b, k=K).collect()[0]
+        assert got[(g1, g2)] == (
+            want.n_common,
+            want.theta,
+            want.est_intersect,
+        ), (g1, g2)
+    assert got[("mon", "wed")][0] == 0  # disjoint: zero common hashes
+
+
 def test_prefilter_contract(spark):
     """A prefilter >= the true kth hash yields the identical sketch; a
     too-small one surfaces as a LOUD in-plan failure through

@@ -190,6 +190,46 @@ def test_build_plan_is_takeordered_no_global_sort(spark):
     assert "Sort " not in plan
 
 
+def test_randomized_grouped_differential(spark):
+    """60 seeded random populations (varied sizes, duplicate values,
+    per-case NULL ids and values) sketched in ONE Spark job via the
+    grouped path, each compared row-for-row and quantile-for-quantile
+    against the pure Python replica — the grouped-KMV/CM discipline."""
+    import random
+
+    rng = random.Random(0x95E7C4)
+    cases = {}
+    rows = []
+    for c in range(60):
+        n = rng.randint(0, 30)
+        pop = [
+            (f"{c}:{i}", float(rng.randint(-5, 20)) / 2) for i in range(n)
+        ]
+        cases[c] = pop
+        rows.extend((c, rid, v) for rid, v in pop)
+        rows.append((c, None, 1.0))  # NULL id is excluded
+        rows.append((c, f"{c}:nullv", None))  # NULL value is excluded
+    df = spark.createDataFrame(rows, "cid int, id string, v double")
+    sk = qsketch.q_build_grouped(df, ["cid"], "v", "id", k=K)
+    got = {}
+    for r in sk.collect():
+        got.setdefault(r.cid, []).append((r.h, r.v))
+    for c, pop in cases.items():
+        assert sorted(got.get(c, [])) == _sketch_py(pop, k=K), c
+    qs = qsketch.q_quantiles_grouped(sk, ["cid"], [0.25, 0.5, 0.9], k=K)
+    est = {(r.cid, r.p_micro): (r.n_sample, r.est_value) for r in qs.collect()}
+    for c, pop in cases.items():
+        sample = [v for _, v in _sketch_py(pop, k=K)]
+        if not sample:
+            assert not any(cid == c for cid, _ in est)
+            continue
+        for pm in (250_000, 500_000, 900_000):
+            assert est[(c, pm)] == (len(sample), _quant_py(sample, pm)), (
+                c,
+                pm,
+            )
+
+
 def test_range_boundaries_balance_and_assignment(spark):
     """The layout lever: boundaries from a k=256 sketch over 40k rows
     split the population into 8 ranges each within the documented rank
@@ -269,7 +309,12 @@ def q_quantile_sketch_report(spark, sf_dir):
         F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull()
     ).select(F.col("o_totalprice").alias("v"))
     sk = qsketch.q_build(orders, "o_totalprice", "o_orderkey", k=GATE_K)
-    est = qsketch.q_quantiles(sk, GATE_PROBS, k=GATE_K)
+    # est is referenced twice below (exact lane + final join): pin the
+    # 4-row frame so the corpus-sized build lineage runs ONCE (the
+    # kmv_intersect_estimate / cm_check_geometry materialization lesson)
+    est = qsketch.q_quantiles(sk, GATE_PROBS, k=GATE_K).localCheckpoint(
+        eager=True
+    )
     exact = (
         pop.crossJoin(F.broadcast(est.select("p_micro", "est_value")))
         .groupBy("p_micro", "est_value")
