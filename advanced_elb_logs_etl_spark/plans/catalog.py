@@ -114,6 +114,11 @@ FRONT_OF_CATALOG: list[str] = [
     #     check against the plan-lint collect policy at registration).
     #   - stream_quantile_sketch (streaming/qstream.py, gate body +
     #     oracle in tests/test_streaming_qsketch.py).
+    # r15 stash (built + pytest-pinned + twin-rehearsed in the r11
+    # session, vanilla-session green):
+    #   - kmv_retention_matrix (operators/kmv.py kmv_pairwise_intersect,
+    #     gate body + oracle in tests/test_kmv.py — 29 consecutive-day
+    #     returning-user estimates, all sketches saturated).
     # r7-green cycle (CORRECTNESS_r07 record order):
     "cube_pricing",
     "rollup_pricing",
