@@ -74,6 +74,7 @@ def q_build(
     value_col: str = "v",
     id_col: str = "id",
     k: int = K,
+    prefilter: int | None = None,
 ) -> DataFrame:
     """The quantile sketch of a value column: a 2-column frame (h, v)
     holding the k rows with the smallest row-id hashes — a uniform
@@ -83,20 +84,31 @@ def q_build(
     (h, v).  No global sort, no aggregation — the cheapest of the three
     sketch builds (KMV needs a distinct, CM a groupBy).
 
+    ``prefilter``: an upper bound on surviving hashes (e.g. the prior
+    epoch's kth sample hash) — pushes a scan-side filter so the
+    per-partition top-k heaps and the driver-side merge see ~k rows per
+    partition instead of the corpus (the kmv_build theta trick).
+    CONTRACT: the bound must be >= the true kth smallest hash of the new
+    population; a filtered sketch that comes back with FEWER than k rows
+    may have cut real minima — the unsaturated n_sample surfaces in
+    q_quantiles' output, so gate on n_sample == k when the population is
+    known to exceed k (pinned by test).
+
     The (h, v) tie-break makes the kept rows a TOTAL order even under
     an h60 collision between two distinct ids (~2^-60 per pair), so the
     sketch bytes are deterministic and twin-exact."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    return (
+    out = (
         df.filter(F.col(id_col).isNotNull() & F.col(value_col).isNotNull())
         .select(
             q_hash(F.col(id_col)).alias("h"),
             F.col(value_col).alias("v"),
         )
-        .orderBy("h", "v")
-        .limit(k)
     )
+    if prefilter is not None:
+        out = out.filter(F.col("h") < F.lit(int(prefilter)))
+    return out.orderBy("h", "v").limit(k)
 
 
 def q_build_grouped(
@@ -300,6 +312,38 @@ def q_cdf_micro(sketch: DataFrame, points: list) -> DataFrame:
         "long"
     )
     return probe.select(
+        "x",
+        "n_sample",
+        F.floor(le * F.lit(MICRO) / F.col("n_sample")).alias("rank_micro"),
+    )
+
+
+def q_cdf_micro_grouped(
+    sketch: DataFrame, group_cols: list[str], points: list
+) -> DataFrame:
+    """(group_cols..., x, n_sample, rank_micro): the per-group estimated
+    CDF at each probe point — "fraction of latencies over the SLA
+    threshold, per tenant" from the grouped sketch's <= k-row groups.
+    Same exact integer surface as q_cdf_micro."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; use q_cdf_micro")
+    if not points:
+        raise ValueError("points must be non-empty")
+    agg = sketch.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list("v")).alias("vs"),
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+    )
+    probe = agg.select(
+        *group_cols,
+        F.explode(F.array(*[F.lit(x) for x in points])).alias("x"),
+        "n_sample",
+        "vs",
+    )
+    le = F.size(F.filter(F.col("vs"), lambda v: v <= F.col("x"))).cast(
+        "long"
+    )
+    return probe.select(
+        *group_cols,
         "x",
         "n_sample",
         F.floor(le * F.lit(MICRO) / F.col("n_sample")).alias("rank_micro"),

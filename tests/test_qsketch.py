@@ -156,6 +156,26 @@ def test_cdf_micro_matches_replica(spark):
         qsketch.q_cdf_micro(sk, [])
 
 
+def test_grouped_cdf_matches_replica(spark):
+    rows = [("a", i, float(i)) for i in range(1, 5)] + [
+        ("b", 100 + i, float(i * 10)) for i in range(1, 4)
+    ]
+    df = spark.createDataFrame(rows, "g string, id bigint, v double")
+    sk = qsketch.q_build_grouped(df, ["g"], "v", "id", k=K)
+    got = {
+        (r.g, r.x): (r.n_sample, r.rank_micro)
+        for r in qsketch.q_cdf_micro_grouped(sk, ["g"], [2.0, 25.0]).collect()
+    }
+    pops = {"a": [1.0, 2.0, 3.0, 4.0], "b": [10.0, 20.0, 30.0]}
+    for (g, x), (n, rm) in got.items():
+        le = sum(1 for v in pops[g] if v <= x)
+        assert (n, rm) == (len(pops[g]), (le * qsketch.MICRO) // len(pops[g]))
+    with pytest.raises(ValueError):
+        qsketch.q_cdf_micro_grouped(sk, [], [1.0])
+    with pytest.raises(ValueError):
+        qsketch.q_cdf_micro_grouped(sk, ["g"], [])
+
+
 def test_saturated_median_lands_in_the_rank_band(spark):
     """Accuracy, not just mechanics: k=256 over a 40k-value population —
     the estimated median's TRUE rank must sit within the documented 3σ
@@ -188,6 +208,22 @@ def test_build_plan_is_takeordered_no_global_sort(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan
+
+
+def test_prefilter_contract(spark):
+    """A prefilter >= the true kth hash yields the IDENTICAL sketch; a
+    bound that cuts real minima surfaces as an unsaturated n_sample
+    (the loud-failure half of the contract)."""
+    df = _rows(spark, [(i, float(i % 7)) for i in range(200)])
+    full = qsketch.q_build(df, k=K)
+    got = sorted((r.h, r.v) for r in full.collect())
+    kth = got[-1][0]
+    pre = qsketch.q_build(df, k=K, prefilter=kth + 1)
+    assert sorted((r.h, r.v) for r in pre.collect()) == got
+    # a too-tight bound cuts minima -> unsaturated sample is visible
+    cut = qsketch.q_build(df, k=K, prefilter=got[2][0])
+    row = qsketch.q_quantiles(cut, [0.5], k=K).collect()[0]
+    assert row.n_sample < K
 
 
 def test_randomized_grouped_differential(spark):

@@ -234,6 +234,39 @@ def test_grouped_replay_equals_batch_build_and_estimates(spark):
             assert est == len(truth[g]), g
 
 
+def test_streamed_store_feeds_pairwise_retention(spark):
+    """Composition pin: the grouped minima STREAMED through real
+    micro-batches feed kmv_pairwise_intersect unchanged — the streaming
+    retention matrix equals the batch one because the per-group states
+    are identical (slicing invariance), no re-scan of the corpus."""
+    from advanced_elb_logs_etl_spark.operators import kmv as kmv_ops
+
+    rows = [(i, h, k_) for i, (h, k_) in enumerate(G_ALL)]
+    df = spark.createDataFrame(rows, "rid bigint, hour string, key string")
+    streamed = kms.replay_kmv_grouped(
+        spark, df.select("rid", "hour", "key"), ["hour"], "hour string",
+        "key", k=K, num_batches=3, order_col="rid",
+    )
+    batch = kmv_ops.kmv_build_grouped(_grows(spark, G_ALL), ["hour"], k=K)
+    hours = sorted({h for h, _ in G_ALL})
+    pairs = spark.createDataFrame(
+        list(zip(hours, hours[1:])), "g1 string, g2 string"
+    )
+    got = {
+        (r.g1, r.g2): tuple(r)[2:]
+        for r in kmv_ops.kmv_pairwise_intersect(
+            streamed, "hour", pairs, k=K
+        ).collect()
+    }
+    want = {
+        (r.g1, r.g2): tuple(r)[2:]
+        for r in kmv_ops.kmv_pairwise_intersect(
+            batch, "hour", pairs, k=K
+        ).collect()
+    }
+    assert got == want and len(got) == len(hours) - 1
+
+
 def test_grouped_empty_store_and_guards(spark):
     import tempfile
 
