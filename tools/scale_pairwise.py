@@ -74,6 +74,22 @@ def main() -> int:
     errs = [
         abs(est[p] - exact[p]) / exact[p] for p in est if p in exact
     ]
+
+    # the ALL-PAIRS lane (the full 365x365 overlap matrix, 66,430
+    # ordered pairs): sketch cost stays pairs x k-row joins; the exact
+    # lane's cost is sum over keys of days_per_key^2 — structurally
+    # quadratic in co-occurrence, catastrophic when populations overlap
+    # heavily (not run here; the consecutive lane above already prices
+    # one exact ask)
+    all_pairs = (
+        spark.range(days)
+        .select(F.col("id").alias("g1"))
+        .crossJoin(spark.range(days).select(F.col("id").alias("g2")))
+        .filter(F.col("g1") < F.col("g2"))
+    )
+    t0 = time.perf_counter()
+    n_all = kmv.kmv_pairwise_intersect(sk, "day_no", all_pairs, k=k).count()
+    wall_all_pairs = round(time.perf_counter() - t0, 3)
     print(
         json.dumps(
             {
@@ -89,6 +105,8 @@ def main() -> int:
                 "true_overlap_per_pair": per_day - roll,
                 "mean_rel_err_pct": round(100.0 * sum(errs) / len(errs), 2),
                 "max_rel_err_pct": round(100.0 * max(errs), 2),
+                "all_pairs_n": n_all,
+                "wall_all_pairs_estimates_s": wall_all_pairs,
             }
         ),
         flush=True,
