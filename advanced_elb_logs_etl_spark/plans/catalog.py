@@ -119,6 +119,9 @@ FRONT_OF_CATALOG: list[str] = [
     #   - kmv_retention_matrix (operators/kmv.py kmv_pairwise_intersect,
     #     gate body + oracle in tests/test_kmv.py — 29 consecutive-day
     #     returning-user estimates, all sketches saturated).
+    #   - cidr_lpm_enrichment (operators/ipnet.py longest_prefix_match,
+    #     gate body + oracle in tests/test_ipnet.py — zero-corpus-
+    #     shuffle broadcast-chain LPM over a nested literal feed).
     # r7-green cycle (CORRECTNESS_r07 record order):
     "cube_pricing",
     "rollup_pricing",
