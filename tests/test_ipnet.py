@@ -276,6 +276,42 @@ def test_queued_lpm_gate_matches_duckdb_twin(spark):
     assert len([x for x in lens if x == x]) >= 3  # NaN-safe distinct count
 
 
+def test_lpm_composes_with_the_alb_parse_pipeline(spark):
+    """Domain integration: parse real ALB fixture lines, then enrich the
+    parser's client_ip by longest prefix — the IPv6 quirk and malformed
+    lines flow through as NULL matches, valid IPv4s match their
+    blocks."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from elb_fixtures import corpus
+
+    from advanced_elb_logs_etl_spark.operators.parse import parse_alb_lines
+
+    lines = corpus()
+    parsed = parse_alb_lines(
+        spark.createDataFrame([(l,) for l in lines], "value string")
+    )
+    feed = ipnet.parse_cidr(
+        spark.createDataFrame(
+            [("1.1.1.0/24", "one-net"), ("3.0.0.0/8", "bot-asn")],
+            "cidr string, org string",
+        )
+    )
+    out = ipnet.longest_prefix_match(parsed, feed, "client_ip", ["org"])
+    got = {
+        (r.client_ip, r.org, r.matched_prefix_len)
+        for r in out.select("client_ip", "org", "matched_prefix_len")
+        .distinct()
+        .collect()
+    }
+    assert ("1.1.1.1", "one-net", 24) in got
+    assert ("3.3.3.3", "bot-asn", 8) in got
+    assert ("2.2.2.2", None, None) in got  # no covering block
+    # row count preserved through the chain
+    assert out.count() == parsed.count()
+
+
 def test_keep_ip_long_passthrough(spark):
     logs = spark.createDataFrame([("10.1.2.3",)], "client_ip string")
     out = ipnet.longest_prefix_match(
