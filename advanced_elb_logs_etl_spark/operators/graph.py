@@ -595,3 +595,66 @@ def butterfly_stats(edges: DataFrame, through: str = "auto") -> DataFrame:
             "n_butterflies",
         )
     )
+
+
+def lpa_communities(
+    edges: DataFrame,
+    rounds: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007, "Near linear time algorithm to detect
+    community structures in large-scale networks"), made DETERMINISTIC:
+    every node starts labeled with its own id and each round adopts the
+    label that is most frequent among its neighbors, ties broken by the
+    SMALLEST label; isolated or converged nodes keep theirs.  The
+    deterministic tie-break (the common LPA-min variant) removes the
+    paper's random sequencing, so the result is a pure function of the
+    edge set — replayable, twinnable (a fixed-round unrolled SQL CTE),
+    and stable across retries, at the usual cost that deterministic LPA
+    can oscillate on bipartite-ish structures; ``rounds`` bounds the
+    fold either way.
+
+    Communities complement the repo's components (dedup/cc.py): CC
+    answers "transitively linked at all" (dup clusters), LPA answers
+    "densely linked together" (domains/topics in a doc-link or
+    co-purchase graph) — a bridge edge joins two cliques into ONE
+    component but LPA keeps TWO communities (pinned by test).
+
+    Input: canonical undirected edges (u, v).  Output: (node, label)
+    for every node with at least one edge.
+
+    Scale shape (100 TB): per round one hash agg on (node, label) over
+    the mirrored edge-message join and one max_by agg per node — two
+    shuffles keyed on node ids, same budget as a pagerank round; the
+    label frame localCheckpoints per round (flat lineage, the pagerank
+    discipline).  Label state is one row per node."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    und = _mirror(edges).localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        # SHUFFLE_HASH, not broadcast: the label frame is small, but a
+        # per-round driver-built broadcast alongside the resident edge
+        # checkpoint blocks trips the 1g-default driver's free-memory
+        # guard (seen at sf0.1 on a vanilla session); the shuffle-hash
+        # probe costs one node-keyed exchange of und per round — the
+        # pagerank budget — with no driver-side table build.
+        msgs = und.join(
+            labels.withColumnRenamed("node", "v").hint("shuffle_hash"),
+            "v",
+        ).select(F.col("u").alias("node"), "label")
+        counts = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        new = counts.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+            ).alias("label")
+        )
+        labels = new.localCheckpoint(eager=True)
+    return labels

@@ -122,6 +122,12 @@ FRONT_OF_CATALOG: list[str] = [
     #   - cidr_lpm_enrichment (operators/ipnet.py longest_prefix_match,
     #     gate body + oracle in tests/test_ipnet.py — zero-corpus-
     #     shuffle broadcast-chain LPM over a nested literal feed).
+    # r16 stash (built + pytest-pinned + twin-rehearsed in the r11
+    # session, vanilla-session green at sf0.01 AND sf0.1):
+    #   - lpa_copurchase_communities (operators/graph.py
+    #     lpa_communities, gate body + unrolled 3-round oracle in
+    #     tests/test_lpa.py — deterministic label propagation, the
+    #     communities-not-components lane).
     # r7-green cycle (CORRECTNESS_r07 record order):
     "cube_pricing",
     "rollup_pricing",

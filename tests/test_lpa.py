@@ -1,0 +1,185 @@
+"""Label-propagation communities (operators/graph.py lpa_communities):
+pure-Python synchronous replica differentials (including a seeded
+random-graph sweep), the communities-vs-components distinction on a
+bridged-cliques graph, and guards."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+
+from advanced_elb_logs_etl_spark.operators import graph
+
+
+def _lpa_py(edge_list, rounds):
+    """The same deterministic synchronous rule: most frequent neighbor
+    label, ties to the smallest label."""
+    nbrs = {}
+    for u, v in edge_list:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    labels = {n: n for n in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for n, ns in nbrs.items():
+            c = Counter(labels[m] for m in ns)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    return labels
+
+
+def _edges(spark, edge_list):
+    return spark.createDataFrame(edge_list, "u bigint, v bigint")
+
+
+def _clique(base, n):
+    return [(base + i, base + j) for i in range(n) for j in range(i + 1, n)]
+
+
+def test_bridged_cliques_two_communities_one_component(spark):
+    """The capability CC cannot provide: a bridge edge makes ONE
+    component, but LPA keeps the two cliques as distinct communities."""
+    edge_list = _clique(0, 5) + _clique(10, 5) + [(4, 10)]
+    got = {
+        r.node: r.label
+        for r in graph.lpa_communities(_edges(spark, edge_list), rounds=5).collect()
+    }
+    assert got == _lpa_py(edge_list, 5)
+    comms = {}
+    for n, l in got.items():
+        comms.setdefault(l, set()).add(n)
+    assert set(map(frozenset, comms.values())) == {
+        frozenset(range(0, 5)),
+        frozenset(range(10, 15)),
+    }
+    # while min-label CC merges everything into one component
+    from advanced_elb_logs_etl_spark.operators.cc import (
+        alternating_components,
+    )
+
+    pairs = spark.createDataFrame(edge_list, "id_a bigint, id_b bigint")
+    cc = alternating_components(pairs, "id_a", "id_b")
+    assert {r.component for r in cc.collect()} == {0}
+
+
+def test_randomized_differential_vs_python_replica(spark):
+    """12 seeded random graphs (varied density, multiple rounds) — the
+    Spark fold matches the synchronous replica node-for-node, including
+    graphs where deterministic LPA oscillates (same rule, same rounds,
+    same answer)."""
+    rng = random.Random(0x1A9A)
+    for case in range(12):
+        n = rng.randint(4, 24)
+        m = rng.randint(n - 1, min(3 * n, n * (n - 1) // 2))
+        seen = set()
+        while len(seen) < m:
+            u, v = rng.randrange(n), rng.randrange(n)
+            if u != v:
+                seen.add((min(u, v), max(u, v)))
+        edge_list = sorted(seen)
+        rounds = rng.randint(1, 6)
+        got = {
+            r.node: r.label
+            for r in graph.lpa_communities(
+                _edges(spark, edge_list), rounds=rounds
+            ).collect()
+        }
+        assert got == _lpa_py(edge_list, rounds), (case, rounds)
+
+
+def test_rounds_guard(spark):
+    with pytest.raises(ValueError):
+        graph.lpa_communities(_edges(spark, [(1, 2)]), rounds=0)
+
+
+# --- queued r16 gate: lpa_copurchase_communities (pre-rehearsed, the
+# freeze discipline — body + oracle live here until registration) -----
+
+GATE_ROUNDS = 3
+
+
+def q_lpa_copurchase_communities(spark, sf_dir):
+    """Queued r16 gate: community-size distribution of the co-purchase
+    part graph after 3 deterministic LPA rounds — the domains/topics
+    lane components cannot see (a bridge edge merges components but not
+    communities).  Fixed round count keeps the fold SQL-unrollable, so
+    the twin is exact (no convergence nondeterminism).
+
+    Scale: per round two node-keyed shuffles over the mirrored edges
+    (the pagerank budget); the report is one hash agg on the final
+    one-row-per-node label frame."""
+    from advanced_elb_logs_etl_spark.plans.catalog import _t
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = graph.co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    labels = graph.lpa_communities(edges, rounds=GATE_ROUNDS)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("label")
+    )
+
+
+_LPA_ROUND_SQL = """
+lab{r} AS (
+  SELECT node, label FROM (
+    SELECT e.u AS node, l.label, count(*) AS cnt,
+           row_number() OVER (
+             PARTITION BY e.u ORDER BY count(*) DESC, l.label ASC
+           ) AS rn
+    FROM und e JOIN lab{p} l ON l.node = e.v
+    GROUP BY e.u, l.label
+  ) WHERE rn = 1
+)"""
+
+LPA_ORACLE_QUEUED_R16 = (
+    "WITH pairs AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i"
+    " FROM lineitem),\n"
+    "ok AS (SELECT g FROM pairs GROUP BY g HAVING count(*) <= 64),\n"
+    "ed AS (\n"
+    "  SELECT DISTINCT a.i AS u, b.i AS v\n"
+    "  FROM pairs a JOIN pairs b ON a.g = b.g AND a.i < b.i\n"
+    "  WHERE a.g IN (SELECT g FROM ok)\n"
+    "),\n"
+    "und AS (SELECT u, v FROM ed UNION ALL SELECT v, u AS v FROM ed),\n"
+    "lab0 AS (SELECT DISTINCT u AS node, u AS label FROM und),"
+    + ",".join(
+        _LPA_ROUND_SQL.format(r=i + 1, p=i) for i in range(GATE_ROUNDS)
+    )
+    + f"""
+SELECT label, count(*)::BIGINT AS n_nodes
+FROM lab{GATE_ROUNDS} GROUP BY label
+"""
+)
+
+
+def test_queued_lpa_gate_matches_duckdb_twin(spark):
+    """Full driver-protocol rehearsal of the queued r16 entry at sf0.01
+    through the pandas fetch path (3 unrolled LPA rounds over the
+    co-purchase edge twin)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    sdf = q_lpa_copurchase_communities(spark, sf)
+    scols = sorted(sdf.columns)
+    spd = sdf.select(*scols).toPandas()
+    srows = sorted(
+        tuple(str(x) for x in r) for r in spd.itertuples(index=False)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')"
+    )
+    dpd = con.execute(LPA_ORACLE_QUEUED_R16).df()
+    assert sorted(dpd.columns) == scols
+    drows = sorted(
+        tuple(str(x) for x in r) for r in dpd[scols].itertuples(index=False)
+    )
+    assert srows == drows
+    # the gate carries structure: more than one community, none global
+    sizes = [r.n_nodes for r in spd.itertuples(index=False)]
+    assert len(sizes) > 1 and max(sizes) < sum(sizes)
