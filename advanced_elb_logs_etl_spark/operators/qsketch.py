@@ -235,6 +235,11 @@ def q_quantiles(
     agg = sketch.agg(
         F.array_sort(F.collect_list("v")).alias("vs"),
         F.count(F.lit(1)).cast("long").alias("n_sample"),
+    ).filter(
+        # empty sketch -> empty result, NOT a row of NULLs: under the
+        # vanilla session's ANSI mode element_at([], 1) throws, and an
+        # all-NULL quantile row is a trap either way
+        F.col("n_sample") > 0
     )
     probe = agg.select(
         F.explode(
@@ -302,6 +307,9 @@ def q_cdf_micro(sketch: DataFrame, points: list) -> DataFrame:
     agg = sketch.agg(
         F.array_sort(F.collect_list("v")).alias("vs"),
         F.count(F.lit(1)).cast("long").alias("n_sample"),
+    ).filter(
+        # empty sketch -> empty result (ANSI-safe: no 0/0 rank division)
+        F.col("n_sample") > 0
     )
     probe = agg.select(
         F.explode(F.array(*[F.lit(x) for x in points])).alias("x"),

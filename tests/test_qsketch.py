@@ -210,6 +210,20 @@ def test_build_plan_is_takeordered_no_global_sort(spark):
     assert "Sort " not in plan
 
 
+def test_empty_sketch_yields_empty_results_even_under_ansi(spark):
+    """The ANSI-mode trap: element_at([], 1) and a 0/0 rank division
+    both THROW on a vanilla (ANSI-on) session — an empty sketch must
+    short-circuit to zero rows instead, on quantiles and CDF alike."""
+    empty = spark.createDataFrame([], "h long, v double")
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        assert qsketch.q_quantiles(empty, [0.5], k=K).collect() == []
+        assert qsketch.q_cdf_micro(empty, [1.0]).collect() == []
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+
+
 def test_prefilter_contract(spark):
     """A prefilter >= the true kth hash yields the IDENTICAL sketch; a
     bound that cuts real minima surfaces as an unsaturated n_sample
