@@ -408,6 +408,11 @@ def assign_range_ids(
     is O(n_ranges) per row, the RangePartitioner contract.  Feed the
     result to ``df.repartitionByRange`` replacement patterns or a
     partitioned write (partitionBy("range_id"))."""
+    if not boundaries:
+        # an empty list would build an untyped array literal (analysis
+        # error downstream) — and "no boundaries" is a caller bug, not
+        # a one-range request
+        raise ValueError("boundaries must be non-empty")
     bs = sorted(boundaries)
     arr = F.array(*[F.lit(b) for b in bs])
     rid = F.when(

@@ -321,6 +321,8 @@ def test_range_boundaries_balance_and_assignment(spark):
     assert got == {1: 2.0, 2: 4.0, 3: 6.0}
     with pytest.raises(ValueError):
         qsketch.q_range_boundaries(sk_small, 1, k=16)
+    with pytest.raises(ValueError):
+        qsketch.assign_range_ids(small, "v", [])
 
 
 # ---------------------------------------------------------------------------
