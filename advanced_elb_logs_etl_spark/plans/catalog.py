@@ -128,6 +128,10 @@ FRONT_OF_CATALOG: list[str] = [
     #     lpa_communities, gate body + unrolled 3-round oracle in
     #     tests/test_lpa.py — deterministic label propagation, the
     #     communities-not-components lane).
+    #   - stream_kmv_retention_matrix (streaming/kmvstream.py grouped
+    #     store -> kmv_pairwise_intersect, gate body in
+    #     tests/test_kmv.py; twin = the batch retention oracle, by
+    #     slicing invariance).
     # r7-green cycle (CORRECTNESS_r07 record order):
     "cube_pricing",
     "rollup_pricing",

@@ -316,6 +316,79 @@ FROM common
 """
 
 
+def q_stream_kmv_retention_matrix(spark, sf_dir):
+    """Queued r16 gate: the SAME retention matrix computed from the
+    STREAMED per-day minima — events replayed through THREE real
+    micro-batches into the grouped cumulative store, then
+    kmv_pairwise_intersect over the final state.  The per-group k-minima
+    fold is slicing-invariant, so the batch retention twin
+    (KMV_RETENTION_ORACLE_QUEUED_R15) covers every replay geometry —
+    the stream_kmv_distinct discipline, now for the overlap-matrix
+    composition (equality pinned independently in
+    tests/test_streaming_kmv.py).
+
+    Scale: per batch one grouped distinct agg + per-day top-k window
+    over THAT BATCH's rows; history is never re-scanned, state is k
+    rows per day; the matrix is k-row joins afterwards."""
+    from advanced_elb_logs_etl_spark.plans.catalog import _t, _us
+    from advanced_elb_logs_etl_spark.streaming import kmvstream as kms
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    keyed = ev.select(
+        F.col("event_id").alias("order_key"),
+        (_us(F.col("ts")) / F.lit(_DAY_US)).cast("long").alias("day_no"),
+        F.col("user_id").cast("string").alias("key"),
+    )
+    sk = kms.replay_kmv_grouped(
+        spark, keyed, ["day_no"], "day_no long", "key", k=RET_K,
+        num_batches=3, order_col="order_key",
+    ).localCheckpoint(eager=True)
+    days = sk.select("day_no").distinct()
+    pairs = (
+        days.select(
+            F.col("day_no").alias("g1"),
+            (F.col("day_no") + F.lit(1)).alias("g2"),
+        )
+        .join(days.select(F.col("day_no").alias("g2")), "g2")
+        .select("g1", "g2")
+    )
+    out = kmv.kmv_pairwise_intersect(sk, "day_no", pairs, k=RET_K)
+    return out.select(
+        F.col("g1").alias("day1"),
+        F.col("g2").alias("day2"),
+        "n_common",
+        "theta",
+        F.col("est_intersect").alias("est_returning"),
+    ).orderBy("day1")
+
+
+def test_queued_stream_retention_gate_matches_duckdb_twin(spark):
+    """Full driver-protocol rehearsal of the queued r16 entry at sf0.01
+    through the pandas fetch path: the streamed store must reproduce
+    the batch twin's 29 pairs exactly (slicing invariance end-to-end,
+    real micro-batch engine)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    sdf = q_stream_kmv_retention_matrix(spark, sf)
+    scols = sorted(sdf.columns)
+    spd = sdf.select(*scols).toPandas()
+    srows = sorted(
+        tuple(str(x) for x in r) for r in spd.itertuples(index=False)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    dpd = con.execute(KMV_RETENTION_ORACLE_QUEUED_R15).df()
+    drows = sorted(
+        tuple(str(x) for x in r) for r in dpd[scols].itertuples(index=False)
+    )
+    assert sorted(dpd.columns) == scols
+    assert srows == drows
+    assert len(srows) == 29
+
+
 def test_queued_retention_gate_matches_duckdb_twin(spark):
     """Full driver-protocol rehearsal of the queued r15 entry at sf0.01
     through the pandas fetch path (driver-equivalent, r10 postmortem):
