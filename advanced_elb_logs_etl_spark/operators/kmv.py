@@ -308,6 +308,72 @@ def kmv_intersect_estimate(
     )
 
 
+def kmv_sliding_estimate(
+    sketch: DataFrame,
+    group_col: str,
+    window: int,
+    k: int = K,
+) -> DataFrame:
+    """(group, n_hashes, kth_hash, est_distinct): the distinct estimate
+    over a TRAILING window of ``window`` consecutive integer groups —
+    "unique users in the trailing 24 hours, per hour" from per-hour
+    sketches, the sliding-window form of the reference's per-hour
+    COUNT(DISTINCT client_ip) (reference :345-363) that no exact
+    per-hour count can provide without re-scanning 24x the data per
+    row.  Each output group g covers source groups (g-window+1 .. g);
+    a window's union sketch is the k smallest distinct hashes of its
+    member sketches (mergeable summaries), estimated with the same
+    floored-integer formula as kmv_estimate.
+
+    ``group_col`` must be integer-typed consecutive buckets (epoch
+    hours/days — the tumbling_window_agg bucket discipline).  Windows
+    are emitted for every group present in the sketch; missing interior
+    buckets contribute nothing (their traffic was empty).
+
+    Scale shape: the expansion is sketch-rows x window (<= groups * k *
+    window rows — sketch-bounded, never corpus-bounded), then one
+    distinct agg and one per-group top-k window.  The corpus was
+    touched once, by the grouped build; a day of re-windowing is k-row
+    arithmetic.  SQL twin: the same explode of each sketch row to its
+    ``window`` covering buckets, then the grouped-KMV estimator."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    targets = sketch.select(
+        F.explode(
+            F.sequence(
+                F.col(group_col).cast("long"),
+                F.col(group_col).cast("long") + F.lit(int(window) - 1),
+            )
+        ).alias("_tg"),
+        "h",
+    )
+    present = sketch.select(
+        F.col(group_col).cast("long").alias("_tg")
+    ).distinct()
+    windows = (
+        targets.join(present, "_tg")
+        .distinct()
+    )
+    w = Window.partitionBy("_tg").orderBy("h")
+    topk = (
+        windows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(int(k)))
+        .drop("_rn")
+    )
+    agg = topk.groupBy("_tg").agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max("h").alias("kth_hash"),
+    )
+    return agg.select(
+        F.col("_tg").alias(group_col),
+        "n_hashes",
+        "kth_hash",
+        _est_floor(F.col("n_hashes"), F.col("kth_hash"), k)
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
 def kmv_pairwise_intersect(
     sketch: DataFrame,
     group_col: str,

@@ -132,6 +132,11 @@ FRONT_OF_CATALOG: list[str] = [
     #     store -> kmv_pairwise_intersect, gate body in
     #     tests/test_kmv.py; twin = the batch retention oracle, by
     #     slicing invariance).
+    # r17 stash (built + pytest-pinned + twin-rehearsed in the r11
+    # session, vanilla-session green at sf0.01 AND sf0.1):
+    #   - kmv_sliding_distinct (operators/kmv.py kmv_sliding_estimate,
+    #     gate body + oracle in tests/test_kmv.py — trailing-3-day
+    #     unique users per day, sketch-row-bounded window expansion).
     # r7-green cycle (CORRECTNESS_r07 record order):
     "cube_pricing",
     "rollup_pricing",

@@ -134,6 +134,51 @@ def test_difference_estimate_replica_and_exact_regime(spark):
     assert row.est_difference == 0
 
 
+def test_sliding_estimate_matches_window_rebuilds(spark):
+    """The trailing-window operator: every window's estimate must equal
+    kmv_estimate of a fresh build over the window's concatenated keys
+    (mergeable summaries, window = re-minimized union); window=1
+    degenerates to the grouped per-bucket estimates; exact under k."""
+    hours = {
+        10: [f"u{i}" for i in range(20)],
+        11: [f"u{i}" for i in range(10, 35)],
+        # hour 12 empty (absent)
+        13: [f"v{i}" for i in range(6)],
+        14: [f"u{i}" for i in range(30, 50)] + ["u1"],
+    }
+    rows = [(hr, key) for hr, keys in hours.items() for key in keys]
+    df = spark.createDataFrame(rows, "hr bigint, key string")
+    sk = kmv.kmv_build_grouped(df, ["hr"], "key", k=K)
+    for win in (1, 3):
+        got = {
+            r.hr: (r.n_hashes, r.kth_hash, r.est_distinct)
+            for r in kmv.kmv_sliding_estimate(sk, "hr", win, k=K).collect()
+        }
+        assert set(got) == set(hours)
+        for hr in hours:
+            member_keys = [
+                key
+                for h2 in range(hr - win + 1, hr + 1)
+                for key in hours.get(h2, [])
+            ]
+            want = kmv.kmv_estimate(
+                kmv.kmv_build(_rows(spark, member_keys), k=K), k=K
+            ).collect()[0]
+            assert got[hr] == (
+                want.n_hashes,
+                want.kth_hash,
+                want.est_distinct,
+            ), (win, hr)
+    # hour 13 with window=1: exact count of its 6 distinct keys
+    got1 = {
+        r.hr: r.est_distinct
+        for r in kmv.kmv_sliding_estimate(sk, "hr", 1, k=K).collect()
+    }
+    assert got1[13] == 6
+    with pytest.raises(ValueError):
+        kmv.kmv_sliding_estimate(sk, "hr", 0, k=K)
+
+
 def test_pairwise_intersect_matches_per_pair_estimates(spark):
     """The overlap-matrix operator: for every requested (g1, g2) pair
     the grouped form must produce EXACTLY kmv_intersect_estimate's
@@ -360,6 +405,95 @@ def q_stream_kmv_retention_matrix(spark, sf_dir):
         "theta",
         F.col("est_intersect").alias("est_returning"),
     ).orderBy("day1")
+
+
+SLIDE_WIN = 3
+
+
+def q_kmv_sliding_distinct(spark, sf_dir):
+    """Queued r17 gate: trailing-3-day unique-user estimates per day
+    from the per-day KMV sketches — the sliding-window distinct no
+    exact per-day COUNT(DISTINCT) can answer without re-scanning
+    window-times the data.  ~130 users/day at sf0.01 against k=64
+    saturates every window, so the estimator arithmetic carries the
+    hash on all 30 output days.
+
+    Scale: one grouped build over the corpus (localCheckpointed — the
+    window expansion references it once but the build lineage is
+    corpus-sized), then sketch-row-bounded expansion (rows x window)
+    and the grouped estimator."""
+    from advanced_elb_logs_etl_spark.plans.catalog import _t, _us
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    keyed = ev.select(
+        (_us(F.col("ts")) / F.lit(_DAY_US)).cast("long").alias("day_no"),
+        F.col("user_id").cast("string").alias("key"),
+    )
+    sk = kmv.kmv_build_grouped(
+        keyed, ["day_no"], "key", k=RET_K
+    ).localCheckpoint(eager=True)
+    return kmv.kmv_sliding_estimate(sk, "day_no", SLIDE_WIN, k=RET_K).orderBy(
+        "day_no"
+    )
+
+
+KMV_SLIDING_ORACLE_QUEUED_R17 = f"""
+WITH keyed AS (
+  SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS day_no,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+), sk AS (
+  SELECT day_no, h FROM (
+    SELECT day_no, h,
+           row_number() OVER (PARTITION BY day_no ORDER BY h) AS rn
+    FROM keyed
+  ) WHERE rn <= {RET_K}
+), expanded AS (
+  SELECT DISTINCT s.day_no + t.range AS day_no, s.h
+  FROM sk s, range(0, {SLIDE_WIN}) t
+  WHERE s.day_no + t.range IN (SELECT day_no FROM sk)
+), topk AS (
+  SELECT day_no, h FROM (
+    SELECT day_no, h,
+           row_number() OVER (PARTITION BY day_no ORDER BY h) AS rn
+    FROM expanded
+  ) WHERE rn <= {RET_K}
+)
+SELECT day_no::BIGINT AS day_no, count(*)::BIGINT AS n_hashes,
+       max(h) AS kth_hash,
+       CASE WHEN count(*) < {RET_K} THEN count(*)
+            ELSE CAST(floor({float((RET_K - 1) << 60)!r}
+                            / CAST(max(h) AS DOUBLE)) AS BIGINT)
+       END AS est_distinct
+FROM topk GROUP BY day_no
+"""
+
+
+def test_queued_sliding_gate_matches_duckdb_twin(spark):
+    """Full driver-protocol rehearsal of the queued r17 entry at sf0.01
+    through the pandas fetch path: 30 trailing-window estimates, every
+    window saturated."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    sdf = q_kmv_sliding_distinct(spark, sf)
+    scols = sorted(sdf.columns)
+    spd = sdf.select(*scols).toPandas()
+    srows = sorted(
+        tuple(str(x) for x in r) for r in spd.itertuples(index=False)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    dpd = con.execute(KMV_SLIDING_ORACLE_QUEUED_R17).df()
+    assert sorted(dpd.columns) == scols
+    drows = sorted(
+        tuple(str(x) for x in r) for r in dpd[scols].itertuples(index=False)
+    )
+    assert srows == drows
+    assert len(srows) == 30
+    assert all(r.n_hashes == RET_K for r in spd.itertuples(index=False))
 
 
 def test_queued_stream_retention_gate_matches_duckdb_twin(spark):
