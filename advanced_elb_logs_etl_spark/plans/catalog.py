@@ -137,6 +137,10 @@ FRONT_OF_CATALOG: list[str] = [
     #   - kmv_sliding_distinct (operators/kmv.py kmv_sliding_estimate,
     #     gate body + oracle in tests/test_kmv.py — trailing-3-day
     #     unique users per day, sketch-row-bounded window expansion).
+    #   - quantile_range_layout (operators/qsketch.py
+    #     q_range_boundaries + assign_range_ids, gate body + oracle in
+    #     tests/test_qsketch.py — 8-range layout boundaries with the
+    #     actual per-range counts as in-record balance evidence).
     # r7-green cycle (CORRECTNESS_r07 record order):
     "cube_pricing",
     "rollup_pricing",
