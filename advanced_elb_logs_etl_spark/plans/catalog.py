@@ -44,139 +44,44 @@ def register(name: str, oracle: str | None):
 # CORRECTNESS_r01/r02) follow.  Names not present in CATALOG are ignored,
 # so this list may safely lead registration.
 FRONT_OF_CATALOG: list[str] = [
-    # ======== ROUND-11 WINDOW (positions 1-50) ========
-    # VERDICT r10 items 1, 4, 5, 6 in one move.  Layout (histogram after
-    # CORRECTNESS_r10: r10=48, r9=48, r8=50, r7=50, r6=9, never=2):
-    #   positions 1-2   — the item-1 THIRD registration attempt for
-    #                     lm_perplexity_filter and bm25_topk, now with
-    #                     the judge-verified root cause fixed: their
-    #                     twins' un-cast sum(BIGINT) aggregates widened
-    #                     to HUGEINT, which the driver's pandas fetch
-    #                     renders float64 ("3.0") vs Spark's long ("3").
-    #                     Both sums now cast ::BIGINT (catalog_r8.py)
-    #                     and the rehearsal compares through the same
-    #                     pandas fetch path + a standing DESCRIBE type
-    #                     gate (tools/oracle_sim.py).  Still the only
-    #                     never-green entries, so they outrank all.
-    #   positions 3-6   — the WIDENED stash drain (item 5: four slots,
-    #                     not two — the backlog was six deep): the KMV
-    #                     pair from the reserved r11 slots (item 4) plus
-    #                     butterfly_census + attribution_report pulled
-    #                     forward from the r12 stash.  All four built +
-    #                     pytest-pinned + twin-rehearsed in the r10
-    #                     session; registered in plans/catalog_r11.py;
-    #                     stash after this window: record_linkage_topk +
-    #                     neyman_allocation_report (= 2, item-5 target).
-    #   positions 7-15  — the nine r6-green entries displaced from the
-    #                     r10 window (staleness order, item 6).
-    #   positions 16-50 — the first 35 of the r7-green cycle in
-    #                     CORRECTNESS_r07 record order (the remaining 15
-    #                     head the r12 queue below).
-    "lm_perplexity_filter",
-    "bm25_topk",
-    "kmv_distinct_setops",
-    "stream_kmv_distinct",
-    "butterfly_census",
-    "attribution_report",
-    "simhash_signatures",
-    "stream_lsh_band_canonical",
-    "substring_dedup_spans",
-    "text_stats",
-    "topk_orders",
-    "union_distinct_names",
-    "value_outliers_z",
-    "volume_shipping_q7",
-    "zorder_clustering_preview",
-    # ======== position 51+ (the r12 rotation queue, full and exact) ===
-    # After this window ships the histogram is r11=50, r10=48, r9=48,
-    # r8=50, r7=15 — so the r12 window is: the fifteen remaining
-    # r7-green entries FIRST (positions 51-65, listed below after the
-    # window's r7 slice), then the r8-green cycle in CORRECTNESS_r08
-    # record order (positions 66-115; the first 35 complete the r12
-    # window, the last 15 head the r13 queue with the r9-green cycle
-    # behind them).  The remaining stash (both built + pytest-pinned +
-    # twin-rehearsed in the r10 session) takes two r12 window slots:
-    #   - record_linkage_topk (operators/linkage.py, rehearsed in
-    #     tests/test_linkage.py).
-    #   - neyman_allocation_report (operators/sampling.py, rehearsed in
-    #     tests/test_neyman.py).  NOTE for registration: its
-    #     strata-bounded row_number window needs a GLOBAL_WINDOW_ALLOW
-    #     entry (the benford/freq-items class).
-    # r13 stash (built + pytest-pinned + twin-rehearsed in the r11
-    # session), two r13 window slots:
-    #   - cm_join_size (operators/cmsketch.py, tests/test_cmsketch.py).
-    #   - leakage_safe_split_report (operators/dedup.py,
-    #     tests/test_leakage_split.py; needs one CARTESIAN_ALLOW entry).
-    # r14 stash (built + pytest-pinned + twin-rehearsed in the r11
-    # session), two r14 window slots — the quantile-sketch pair:
-    #   - quantile_sketch_report (operators/qsketch.py, gate body +
-    #     oracle in tests/test_qsketch.py; bounded collect_list agg —
-    #     check against the plan-lint collect policy at registration).
-    #   - stream_quantile_sketch (streaming/qstream.py, gate body +
-    #     oracle in tests/test_streaming_qsketch.py).
-    # r15 stash (built + pytest-pinned + twin-rehearsed in the r11
-    # session, vanilla-session green):
-    #   - kmv_retention_matrix (operators/kmv.py kmv_pairwise_intersect,
-    #     gate body + oracle in tests/test_kmv.py — 29 consecutive-day
-    #     returning-user estimates, all sketches saturated).
-    #   - cidr_lpm_enrichment (operators/ipnet.py longest_prefix_match,
-    #     gate body + oracle in tests/test_ipnet.py — zero-corpus-
-    #     shuffle broadcast-chain LPM over a nested literal feed).
-    # r16 stash (built + pytest-pinned + twin-rehearsed in the r11
-    # session, vanilla-session green at sf0.01 AND sf0.1):
-    #   - lpa_copurchase_communities (operators/graph.py
-    #     lpa_communities, gate body + unrolled 3-round oracle in
-    #     tests/test_lpa.py — deterministic label propagation, the
-    #     communities-not-components lane).
-    #   - stream_kmv_retention_matrix (streaming/kmvstream.py grouped
-    #     store -> kmv_pairwise_intersect, gate body in
-    #     tests/test_kmv.py; twin = the batch retention oracle, by
-    #     slicing invariance).
-    # r17 stash (built + pytest-pinned + twin-rehearsed in the r11
-    # session, vanilla-session green at sf0.01 AND sf0.1):
-    #   - kmv_sliding_distinct (operators/kmv.py kmv_sliding_estimate,
-    #     gate body + oracle in tests/test_kmv.py — trailing-3-day
-    #     unique users per day, sketch-row-bounded window expansion).
-    #   - quantile_range_layout (operators/qsketch.py
-    #     q_range_boundaries + assign_range_ids, gate body + oracle in
-    #     tests/test_qsketch.py — 8-range layout boundaries with the
-    #     actual per-range counts as in-record balance evidence).
-    # r7-green cycle (CORRECTNESS_r07 record order):
-    "cube_pricing",
-    "rollup_pricing",
-    "neardup_components",
-    "dedup_corpus",
-    "curate_corpus",
-    "pagerank_supplier_part",
-    "rp_lsh_topk",
-    "embedding_neardup_blocked",
-    "decontaminate_corpus",
-    "pack_sequences_greedy",
-    "normalize_text_nfc",
-    "repetition_stats",
-    "tfidf_top_terms",
-    "redact_pii",
-    "hash_stratified_split",
-    "quality_ntile_buckets",
-    "epoch_mix_corpus",
-    "sample_k_per_source",
-    "interdoc_segment_dedup",
-    "chunk_documents",
-    "knn_label_vote",
-    "vocab_top_tokens",
-    "language_id_heuristic",
-    "token_bpe_counts",
-    "sequential_dedup_runs",
-    "profile_table",
-    "table_diff",
-    "scd2_intervals",
-    "per_key_trend",
-    "bloom_semi_join",
-    "order_priority_q4",
-    "promo_revenue_q14",
-    "linestatus_priority_q12",
-    "parts_supplier_q16",
-    "returned_item_q10",
+    # ======== ROUND-12 WINDOW (positions 1-50) ========
+    # VERDICT r11 items 1, 2 in one move.  Layout (histogram after
+    # CORRECTNESS_r11: r11=50, r10=48, r9=48, r8=50, r7=15, never=0):
+    #   positions 1-8   — the stash drain, widened AGAIN (the r11
+    #                     4-wide precedent went 4/4 green first try and
+    #                     VERDICT r11 named the 12-deep registration
+    #                     backlog the binding constraint): the r12
+    #                     reserved pair (record_linkage_topk,
+    #                     neyman_allocation_report), the r13 pair
+    #                     (cm_join_size, leakage_safe_split_report),
+    #                     the r14 quantile pair (quantile_sketch_report,
+    #                     stream_quantile_sketch — VERDICT r11 item 7's
+    #                     registration-HEAD re-rehearsal ran this
+    #                     session), and the r15 pair
+    #                     (kmv_retention_matrix, cidr_lpm_enrichment).
+    #                     All eight built + pytest-pinned +
+    #                     twin-rehearsed in earlier sessions; registered
+    #                     in plans/catalog_r12.py; stash after this
+    #                     window: lpa_copurchase_communities +
+    #                     stream_kmv_retention_matrix (r16 pair) +
+    #                     kmv_sliding_distinct + quantile_range_layout
+    #                     (r17 pair) = 4.
+    #   positions 9-23  — the fifteen remaining r7-green entries (the
+    #                     oldest signal in the catalog; after this
+    #                     window nothing is staler than r8 — the item-2
+    #                     bar).
+    #   positions 24-50 — the first 27 of the r8-green cycle in
+    #                     CORRECTNESS_r08 record order (the remaining 23
+    #                     head the r13 queue below).
+    "record_linkage_topk",
+    "neyman_allocation_report",
+    "cm_join_size",
+    "leakage_safe_split_report",
+    "quantile_sketch_report",
+    "stream_quantile_sketch",
+    "kmv_retention_matrix",
+    "cidr_lpm_enrichment",
+    # r7-green leftovers (CORRECTNESS_r07 record order, entries 36-50):
     "small_quantity_revenue_q17",
     "window_lead_gap",
     "first_last_by_key",
@@ -192,9 +97,36 @@ FRONT_OF_CATALOG: list[str] = [
     "incremental_agg_merge",
     "semantic_dedup_corpus",
     "classifier_score_topk",
-    # r8-green cycle (CORRECTNESS_r08 record order; positions 66-115 —
-    # the first 35 complete the r12 window after the fifteen r7
-    # leftovers above, the last 15 head the r13 queue):
+    # ======== position 51+ (the r13 rotation queue, full and exact) ===
+    # After this window ships the histogram is r12=50, r11=50, r10=48,
+    # r9=48, r8=23 — so the r13 window is: the 23 remaining r8-green
+    # entries FIRST (positions 51-73, listed below after the window's
+    # r8 slice), then the r9-green cycle in CORRECTNESS_r09 record
+    # order (the first 27 complete the r13 window; the rest head r14
+    # with the r10 cycle behind them).  The remaining stash (all four
+    # built + pytest-pinned + twin-rehearsed in the r11 session,
+    # vanilla-session green at sf0.01 AND sf0.1) takes r13/r14 window
+    # slots at the restored 2-per-round cadence:
+    #   r13 pair:
+    #   - lpa_copurchase_communities (operators/graph.py
+    #     lpa_communities, gate body + unrolled 3-round oracle in
+    #     tests/test_lpa.py — deterministic label propagation, the
+    #     communities-not-components lane).
+    #   - stream_kmv_retention_matrix (streaming/kmvstream.py grouped
+    #     store -> kmv_pairwise_intersect, gate body in
+    #     tests/test_kmv.py; twin = the batch retention oracle
+    #     (KMV_RETENTION_ORACLE, now registered), by slicing
+    #     invariance).
+    #   r14 pair:
+    #   - kmv_sliding_distinct (operators/kmv.py kmv_sliding_estimate,
+    #     gate body + oracle in tests/test_kmv.py — trailing-3-day
+    #     unique users per day, sketch-row-bounded window expansion).
+    #   - quantile_range_layout (operators/qsketch.py
+    #     q_range_boundaries + assign_range_ids, gate body + oracle in
+    #     tests/test_qsketch.py — 8-range layout boundaries with the
+    #     actual per-range counts as in-record balance evidence).
+    # r8-green cycle (CORRECTNESS_r08 record order; the first 27 close
+    # the r12 window above, these 23 head the r13 queue):
     "rank_battery",
     "grouping_sets_events",
     "alb_parse_roundtrip",

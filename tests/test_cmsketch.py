@@ -295,80 +295,24 @@ def test_join_size_respects_merge(spark):
     assert tuple(est_m) == tuple(est_w)
 
 
-# --- the queued r13 catalog gate, rehearsed against DuckDB ----------------
-# Join-size estimate for orders JOIN customer ON custkey at the default
-# 1024x4 geometry, beside the exact join count (bounded-gate pattern).
-# All-BIGINT + BOOLEAN surface; DuckDB sums cast ::BIGINT (the r10
-# HUGEINT postmortem — enforced by the standing type gate).
+# --- the r12 catalog gate (REGISTERED in plans/catalog_r12.py; the
+# rehearsal imports the registered body + oracle so it exercises the
+# exact catalog entry).  Join-size estimate for orders JOIN customer ON
+# custkey at the default 1024x4 geometry, beside the exact join count
+# (bounded-gate pattern).  All-BIGINT + BOOLEAN surface; DuckDB sums
+# cast ::BIGINT (the r10 HUGEINT postmortem — enforced by the standing
+# type gate). ---------------------------------------------------------
 
-CM_JOINSIZE_ORACLE_QUEUED_R13 = f"""
-WITH rows_ AS (
-  SELECT UNNEST(generate_series(0, {cm.DEPTH - 1})) AS row
-), a_cells AS (
-  SELECT r.row,
-         ('0x' || substr(md5(r.row || ':' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
-           % {cm.WIDTH} AS bucket,
-         count(*)::BIGINT AS cnt
-  FROM orders, rows_ r WHERE o_custkey IS NOT NULL
-  GROUP BY 1, 2
-), b_cells AS (
-  SELECT r.row,
-         ('0x' || substr(md5(r.row || ':' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
-           % {cm.WIDTH} AS bucket,
-         count(*)::BIGINT AS cnt
-  FROM customer, rows_ r WHERE c_custkey IS NOT NULL
-  GROUP BY 1, 2
-), q AS (
-  SELECT r.row,
-         coalesce((SELECT sum(a.cnt * b.cnt)
-                   FROM a_cells a JOIN b_cells b
-                     ON a.row = r.row AND b.row = r.row
-                    AND a.bucket = b.bucket), 0)::BIGINT AS q
-  FROM rows_ r
-), est AS (
-  SELECT min(q) AS est_join_size FROM q
-), exact AS (
-  SELECT count(*)::BIGINT AS exact_join_size
-  FROM orders JOIN customer ON o_custkey = c_custkey
+from advanced_elb_logs_etl_spark.plans.catalog_r12 import (  # noqa: E402
+    CM_JOINSIZE_ORACLE as CM_JOINSIZE_ORACLE_QUEUED_R13,
+    q_cm_join_size,
 )
-SELECT est_join_size, exact_join_size,
-       est_join_size >= exact_join_size AS overestimate_ok
-FROM est, exact
-"""
-
-
-def q_cm_join_size(spark, sf_dir):
-    """The queued r13 registration body: Count-Min join-size estimate
-    for orders x customer on custkey (the plan-time broadcast/shuffle/
-    salt decision input), beside the exact join count.
-
-    Scale: two bounded sketch builds (one map-side-combinable agg
-    each), then every later frame is <= d*w rows — the exact lane is
-    gate-only instrumentation."""
-    from advanced_elb_logs_etl_spark.sources.testdata import load_table
-
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    sk_o = cm.cm_build(orders.select(F.col("o_custkey").alias("key")))
-    sk_c = cm.cm_build(cust.select(F.col("c_custkey").alias("key")))
-    est = cm.cm_join_size(sk_o, sk_c)
-    exact = (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .agg(F.count(F.lit(1)).alias("exact_join_size"))
-    )
-    return est.crossJoin(F.broadcast(exact)).select(
-        "est_join_size",
-        "exact_join_size",
-        (F.col("est_join_size") >= F.col("exact_join_size")).alias(
-            "overestimate_ok"
-        ),
-    )
 
 
 def test_queued_joinsize_gate_matches_duckdb_twin(spark):
-    """Full driver-protocol rehearsal of the queued r13 entry at sf0.01
-    (all-integer surface, exact compare through the pandas-equivalent
-    string normalization)."""
+    """Full driver-protocol rehearsal of the registered r12 entry at
+    sf0.01 (all-integer surface, exact compare through the pandas-
+    equivalent string normalization)."""
     import duckdb
 
     sf = "/root/testdata/sf0.01"

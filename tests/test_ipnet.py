@@ -137,118 +137,20 @@ def test_lpm_plan_has_zero_corpus_shuffles(spark):
 # --- queued r15 gate: cidr_lpm_enrichment (pre-rehearsed, the freeze
 # discipline — body + oracle live here until registration) ------------
 
-#: Deterministic literal feed: nested blocks across 4 prefix lengths so
-#: the coalesce chain (longest-first) carries real signal, plus a /32
-#: that no synthetic IP hits and NO default route (unmatched rows keep
-#: NULLs through the left joins).
-GATE_FEED = [
-    ("10.0.0.0/8", "backbone"),
-    ("10.64.0.0/10", "region-b"),
-    ("10.64.0.0/16", "pod-b0"),
-    ("10.64.1.0/24", "rack-b0-1"),
-    ("172.16.0.0/12", "rfc1918-c"),
-    ("203.0.113.99/32", "honeypot"),
-]
+# --- the r12 catalog gate (REGISTERED in plans/catalog_r12.py as
+# `cidr_lpm_enrichment`; the rehearsal imports the registered body +
+# oracle so it exercises the exact catalog entry) ---------------------
 
-#: user_id -> synthetic IPv4: Knuth-hash the id, then tier by
-#: user_id % 4 so EVERY feed depth gets traffic — identical integer
-#: math in both engines.  Tier bases: 10.64.1.0 = 171966720 (/24),
-#: 10.64.0.0 = 171966464 (/16), 10.0.0.0 = 167772160 (/8; ~25% of the
-#: hash range also lands in the /10); tier 3 is the full IPv4 space
-#: (mostly unmatched — no default route in the feed).
-_GATE_IP_SQL = """
-  CASE user_id % 4
-       WHEN 0 THEN 171966720 + ((user_id * 2654435761) % 256)
-       WHEN 1 THEN 171966464 + ((user_id * 2654435761) % 65536)
-       WHEN 2 THEN 167772160 + ((user_id * 2654435761) % 16777216)
-       ELSE (user_id * 2654435761) % 4294967296 END
-"""
-
-
-def q_cidr_lpm_enrichment(spark, sf_dir):
-    """Queued r15 gate: longest-prefix-match enrichment of synthetic
-    per-user IPv4s (deterministic integer hash of user_id — the
-    testdata carries no IP column; the reference's client_ip lane is
-    pytest-covered on real ALB fixtures) against a literal 6-block
-    nested feed, aggregated to (org, matched_prefix_len, n_events,
-    n_users).  All-integer/VARCHAR surface.
-
-    Scale: the enrichment is the zero-corpus-shuffle broadcast chain
-    (see longest_prefix_match); the report is one hash agg."""
-    from advanced_elb_logs_etl_spark.operators import ipnet as ipn
-    from advanced_elb_logs_etl_spark.plans.catalog import _t
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    h = F.col("user_id") * 2654435761
-    tier = F.col("user_id") % 4
-    ip_long = (
-        F.when(tier == 0, F.lit(171966720) + h % 256)
-        .when(tier == 1, F.lit(171966464) + h % 65536)
-        .when(tier == 2, F.lit(167772160) + h % 16777216)
-        .otherwise(h % 4294967296)
-    )
-    ipd = ev.select(
-        "user_id",
-        F.concat_ws(
-            ".",
-            (ip_long / 16777216).cast("long") % 256,
-            (ip_long / 65536).cast("long") % 256,
-            (ip_long / 256).cast("long") % 256,
-            ip_long % 256,
-        ).alias("client_ip"),
-    )
-    feed = ipnet.parse_cidr(
-        spark.createDataFrame(GATE_FEED, "cidr string, org string")
-    )
-    enriched = ipn.longest_prefix_match(ipd, feed, "client_ip", ["org"])
-    return (
-        enriched.groupBy("org", "matched_prefix_len")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count_distinct(F.col("user_id")).alias("n_users"),
-        )
-        .orderBy("org", "matched_prefix_len")
-    )
-
-
-def _feed_values_sql():
-    rows = []
-    for cidr, org in GATE_FEED:
-        net = ipaddress.IPv4Network(cidr, strict=False)
-        rows.append(
-            f"({net.prefixlen}, {int(net.network_address)}, '{org}')"
-        )
-    return ", ".join(rows)
-
-
-CIDR_LPM_ORACLE_QUEUED_R15 = f"""
-WITH feed(prefix_len, base_long, org) AS (VALUES {_feed_values_sql()}
-), ev AS (
-  SELECT user_id, count(*)::BIGINT AS n
-  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
-), users AS (
-  SELECT user_id, ({_GATE_IP_SQL}) AS ip_long FROM ev
-), matched AS (
-  SELECT u.user_id, f.org, f.prefix_len,
-         row_number() OVER (
-           PARTITION BY u.user_id ORDER BY f.prefix_len DESC
-         ) AS rn
-  FROM users u JOIN feed f
-    ON (u.ip_long // CAST(power(2, 32 - f.prefix_len) AS BIGINT))
-       * CAST(power(2, 32 - f.prefix_len) AS BIGINT) = f.base_long
-), best AS (
-  SELECT user_id, org, prefix_len FROM matched WHERE rn = 1
+from advanced_elb_logs_etl_spark.plans.catalog_r12 import (  # noqa: E402
+    CIDR_GATE_FEED as GATE_FEED,  # noqa: F401  (composition test feed)
+    CIDR_LPM_ORACLE as CIDR_LPM_ORACLE_QUEUED_R15,
+    q_cidr_lpm_enrichment,
 )
-SELECT b.org, b.prefix_len::INT AS matched_prefix_len,
-       sum(e.n)::BIGINT AS n_events,
-       count(DISTINCT e.user_id)::BIGINT AS n_users
-FROM ev e LEFT JOIN best b USING (user_id)
-GROUP BY b.org, b.prefix_len
-"""
 
 
 def test_queued_lpm_gate_matches_duckdb_twin(spark):
-    """Full driver-protocol rehearsal of the queued r15 entry at sf0.01
+    """Full driver-protocol rehearsal of the registered r12 entry at
+    sf0.01
     through the pandas fetch path: nested blocks, a no-match bucket,
     and multi-depth coalesce all carry driver signal."""
     import duckdb

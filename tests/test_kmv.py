@@ -277,88 +277,18 @@ def test_queued_catalog_gate_matches_duckdb_twin(spark):
     assert int(row["exact_a"]) > GATE_K
 
 
-# --- queued r15 gate: kmv_retention_matrix (pre-rehearsed, the freeze
-# discipline — body + oracle live here until registration) ------------
+# --- the r12 catalog gate (REGISTERED in plans/catalog_r12.py as
+# `kmv_retention_matrix`; the rehearsal imports the registered body +
+# oracle so it exercises the exact catalog entry).  The streamed form
+# (below) and the sliding-window gate stay here until their window
+# rounds (r13/r14 queue). ---------------------------------------------
 
-RET_K = 64
-_RET_M = kmv.M
-_RET_KM = float((RET_K - 1) << 60)
-_DAY_US = 86_400_000_000
-
-
-def q_kmv_retention_matrix(spark, sf_dir):
-    """Queued r15 gate: day-over-day returning-user estimates for every
-    consecutive day pair, from per-day KMV sketches — the overlap-matrix
-    product query kmv_pairwise_intersect exists for.  ~130 distinct
-    users/day at sf0.01 against k=64 keeps every sketch SATURATED, so
-    the driver hash covers the theta estimator arithmetic on all 29
-    pairs, not an exact-regime triviality.
-
-    Scale: one grouped distinct agg + per-day top-k window over the
-    corpus (the sketch build, done once and localCheckpointed — it is
-    referenced three times by the pairwise probe), then k-row joins per
-    pair.  Day keys are integer epoch-day buckets (tz-free, the
-    tumbling_window_agg discipline)."""
-    from advanced_elb_logs_etl_spark.plans.catalog import _t, _us
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    keyed = ev.select(
-        (_us(F.col("ts")) / F.lit(_DAY_US)).cast("long").alias("day_no"),
-        F.col("user_id").cast("string").alias("key"),
-    )
-    sk = kmv.kmv_build_grouped(
-        keyed, ["day_no"], "key", k=RET_K
-    ).localCheckpoint(eager=True)
-    days = sk.select("day_no").distinct()
-    pairs = (
-        days.select(
-            F.col("day_no").alias("g1"),
-            (F.col("day_no") + F.lit(1)).alias("g2"),
-        )
-        .join(days.select(F.col("day_no").alias("g2")), "g2")
-        .select("g1", "g2")
-    )
-    out = kmv.kmv_pairwise_intersect(sk, "day_no", pairs, k=RET_K)
-    return out.select(
-        F.col("g1").alias("day1"),
-        F.col("g2").alias("day2"),
-        "n_common",
-        "theta",
-        F.col("est_intersect").alias("est_returning"),
-    ).orderBy("day1")
-
-
-KMV_RETENTION_ORACLE_QUEUED_R15 = f"""
-WITH keyed AS (
-  SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS day_no,
-         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-  FROM events WHERE user_id IS NOT NULL
-), sk AS (
-  SELECT day_no, h FROM (
-    SELECT day_no, h,
-           row_number() OVER (PARTITION BY day_no ORDER BY h) AS rn
-    FROM keyed
-  ) WHERE rn <= {RET_K}
-), st AS (
-  SELECT day_no, count(*)::BIGINT AS n, max(h) AS kth FROM sk GROUP BY day_no
-), pairs AS (
-  SELECT sa.day_no AS day1, sb.day_no AS day2,
-         least(CASE WHEN sa.n >= {RET_K} THEN sa.kth ELSE {_RET_M} END,
-               CASE WHEN sb.n >= {RET_K} THEN sb.kth ELSE {_RET_M} END) AS theta
-  FROM st sa JOIN st sb ON sb.day_no = sa.day_no + 1
-), common AS (
-  SELECT p.day1, p.day2, p.theta,
-         (SELECT count(*) FROM sk x JOIN sk y ON y.h = x.h
-           WHERE x.day_no = p.day1 AND y.day_no = p.day2
-             AND x.h < p.theta)::BIGINT AS n_common
-  FROM pairs p
+from advanced_elb_logs_etl_spark.plans.catalog_r12 import (  # noqa: E402
+    _DAY_US,
+    KMV_RETENTION_ORACLE as KMV_RETENTION_ORACLE_QUEUED_R15,
+    RET_K,
+    q_kmv_retention_matrix,
 )
-SELECT day1::BIGINT AS day1, day2::BIGINT AS day2, n_common, theta,
-       CASE WHEN theta >= {_RET_M} THEN n_common
-            ELSE CAST(floor(n_common::DOUBLE * {float(kmv.M)!r} / theta::DOUBLE)
-                      AS BIGINT) END AS est_returning
-FROM common
-"""
 
 
 def q_stream_kmv_retention_matrix(spark, sf_dir):

@@ -1,8 +1,8 @@
 """Leakage-safe split (operators/dedup.leakage_safe_split): near-dup
 clusters never straddle train/val/test.  Hand-built cluster cases, the
 no-straddle invariant on the real corpus, a pure-Python split-math
-replica, and the DuckDB twin rehearsal for the queued r13 catalog gate
-(`leakage_safe_split_report`) — the freeze discipline's pre-rehearsal."""
+replica, and the DuckDB twin rehearsal for the r12 catalog gate
+(`leakage_safe_split_report`, registered in plans/catalog_r12.py)."""
 
 from __future__ import annotations
 
@@ -84,104 +84,22 @@ def test_no_pair_straddles_splits_on_the_real_corpus(spark):
     assert assigned.count() == docs.count()
 
 
-# --- the queued r13 catalog gate, rehearsed against DuckDB ----------------
-# Per-split corpus accounting + the leakage audit lane (must read 0).
-# Reuses catalog_llm's pair CTE so the twin's cluster definition is the
-# EXACT one already driver-green in neardup_components/dedup_corpus.
-# All-BIGINT + VARCHAR surface.
+# --- the r12 catalog gate (REGISTERED in plans/catalog_r12.py as
+# `leakage_safe_split_report`; the rehearsal imports the registered
+# body + oracle so it exercises the exact catalog entry).  Per-split
+# corpus accounting + the leakage audit lane (must read 0).  The twin
+# reuses catalog_llm's pair CTE so its cluster definition is the EXACT
+# one already driver-green in neardup_components/dedup_corpus. --------
 
-from advanced_elb_logs_etl_spark.plans.catalog_llm import (  # noqa: E402
-    _PAIRS_CTE,
-    _hashed_docs,
+from advanced_elb_logs_etl_spark.plans.catalog_r12 import (  # noqa: E402
+    LEAKAGE_SPLIT_ORACLE as LEAKAGE_SPLIT_ORACLE_QUEUED_R13,
+    q_leakage_safe_split_report as q_leakage_safe_split,
 )
-
-LEAKAGE_SPLIT_ORACLE_QUEUED_R13 = f"""
-WITH RECURSIVE {_PAIRS_CTE},
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-),
-comp AS (
-  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
-),
-assigned AS (
-  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
-  FROM documents d LEFT JOIN comp c USING (doc_id)
-),
-labeled AS (
-  SELECT doc_id, component,
-         CASE WHEN u < {_TRAIN!r}::DOUBLE THEN 'train'
-              WHEN u < {_TRAIN + _VAL!r}::DOUBLE THEN 'val'
-              ELSE 'test' END AS split
-  FROM (SELECT doc_id, component,
-               ('0x' || substr(md5('{sampling.SPLIT_SEED}:' || component::VARCHAR), 1, 15))::BIGINT
-                 / {float(1 << 60)!r} AS u
-        FROM assigned)
-),
-per_split AS (
-  SELECT split, count(*)::BIGINT AS n_docs,
-         count(DISTINCT component)::BIGINT AS n_components
-  FROM labeled GROUP BY split
-),
-leak AS (
-  SELECT count(*)::BIGINT AS n_cross_split_pairs
-  FROM dup_pairs p JOIN labeled x ON p.id_a = x.doc_id
-                   JOIN labeled y ON p.id_b = y.doc_id
-  WHERE x.split <> y.split
-)
-SELECT split, n_docs, n_components, n_cross_split_pairs
-FROM per_split, leak
-"""
-
-
-def q_leakage_safe_split(spark, sf_dir):
-    """The queued r13 registration body: per-split document/cluster
-    counts of the leakage-safe split, with the cross-split near-dup
-    pair count riding every row as the in-record leakage proof (0 by
-    construction — the audit lane is gate-only instrumentation; at
-    100 TB production callers keep only the assignment).
-
-    Scale notes: the pair pipeline is localCheckpointed so the split
-    and the audit read verified pairs once; the assignment frame is
-    localCheckpointed because the audit joins it twice (gate-only —
-    the operator itself materializes nothing)."""
-    from advanced_elb_logs_etl_spark.sources.testdata import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_neardup_pairs(
-        docs, hashed=_hashed_docs(spark, sf_dir)
-    ).localCheckpoint(eager=True)
-    assigned = dedup.leakage_safe_split(docs, pairs=pairs).localCheckpoint(
-        eager=True
-    )
-    per_split = assigned.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("component").alias("n_components"),
-    )
-    xa = assigned.select(
-        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
-    )
-    xb = assigned.select(
-        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
-    )
-    leak = (
-        pairs.join(xa, "id_a")
-        .join(xb, "id_b")
-        .agg(
-            F.count(
-                F.when(F.col("split_a") != F.col("split_b"), F.lit(1))
-            ).alias("n_cross_split_pairs")
-        )
-    )
-    return per_split.crossJoin(F.broadcast(leak)).select(
-        "split", "n_docs", "n_components", "n_cross_split_pairs"
-    )
 
 
 def test_queued_catalog_gate_matches_duckdb_twin(spark):
-    """Full driver-protocol rehearsal of the queued r13 entry at sf0.01
-    (integer/varchar surface, exact compare)."""
+    """Full driver-protocol rehearsal of the registered r12 entry at
+    sf0.01 (integer/varchar surface, exact compare)."""
     import duckdb
 
     sf = "/root/testdata/sf0.01"

@@ -1,7 +1,7 @@
 """Fellegi-Sunter record linkage (operators/linkage.py): weight math,
 scoring/classification semantics, NULL-as-disagreement, a pure-Python
-replica differential, and the DuckDB twin rehearsal for the queued r13
-gate (`record_linkage_topk`)."""
+replica differential, and the DuckDB twin rehearsal for the r12 gate
+(`record_linkage_topk`, registered in plans/catalog_r12.py)."""
 
 from __future__ import annotations
 
@@ -11,14 +11,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from advanced_elb_logs_etl_spark.operators import linkage
-
-FIELDS = {
-    "f_segment": (0.9, 0.2),
-    "f_balance": (0.85, 0.05),
-    "f_bal_sign": (0.95, 0.5),
-}
-UPPER = 3_000_000
-LOWER = 0
+from advanced_elb_logs_etl_spark.plans.catalog_r12 import (
+    LINKAGE_FIELDS as FIELDS,
+    LINKAGE_LOWER as LOWER,
+    LINKAGE_UPPER as UPPER,
+)
 
 
 def test_weight_math_and_guards():
@@ -95,66 +92,22 @@ def test_randomized_replica_differential(spark):
         assert got[i] == (s, n, dec), i
 
 
-# --- the queued r13 catalog gate, rehearsed against DuckDB ----------------
-# Nation-blocked customer pairs scored over three agreement fields;
-# top-200 by (score, ids).  Integer + boolean-free surface (decision is
-# a deterministic string enum).
+# --- the r12 catalog gate (REGISTERED in plans/catalog_r12.py; the
+# rehearsal imports the registered body + oracle so it exercises the
+# exact catalog entry — the catalog_r11 pattern).  Nation-blocked
+# customer pairs scored over three agreement fields; top-200 by
+# (score, ids).  Integer surface (decision is a deterministic string
+# enum). -----------------------------------------------------------
 
-_WS = {f: linkage.fs_weight_micro(*mu) for f, mu in FIELDS.items()}
-_K = 200
-
-LINKAGE_ORACLE_QUEUED_R13 = f"""
-WITH c AS (
-  SELECT c_custkey, c_nationkey, c_mktsegment,
-         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
-  FROM customer
-), pairs AS (
-  SELECT a.c_custkey AS id1, b.c_custkey AS id2,
-         (a.c_mktsegment = b.c_mktsegment) AS f_segment,
-         (abs(a.bal_cents - b.bal_cents) <= 500) AS f_balance,
-         ((a.bal_cents >= 0) = (b.bal_cents >= 0)) AS f_bal_sign
-  FROM c a JOIN c b
-    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-), scored AS (
-  SELECT id1, id2,
-    (CASE WHEN coalesce(f_segment, FALSE) THEN {_WS['f_segment'][0]} ELSE {_WS['f_segment'][1]} END
-     + CASE WHEN coalesce(f_balance, FALSE) THEN {_WS['f_balance'][0]} ELSE {_WS['f_balance'][1]} END
-     + CASE WHEN coalesce(f_bal_sign, FALSE) THEN {_WS['f_bal_sign'][0]} ELSE {_WS['f_bal_sign'][1]} END
-    )::BIGINT AS score_micro,
-    (CASE WHEN coalesce(f_segment, FALSE) THEN 1 ELSE 0 END
-     + CASE WHEN coalesce(f_balance, FALSE) THEN 1 ELSE 0 END
-     + CASE WHEN coalesce(f_bal_sign, FALSE) THEN 1 ELSE 0 END
-    )::INT AS n_agree
-  FROM pairs
+from advanced_elb_logs_etl_spark.plans.catalog_r12 import (  # noqa: E402
+    _LINK_K as _K,
+    LINKAGE_ORACLE as LINKAGE_ORACLE_QUEUED_R13,
+    q_record_linkage_topk,
 )
-SELECT id1, id2, score_micro, n_agree,
-       CASE WHEN score_micro >= {UPPER} THEN 'link'
-            WHEN score_micro < {LOWER} THEN 'non_link'
-            ELSE 'possible' END AS decision
-FROM scored
-ORDER BY score_micro DESC, id1, id2
-LIMIT {_K}
-"""
-
-
-def q_record_linkage_topk(spark, sf_dir):
-    """The queued r13 registration body: Fellegi-Sunter scoring of
-    nation-blocked customer pairs, top-200 by exact integer score."""
-    from advanced_elb_logs_etl_spark.sources.testdata import load_table
-
-    pairs = linkage.customer_block_pairs(
-        load_table(spark, sf_dir, "customer")
-    )
-    scored = linkage.score_pairs(pairs, FIELDS, UPPER, LOWER)
-    return (
-        scored.select("id1", "id2", "score_micro", "n_agree", "decision")
-        .orderBy(F.col("score_micro").desc(), "id1", "id2")
-        .limit(_K)
-    )
 
 
 def test_queued_catalog_gate_matches_duckdb_twin(spark):
-    """Full driver-protocol rehearsal of the queued r13 entry at
+    """Full driver-protocol rehearsal of the registered r12 entry at
     sf0.01 (integer-exact scores; the k-th boundary is a deterministic
     integer+id order, so the selected SET is identical)."""
     import duckdb

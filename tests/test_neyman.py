@@ -1,7 +1,8 @@
 """Neyman stratified-sample allocation (operators/sampling.py):
 closed-form cases, the exact-total invariant, the degenerate-total
 fallback, a Python replica differential, and the DuckDB twin rehearsal
-for the queued r13 gate (`neyman_allocation_report`)."""
+for the r12 gate (`neyman_allocation_report`, registered in
+plans/catalog_r12.py)."""
 
 from __future__ import annotations
 
@@ -108,78 +109,20 @@ def test_replica_differential_largest_remainder(spark):
     assert {s: v[3] for s, v in got.items()} == prop
 
 
-# --- the queued r13 catalog gate, rehearsed against DuckDB ----------------
-# Allocation of a 1000-row stratified sample over events by event_type.
-# All-integer surface.
+# --- the r12 catalog gate (REGISTERED in plans/catalog_r12.py; the
+# rehearsal imports the registered body + oracle so it exercises the
+# exact catalog entry).  Allocation of a 1000-row stratified sample
+# over events by event_type; all-integer surface. --------------------
 
-GATE_N = 1000
-
-NEYMAN_ORACLE_QUEUED_R13 = f"""
-WITH per AS (
-  SELECT event_type AS stratum, count(*)::BIGINT AS n_rows,
-         CAST(round(CAST(stddev_samp(value) AS DECIMAL(28,8)), 6) AS DOUBLE)
-           AS sd6
-  FROM events
-  WHERE event_type IS NOT NULL AND value IS NOT NULL
-  GROUP BY 1
-), p2 AS (
-  SELECT stratum, n_rows,
-         coalesce(CAST(round(CAST(sd6 * 1e6 AS DECIMAL(28,6)), 0) AS BIGINT),
-                  0) AS sd_micro
-  FROM per
-), p3 AS (
-  SELECT *, n_rows * sd_micro AS w_neyman FROM p2
-), na AS (
-  SELECT *, CASE WHEN (SELECT sum(w_neyman) FROM p3) > 0
-                 THEN w_neyman ELSE n_rows END AS w
-  FROM p3
-), nb AS (SELECT *, (SELECT sum(w) FROM na) AS tot FROM na
-), nc AS (
-  SELECT *, ({GATE_N} * w) // tot AS base,
-         {GATE_N} * w - (({GATE_N} * w) // tot) * tot AS rem
-  FROM nb
-), nd AS (
-  SELECT *, row_number() OVER (ORDER BY rem DESC, stratum) AS rk,
-         (SELECT {GATE_N} - sum(base) FROM nc) AS leftover
-  FROM nc
-), ney AS (
-  SELECT stratum, n_rows, sd_micro, w_neyman,
-         (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
-           AS alloc_neyman
-  FROM nd
-), pb AS (SELECT stratum, n_rows, (SELECT sum(n_rows) FROM p2) AS tot FROM p2
-), pc AS (
-  SELECT *, ({GATE_N} * n_rows) // tot AS base,
-         {GATE_N} * n_rows - (({GATE_N} * n_rows) // tot) * tot AS rem
-  FROM pb
-), pd AS (
-  SELECT *, row_number() OVER (ORDER BY rem DESC, stratum) AS rk,
-         (SELECT {GATE_N} - sum(base) FROM pc) AS leftover
-  FROM pc
-), prop AS (
-  SELECT stratum,
-         (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
-           AS alloc_proportional
-  FROM pd
+from advanced_elb_logs_etl_spark.plans.catalog_r12 import (  # noqa: E402
+    NEYMAN_N as GATE_N,
+    NEYMAN_ORACLE as NEYMAN_ORACLE_QUEUED_R13,
+    q_neyman_allocation_report,
 )
-SELECT n.stratum, n.n_rows, n.sd_micro,
-       n.w_neyman AS weight_micro, n.alloc_neyman, p.alloc_proportional
-FROM ney n JOIN prop p USING (stratum)
-"""
-
-
-def q_neyman_allocation_report(spark, sf_dir):
-    """The queued r13 registration body: Neyman vs proportional
-    allocation of a 1000-row sample over events by event_type."""
-    from advanced_elb_logs_etl_spark.sources.testdata import load_table
-
-    return sp.neyman_allocation(
-        load_table(spark, sf_dir, "events"), "event_type", "value", GATE_N
-    )
 
 
 def test_queued_catalog_gate_matches_duckdb_twin(spark):
-    """Full driver-protocol rehearsal of the queued r13 entry at
+    """Full driver-protocol rehearsal of the registered r12 entry at
     sf0.01 (all-integer surface, exact compare)."""
     import duckdb
 

@@ -1,9 +1,9 @@
 """Mergeable quantile sketch (operators/qsketch.py): pure-Python replica
 differentials, the exact-under-k regime, mergeability (= build of the
 concatenation), grouped build/roll-up, the integer rank/CDF surface, the
-TakeOrdered plan shape, and the DuckDB twin rehearsal for the queued r14
-catalog gate (`quantile_sketch_report`) — validated here so registration
-is a freeze-compliant pre-rehearsed move."""
+TakeOrdered plan shape, and the DuckDB twin rehearsals for the r12 gate
+(`quantile_sketch_report`, registered in plans/catalog_r12.py) and the
+queued r13/r14 layout gate (`quantile_range_layout`)."""
 
 from __future__ import annotations
 
@@ -325,112 +325,17 @@ def test_range_boundaries_balance_and_assignment(spark):
         qsketch.assign_range_ids(small, "v", [])
 
 
-# ---------------------------------------------------------------------------
-# Queued r14 catalog gate: quantile_sketch_report
-# ---------------------------------------------------------------------------
+# --- the r12 catalog gate (REGISTERED in plans/catalog_r12.py; the
+# rehearsal imports the registered body + oracle so it exercises the
+# exact catalog entry — the catalog_r11 pattern) ----------------------
 
-GATE_K = 256
-GATE_PROBS = [0.25, 0.5, 0.75, 0.9]
-#: 3σ hypergeometric rank band per prob, in micro-units, plus 1-sample
-#: discretization slack — computed driver-side once, injected as the same
-#: integer literal into BOTH engines.
-GATE_BOUNDS = {
-    int(round(p * qsketch.MICRO)): int(
-        round((3 * math.sqrt(p * (1 - p) / GATE_K) + 1.0 / GATE_K) * qsketch.MICRO)
-    )
-    for p in GATE_PROBS
-}
-
-
-def q_quantile_sketch_report(spark, sf_dir):
-    """Queued r14 gate: bottom-k quantile sketch of o_totalprice keyed by
-    o_orderkey, the four estimated quantiles, and the in-record accuracy
-    proof — each estimate's EXACT population rank (one conditional-count
-    pass over orders, integer micro-units) beside its 3σ band.
-
-    Scale: the build is one TakeOrdered(k) pass; the exact-rank lane is
-    one corpus pass with a 4-row broadcast fan-out — the expensive lane
-    exists only to carry the accuracy evidence into the driver record
-    (at 100 TB you run the sketch lane alone).  All-integer surface
-    except est_value, a copied parquet double (bit-exact both engines).
-    """
-    from advanced_elb_logs_etl_spark.plans.catalog import _t
-
-    orders = _t(spark, sf_dir, "orders")
-    pop = orders.filter(
-        F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull()
-    ).select(F.col("o_totalprice").alias("v"))
-    sk = qsketch.q_build(orders, "o_totalprice", "o_orderkey", k=GATE_K)
-    # est is referenced twice below (exact lane + final join): pin the
-    # 4-row frame so the corpus-sized build lineage runs ONCE (the
-    # kmv_intersect_estimate / cm_check_geometry materialization lesson)
-    est = qsketch.q_quantiles(sk, GATE_PROBS, k=GATE_K).localCheckpoint(
-        eager=True
-    )
-    exact = (
-        pop.crossJoin(F.broadcast(est.select("p_micro", "est_value")))
-        .groupBy("p_micro", "est_value")
-        .agg(
-            F.count_if(F.col("v") <= F.col("est_value")).alias("c_le"),
-            F.count(F.lit(1)).alias("n_pop"),
-        )
-        .select(
-            "p_micro",
-            F.floor(
-                F.col("c_le") * F.lit(qsketch.MICRO) / F.col("n_pop")
-            ).alias("exact_rank_micro"),
-        )
-    )
-    bounds = spark.createDataFrame(
-        sorted(GATE_BOUNDS.items()), "p_micro long, bound_micro long"
-    )
-    return (
-        est.join(F.broadcast(exact), "p_micro")
-        .join(F.broadcast(bounds), "p_micro")
-        .select(
-            "p_micro",
-            "n_sample",
-            "est_value",
-            "exact_rank_micro",
-            (
-                F.abs(F.col("exact_rank_micro") - F.col("p_micro"))
-                <= F.col("bound_micro")
-            ).alias("within_bound"),
-        )
-    )
-
-
-_PROBE_VALUES = ", ".join(
-    f"({pm}, {b})" for pm, b in sorted(GATE_BOUNDS.items())
+from advanced_elb_logs_etl_spark.plans.catalog_r12 import (  # noqa: E402
+    QS_GATE_BOUNDS as GATE_BOUNDS,  # noqa: F401  (band documentation)
+    QS_GATE_K as GATE_K,
+    QS_GATE_PROBS as GATE_PROBS,
+    QSKETCH_ORACLE as QSKETCH_ORACLE_QUEUED_R14,
+    q_quantile_sketch_report,
 )
-
-QSKETCH_ORACLE_QUEUED_R14 = f"""
-WITH pop AS (
-  SELECT o_totalprice AS v,
-         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
-  FROM orders
-  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
-), sk AS (
-  SELECT h, v FROM pop ORDER BY h, v LIMIT {GATE_K}
-), agg AS (
-  SELECT list_sort(list(v)) AS vs, count(*)::BIGINT AS n_sample FROM sk
-), probes(p_micro, bound_micro) AS (VALUES {_PROBE_VALUES}
-), est AS (
-  SELECT p_micro::BIGINT AS p_micro, n_sample,
-         vs[CAST(greatest(1, (p_micro * n_sample + {qsketch.MICRO - 1})
-                             // {qsketch.MICRO}) AS INT)] AS est_value,
-         bound_micro
-  FROM probes, agg
-), exact AS (
-  SELECT e.p_micro, e.n_sample, e.est_value, e.bound_micro,
-         ({qsketch.MICRO} * (SELECT count(*) FROM pop WHERE v <= e.est_value))
-           // (SELECT count(*) FROM pop) AS exact_rank_micro
-  FROM est e
-)
-SELECT p_micro, n_sample, est_value, exact_rank_micro,
-       abs(exact_rank_micro - p_micro) <= bound_micro AS within_bound
-FROM exact
-"""
 
 
 LAYOUT_RANGES = 8
@@ -521,7 +426,8 @@ def test_queued_layout_gate_matches_duckdb_twin(spark):
 
 
 def test_queued_catalog_gate_matches_duckdb_twin(spark):
-    """Full driver-protocol rehearsal of the queued r14 entry at sf0.01:
+    """Full driver-protocol rehearsal of the registered r12 entry at
+    sf0.01:
     sorted-column value comparison through the pandas fetch path (the
     driver-equivalent form, per the r10 postmortem)."""
     import duckdb

@@ -187,59 +187,22 @@ def test_grouped_replay_equals_batch_build_and_guards(spark):
         qst.q_stream_grouped(None, "/tmp/x", ["g"], "g string", k=1)
 
 
-# ---------------------------------------------------------------------------
-# Queued r14 catalog gate: stream_quantile_sketch
-# ---------------------------------------------------------------------------
+# --- the r12 catalog gate (REGISTERED in plans/catalog_r12.py; the
+# rehearsal imports the registered body + oracle so it exercises the
+# exact catalog entry) ------------------------------------------------
 
-GATE_K = 128
-GATE_PROBS = [0.5, 0.9]
-
-
-def q_stream_quantile_sketch(spark, sf_dir):
-    """Queued r14 gate: the events value stream replayed through THREE
-    real micro-batches into the cumulative sample store, then the
-    median and p90 read from the final k-row state.  The fold is
-    slicing-invariant, so the batch SQL twin covers the replay at any
-    geometry (the stream_kmv_distinct discipline).
-
-    Scale: per batch one TakeOrdered(k) + a 2k-row re-minimize + one
-    k-row write; state is k rows for the life of the stream.  All-
-    integer surface except est_value, a copied parquet double."""
-    from advanced_elb_logs_etl_spark.plans.catalog import _t
-
-    ev = _t(spark, sf_dir, "events").select("event_id", "value")
-    sample = qst.replay_qsketch(
-        spark, ev, "value", "event_id", k=GATE_K,
-        num_batches=3, order_col="event_id",
-    )
-    return qsketch.q_quantiles(sample, GATE_PROBS, k=GATE_K)
-
-
-_GATE_PMS = ", ".join(
-    f"({int(round(p * qsketch.MICRO))})" for p in GATE_PROBS
+from advanced_elb_logs_etl_spark.plans.catalog_r12 import (  # noqa: E402
+    SQS_GATE_K as GATE_K,
+    SQS_GATE_PROBS as GATE_PROBS,
+    STREAM_QSKETCH_ORACLE as STREAM_QSKETCH_ORACLE_QUEUED_R14,
+    q_stream_quantile_sketch,
 )
-
-STREAM_QSKETCH_ORACLE_QUEUED_R14 = f"""
-WITH pop AS (
-  SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h,
-         value AS v
-  FROM events
-  WHERE event_id IS NOT NULL AND value IS NOT NULL
-), sk AS (
-  SELECT h, v FROM pop ORDER BY h, v LIMIT {GATE_K}
-), agg AS (
-  SELECT list_sort(list(v)) AS vs, count(*)::BIGINT AS n_sample FROM sk
-), probes(p_micro) AS (VALUES {_GATE_PMS})
-SELECT p_micro::BIGINT AS p_micro, n_sample,
-       vs[CAST(greatest(1, (p_micro * n_sample + {qsketch.MICRO - 1})
-                           // {qsketch.MICRO}) AS INT)] AS est_value
-FROM probes, agg
-"""
 
 
 def test_queued_stream_gate_matches_duckdb_twin(spark):
-    """Full driver-protocol rehearsal of the queued r14 entry at sf0.01
-    through the pandas fetch path (driver-equivalent, r10 postmortem)."""
+    """Full driver-protocol rehearsal of the registered r12 entry at
+    sf0.01 through the pandas fetch path (driver-equivalent, r10
+    postmortem)."""
     import duckdb
 
     sf = "/root/testdata/sf0.01"

@@ -1,5 +1,5 @@
 """The driver's correctness gate covers the FIRST 50 names queries()
-emits — pin the shipped round-11 window so a refactor can't silently
+emits — pin the shipped round-12 window so a refactor can't silently
 reorder it between the rehearsal and the driver run."""
 
 from __future__ import annotations
@@ -10,31 +10,38 @@ import os
 from advanced_elb_logs_etl_spark.plans.catalog import CATALOG, FRONT_OF_CATALOG
 from advanced_elb_logs_etl_spark.plans import queries, oracle_sql
 
-R11_HEAD = [
-    # the two never-green entries, third registration attempt — twins'
-    # HUGEINT sums now cast ::BIGINT (the judge-verified r10 root cause)
-    "lm_perplexity_filter",
-    "bm25_topk",
-    # the widened stash drain (VERDICT r10 item 5: four slots): the KMV
-    # pair from the reserved r11 slots plus butterfly + attribution
-    # pulled forward from the r12 stash
-    "kmv_distinct_setops",
-    "stream_kmv_distinct",
-    "butterfly_census",
-    "attribution_report",
+R12_HEAD = [
+    # the 8-wide stash drain (VERDICT r11 item 1, widened per the r11
+    # precedent): the r12 reserved pair, the r13 pair, the r14 quantile
+    # pair, and the r15 pair — all registered in plans/catalog_r12.py
+    "record_linkage_topk",
+    "neyman_allocation_report",
+    "cm_join_size",
+    "leakage_safe_split_report",
+    "quantile_sketch_report",
+    "stream_quantile_sketch",
+    "kmv_retention_matrix",
+    "cidr_lpm_enrichment",
 ]
 
-R11_R6_SLICE = [
-    # the nine r6-green entries displaced from the r10 window
-    "simhash_signatures",
-    "stream_lsh_band_canonical",
-    "substring_dedup_spans",
-    "text_stats",
-    "topk_orders",
-    "union_distinct_names",
-    "value_outliers_z",
-    "volume_shipping_q7",
-    "zorder_clustering_preview",
+R12_R7_SLICE = [
+    # the fifteen remaining r7-green entries (CORRECTNESS_r07 record
+    # order, entries 36-50) — the oldest signal in the catalog
+    "small_quantity_revenue_q17",
+    "window_lead_gap",
+    "first_last_by_key",
+    "ntile_latency_buckets",
+    "stats_moments_battery",
+    "min_max_by_battery",
+    "mode_per_group",
+    "histogram_latency",
+    "tumbling_window_agg",
+    "conditional_ratio_report",
+    "array_zip_cosine",
+    "session_window_batch",
+    "incremental_agg_merge",
+    "semantic_dedup_corpus",
+    "classifier_score_topk",
 ]
 
 
@@ -54,45 +61,42 @@ def _last_green(max_round: int) -> dict[str, int]:
     return last
 
 
-def test_r11_window_is_the_rehearsed_50():
+def test_r12_window_is_the_rehearsed_50():
     names = list(queries())
-    # positions 1-6: the never-green pair, then the four registrations
-    assert names[:6] == R11_HEAD
-    # positions 7-15: the displaced r6-green entries
-    assert names[6:15] == R11_R6_SLICE
+    # positions 1-8: the eight new registrations
+    assert names[:8] == R12_HEAD
+    # positions 9-23: the r7-green leftovers
+    assert names[8:23] == R12_R7_SLICE
     # the window is exactly the documented FRONT head (order included)
     assert names[:50] == [n for n in FRONT_OF_CATALOG if n in CATALOG][:50]
 
 
-def test_r11_window_follows_staleness_order():
+def test_r12_window_follows_staleness_order():
     """The window is computed from the committed driver records: the
-    two never-green entries first, the four brand-new registrations
-    next, then the r6-green cycle's tail, then only r7-green entries —
-    so a queue that skips a stale cycle fails mechanically."""
-    last = _last_green(10)
+    eight brand-new registrations first, then the complete r7-green
+    tail, then only r8-green entries — so a queue that skips a stale
+    cycle fails mechanically."""
+    last = _last_green(11)
     names = list(queries())
-    # lm/bm25 have NO green driver row in any record (r9+r10 reds)
-    assert all(n not in last for n in names[:2]), names[:2]
-    # the four r11 registrations are brand new (no record at all)
-    assert all(n not in last for n in names[2:6]), names[2:6]
-    # positions 7-15: r6-green only (the complete remaining r6 cycle)
-    assert all(last.get(n) == 6 for n in names[6:15]), [
-        (n, last.get(n)) for n in names[6:15] if last.get(n) != 6
+    # the eight r12 registrations are brand new (no record at all)
+    assert all(n not in last for n in names[:8]), names[:8]
+    # positions 9-23: r7-green only — and ALL of them (the complete
+    # remaining r7 cycle, so nothing r7-stale survives this window)
+    assert all(last.get(n) == 7 for n in names[8:23]), [
+        (n, last.get(n)) for n in names[8:23] if last.get(n) != 7
     ]
-    assert {n for n in names if last.get(n) == 6} == set(names[6:15])
-    # positions 16-65: the complete r7-green cycle (first 35 in the
-    # window, the 15 leftovers heading the r12 queue)
-    r7green = {n for n in names if last.get(n) == 7}
-    assert set(names[15:65]) == r7green
-    assert len(r7green) == 50
-    # positions 66-115: the complete r8-green cycle queued for r12/r13
+    assert {n for n in names if last.get(n) == 7} == set(names[8:23])
+    # positions 24-73: the complete r8-green cycle (first 27 in the
+    # window, the 23 leftovers heading the r13 queue)
     r8green = {n for n in names if last.get(n) == 8}
-    assert set(names[65:115]) == r8green
+    assert set(names[23:73]) == r8green
     assert len(r8green) == 50
+    # nothing never-green remains anywhere behind the new registrations
+    assert all(n in last for n in names[8:])
 
 
 def test_catalog_is_complete_and_oracled():
     names = list(queries())
-    assert len(names) == len(set(names)) == 211
+    assert len(names) == len(set(names)) == 219
     # zero rows-only checks: every query carries an oracle
     assert set(oracle_sql()) == set(names)

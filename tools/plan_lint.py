@@ -73,6 +73,10 @@ CARTESIAN_ALLOW: dict[str, str] = {
     "kmv_distinct_setops": "five 1-row estimate/exact report frames stitched (k-row sketches, never data)",
     "stream_kmv_distinct": "1-row estimate x 1-row exact count (the hll_shard_union shape)",
     "butterfly_census": "three 1-row census aggregates combined (the triangle_census shape)",
+    "cm_join_size": "1-row sketch estimate x 1-row exact join count (the hll_shard_union bound-check shape)",
+    "leakage_safe_split_report": "3-row per-split frame x 1-row leakage-audit counter",
+    "neyman_allocation_report": "1-row weight-total/leftover frames broadcast into the strata apportionment",
+    "quantile_sketch_report": "4-row quantile-estimate frame broadcast into the exact-rank corpus pass (bound check)",
 }
 
 #: (query -> reason) for Window nodes with an empty partition spec. Every
@@ -90,6 +94,10 @@ GLOBAL_WINDOW_ALLOW: dict[str, str] = {
         "totals aggregate (32 rows, never data); was hidden behind the "
         "pin=True eager checkpoint until r7's pin='defer' exposed the "
         "lazy plan"
+    ),
+    "neyman_allocation_report": (
+        "largest-remainder row_number over the |strata|-row aggregate "
+        "(5 rows, bounded by construction — the benford class)"
     ),
 }
 
