@@ -651,9 +651,14 @@ def lpa_communities(
         counts = msgs.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("cnt")
         )
+        # min_by over (-cnt, label): most-frequent first, then smallest
+        # label — type-agnostic in the label (string node ids are
+        # accepted by _mirror and the other graph operators; negating
+        # the label would require numeric ids, ADVICE r11).  cnt is
+        # always numeric, so -cnt is safe.
         new = counts.groupBy("node").agg(
-            F.max_by(
-                "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+            F.min_by(
+                "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
             ).alias("label")
         )
         labels = new.localCheckpoint(eager=True)

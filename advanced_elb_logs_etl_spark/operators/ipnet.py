@@ -49,15 +49,17 @@ def _mask(prefix_len: int) -> int:
 def ip4_to_long(ip: Column) -> Column:
     """Dotted-quad IPv4 -> BIGINT in [0, 2^32), NULL for anything that
     is not exactly four in-range integer octets (IPv6, hostnames, empty,
-    sentinel '-').  Column math: one anchored digits-only rlike (the
-    strictness guard — try_cast alone trims whitespace and accepts
-    signs, which the stdlib rejects) + split + try_cast + the
-    positional multiply-add with the 0-255 range guard."""
+    sentinel '-').  Column math: one anchored rlike (the strictness
+    guard — try_cast alone trims whitespace and accepts signs, and a
+    digits-only pattern would admit leading-zero octets like
+    '010.1.2.3', all of which the stdlib ipaddress parser rejects;
+    ADVICE r11) + split + try_cast + the positional multiply-add with
+    the 0-255 range guard."""
     parts = F.split(ip, r"\.")
     octets = [
         F.element_at(parts, i + 1).try_cast("long") for i in range(4)
     ]
-    ok = ip.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    ok = ip.rlike(r"^(0|[1-9]\d{0,2})(\.(0|[1-9]\d{0,2})){3}$")
     for o in octets:
         ok = ok & o.isNotNull() & (o >= 0) & (o <= 255)
     val = sum(
@@ -132,6 +134,14 @@ def longest_prefix_match(
         ),
         reverse=True,
     )
+    if not lens:
+        # mirror the loud NULL-row rejection: an empty feed would
+        # otherwise surface as an opaque py4j error from the zero-arm
+        # coalesce below (ADVICE r11)
+        raise ValueError(
+            "prefix table is empty — longest_prefix_match needs at "
+            "least one parsed (prefix_len, base_long) block"
+        )
     out = df.withColumn("_ip_long", ip4_to_long(F.col(ip_col)))
     for n in lens:
         slice_n = prefixes.filter(F.col("prefix_len") == n).select(
@@ -143,17 +153,29 @@ def longest_prefix_match(
             out["_ip_long"].bitwiseAND(F.lit(_mask(n))) == F.col(f"_b{n}"),
             "left",
         )
+    # Payloads are picked by a chained CASE on the MATCH indicator, not
+    # a coalesce over payload values: a matching block whose payload
+    # value is NULL must yield NULL, not fall through to a less-specific
+    # block's payload while matched_prefix_len reports the specific
+    # length (ADVICE r11 — payload and matched_prefix_len always come
+    # from the same block).
+    def _from_best_block(values: dict[int, Column]) -> Column:
+        expr = None
+        for n in lens:
+            cond = F.col(f"_b{n}").isNotNull()
+            expr = (
+                F.when(cond, values[n])
+                if expr is None
+                else expr.when(cond, values[n])
+            )
+        return expr
+
     sel = [
-        F.coalesce(*[F.col(f"_{c}_{n}") for n in lens]).alias(c)
+        _from_best_block({n: F.col(f"_{c}_{n}") for n in lens}).alias(c)
         for c in payload_cols
     ]
     sel.append(
-        F.coalesce(
-            *[
-                F.when(F.col(f"_b{n}").isNotNull(), F.lit(n))
-                for n in lens
-            ]
-        )
+        _from_best_block({n: F.lit(n) for n in lens})
         .cast("int")
         .alias("matched_prefix_len")
     )

@@ -50,13 +50,26 @@ __all__ = [
     "replay_qsketch_grouped",
 ]
 
-SAMPLE_SCHEMA = T.StructType(
-    [
-        T.StructField("h", T.LongType()),
-        T.StructField("v", T.DoubleType()),
-        T.StructField("batch", T.IntegerType()),
-    ]
-)
+def _sample_schema(value_type: T.DataType) -> T.StructType:
+    """Store schema for the global sample: (h, v, batch) with ``v``
+    carrying the STREAM's value type — q_batch_step preserves the input
+    column type (the 'copied input values, bit-exact' contract
+    inherited from qsketch), so the snapshot reader must declare the
+    same type or a BIGINT value stream would write long parquet and
+    read it back as double (ADVICE r11)."""
+    return T.StructType(
+        [
+            T.StructField("h", T.LongType()),
+            T.StructField("v", value_type),
+            T.StructField("batch", T.IntegerType()),
+        ]
+    )
+
+
+#: The default (double-valued) store schema, kept for callers that
+#: pre-create stores; every internal read derives the schema from the
+#: actual value type instead.
+SAMPLE_SCHEMA = _sample_schema(T.DoubleType())
 
 
 def q_batch_step(
@@ -77,7 +90,10 @@ def q_batch_step(
 
 
 def _read_prior(
-    spark: SparkSession, path: str, before_batch: int
+    spark: SparkSession,
+    path: str,
+    before_batch: int,
+    value_type: T.DataType | None = None,
 ) -> DataFrame | None:
     """Latest cumulative sample snapshot strictly before ``before_batch``
     via store.read_latest_snapshot (directory-listing batch selection,
@@ -86,7 +102,8 @@ def _read_prior(
     every subsequent quantile toward the recent batches)."""
     from .store import read_latest_snapshot
 
-    return read_latest_snapshot(spark, path, SAMPLE_SCHEMA, before_batch)
+    schema = _sample_schema(value_type or T.DoubleType())
+    return read_latest_snapshot(spark, path, schema, before_batch)
 
 
 def _process_batch(
@@ -103,7 +120,12 @@ def _process_batch(
     from .cmstream import _prune_history
 
     sample_dir = os.path.join(store_dir, "sample")
-    prev = _read_prior(batch_df.sparkSession, sample_dir, batch_id)
+    prev = _read_prior(
+        batch_df.sparkSession,
+        sample_dir,
+        batch_id,
+        batch_df.schema[value_col].dataType,
+    )
     out = q_batch_step(batch_df, prev, value_col, id_col, k)
     out.write.mode("overwrite").parquet(
         os.path.join(sample_dir, f"batch={batch_id}")
@@ -130,13 +152,20 @@ def q_stream(
     return stream.writeStream.foreachBatch(_process).outputMode("update")
 
 
-def current_qsketch(spark: SparkSession, store_dir: str) -> DataFrame:
+def current_qsketch(
+    spark: SparkSession, store_dir: str, value_ddl: str = "double"
+) -> DataFrame:
     """The latest cumulative sample (columns ``h, v``) — feed it to
     qsketch.q_quantiles / q_cdf_micro, or q_merge to combine with other
-    stores."""
-    sample = _read_prior(spark, os.path.join(store_dir, "sample"), 2**31 - 1)
+    stores.  ``value_ddl`` declares the stream's value type (the store
+    copies input values verbatim — a BIGINT stream needs "bigint"
+    here, mirroring groups_ddl on the grouped form)."""
+    vtype = spark.createDataFrame([], f"v {value_ddl}").schema["v"].dataType
+    sample = _read_prior(
+        spark, os.path.join(store_dir, "sample"), 2**31 - 1, vtype
+    )
     if sample is None:
-        return spark.createDataFrame([], "h long, v double")
+        return spark.createDataFrame([], f"h long, v {value_ddl}")
     return sample.select("h", "v")
 
 
@@ -198,9 +227,10 @@ def replay_qsketch(
                 f"qsketch replay did not drain within {timeout_sec}s —"
                 " refusing to read a partially-populated store"
             )
-        final = current_qsketch(spark, store)
+        vddl = df.schema[value_col].dataType.simpleString()
+        final = current_qsketch(spark, store, value_ddl=vddl)
         rows = final.collect()  # materialize before the store dir is removed
-        return spark.createDataFrame(rows, "h long, v double")
+        return spark.createDataFrame(rows, f"h long, v {vddl}")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         shutil.rmtree(tmp, ignore_errors=True)
@@ -219,13 +249,17 @@ def replay_qsketch(
 # ---------------------------------------------------------------------------
 
 
-def _grouped_state_schema(spark: SparkSession, groups_ddl: str) -> T.StructType:
+def _grouped_state_schema(
+    spark: SparkSession, groups_ddl: str, value_ddl: str = "double"
+) -> T.StructType:
     """State schema for the grouped store: the caller's group columns
-    (DDL string, e.g. "hour string, status string") + (h long, v double,
-    batch int).  Built through createDataFrame so the DDL parse follows
-    the session's resolver."""
+    (DDL string, e.g. "hour string, status string") + (h long,
+    v <value_ddl>, batch int).  The value type follows the stream
+    (values are copied verbatim into the store — ADVICE r11).  Built
+    through createDataFrame so the DDL parse follows the session's
+    resolver."""
     return spark.createDataFrame(
-        [], f"{groups_ddl}, h long, v double, batch int"
+        [], f"{groups_ddl}, h long, v {value_ddl}, batch int"
     ).schema
 
 
@@ -270,7 +304,14 @@ def _process_batch_grouped(
     spark = batch_df.sparkSession
     sample_dir = os.path.join(store_dir, "sample")
     prev = read_latest_snapshot(
-        spark, sample_dir, _grouped_state_schema(spark, groups_ddl), batch_id
+        spark,
+        sample_dir,
+        _grouped_state_schema(
+            spark,
+            groups_ddl,
+            batch_df.schema[value_col].dataType.simpleString(),
+        ),
+        batch_id,
     )
     out = q_grouped_batch_step(
         batch_df, prev, group_cols, value_col, id_col, k
@@ -320,21 +361,28 @@ def q_stream_grouped(
 
 
 def current_qsketch_grouped(
-    spark: SparkSession, store_dir: str, groups_ddl: str
+    spark: SparkSession,
+    store_dir: str,
+    groups_ddl: str,
+    value_ddl: str = "double",
 ) -> DataFrame:
     """The latest cumulative per-group sample (group columns + ``h, v``)
     — feed it to qsketch.q_quantiles_grouped, q_merge_grouped for
-    roll-ups, or union with other stores before a re-minimize."""
+    roll-ups, or union with other stores before a re-minimize.
+    ``value_ddl`` declares the stream's value type (values are stored
+    verbatim)."""
     from .store import read_latest_snapshot
 
     sample = read_latest_snapshot(
         spark,
         os.path.join(store_dir, "sample"),
-        _grouped_state_schema(spark, groups_ddl),
+        _grouped_state_schema(spark, groups_ddl, value_ddl),
         2**31 - 1,
     )
     if sample is None:
-        return spark.createDataFrame([], f"{groups_ddl}, h long, v double")
+        return spark.createDataFrame(
+            [], f"{groups_ddl}, h long, v {value_ddl}"
+        )
     return sample.drop("batch")
 
 
@@ -399,10 +447,11 @@ def replay_qsketch_grouped(
                 f"grouped qsketch replay did not drain within {timeout_sec}s"
                 " — refusing to read a partially-populated store"
             )
-        final = current_qsketch_grouped(spark, store, groups_ddl)
+        vddl = df.schema[value_col].dataType.simpleString()
+        final = current_qsketch_grouped(spark, store, groups_ddl, vddl)
         rows = final.collect()  # materialize before the store dir is removed
         return spark.createDataFrame(
-            rows, f"{groups_ddl}, h long, v double"
+            rows, f"{groups_ddl}, h long, v {vddl}"
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)

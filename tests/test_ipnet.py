@@ -221,3 +221,65 @@ def test_keep_ip_long_passthrough(spark):
     ).collect()[0]
     assert out.ip_long == int(ipaddress.IPv4Address("10.1.2.3"))
     assert out.matched_prefix_len == 24
+
+
+# --- ADVICE r11 hardening pins -------------------------------------------
+
+
+def test_leading_zero_octets_rejected_like_stdlib(spark):
+    """'010.1.2.3' parses as 10.1.2.3 under plain int-cast octet math
+    but the stdlib ipaddress parser rejects it — the strict rlike now
+    matches the stdlib (ADVICE r11)."""
+    cases = ["010.1.2.3", "1.02.3.4", "1.2.3.007", "00.0.0.0"]
+    ok = ["0.0.0.0", "10.1.2.3", "255.255.255.255", "1.0.200.9"]
+    df = spark.createDataFrame([(c,) for c in cases + ok], "ip string")
+    got = {
+        r.ip: r.v
+        for r in df.select(
+            "ip", ipnet.ip4_to_long(F.col("ip")).alias("v")
+        ).collect()
+    }
+    for c in cases:
+        with pytest.raises(Exception):
+            ipaddress.IPv4Address(c)
+        assert got[c] is None, c
+    for c in ok:
+        assert got[c] == int(ipaddress.IPv4Address(c)), c
+
+
+def test_empty_prefix_table_raises_loudly(spark):
+    """A zero-row feed must fail with a clear message, not an opaque
+    zero-arm coalesce error (ADVICE r11)."""
+    ips = spark.createDataFrame([("10.0.0.1",)], "client_ip string")
+    empty = ipnet.parse_cidr(
+        spark.createDataFrame([], "cidr string, org string")
+    )
+    with pytest.raises(ValueError, match="prefix table is empty"):
+        ipnet.longest_prefix_match(ips, empty, "client_ip", ["org"])
+
+
+def test_null_payload_in_best_block_stays_null(spark):
+    """When the MOST SPECIFIC matching block carries a NULL payload
+    value, the payload must be NULL — not a less-specific block's
+    payload while matched_prefix_len still reports the specific length
+    (ADVICE r11: payload and matched_prefix_len always come from the
+    same block)."""
+    feed = ipnet.parse_cidr(
+        spark.createDataFrame(
+            [("10.0.0.0/8", "backbone"), ("10.1.0.0/16", None)],
+            "cidr string, org string",
+        )
+    )
+    ips = spark.createDataFrame(
+        [("10.1.2.3",), ("10.9.9.9",)], "client_ip string"
+    )
+    got = {
+        r.client_ip: (r.org, r.matched_prefix_len)
+        for r in ipnet.longest_prefix_match(
+            ips, feed, "client_ip", ["org"]
+        ).collect()
+    }
+    # inside the /16 with NULL org: NULL payload, length 16 (same block)
+    assert got["10.1.2.3"] == (None, 16)
+    # outside the /16: the /8 payload
+    assert got["10.9.9.9"] == ("backbone", 8)

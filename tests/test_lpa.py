@@ -183,3 +183,22 @@ def test_queued_lpa_gate_matches_duckdb_twin(spark):
     # the gate carries structure: more than one community, none global
     sizes = [r.n_nodes for r in spd.itertuples(index=False)]
     assert len(sizes) > 1 and max(sizes) < sum(sizes)
+
+
+def test_string_node_ids_supported(spark):
+    """The tie-break is type-agnostic (min_by over (-cnt, label), ADVICE
+    r11): a string-id edge frame — accepted by _mirror and the other
+    graph operators — must propagate labels with ties broken by the
+    SMALLEST label string, exactly like the numeric form."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y")],
+        "u string, v string",
+    )
+    got = {
+        r.node: r.label for r in graph.lpa_communities(edges, rounds=3).collect()
+    }
+    # the triangle converges to its smallest label; the 2-cycle
+    # oscillates deterministically (the documented bipartite behavior —
+    # after 3 synchronous swaps each holds the other's label)
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert (got["x"], got["y"]) == ("y", "x")

@@ -223,3 +223,36 @@ def test_queued_stream_gate_matches_duckdb_twin(spark):
     assert len(srows) == len(GATE_PROBS)
     # the gate exercises the SATURATED regime
     assert all(r.n_sample == GATE_K for r in spd.itertuples(index=False))
+
+
+def test_bigint_value_stream_roundtrips_bit_exact(spark):
+    """ADVICE r11: the store schema is derived from the STREAM's value
+    type, so a BIGINT value column writes long parquet and reads back
+    long — the replayed sample equals the batch build bit-exactly and
+    keeps the long dtype (previously the double-pinned reader broke on
+    non-double stores)."""
+    rows = [(f"r{i}", (i * 7919) % 1000) for i in range(40)]
+    df = spark.createDataFrame(rows, "id string, v bigint")
+    got = qst.replay_qsketch(
+        spark, df, "v", "id", k=K, num_batches=3, order_col="id"
+    )
+    assert got.schema["v"].dataType.simpleString() == "bigint"
+    whole = qsketch.q_build(df, "v", "id", k=K)
+    assert sorted((r.h, r.v) for r in got.collect()) == sorted(
+        (r.h, r.v) for r in whole.collect()
+    )
+
+
+def test_bigint_value_grouped_stream_roundtrips(spark):
+    """The grouped store derives its value type the same way."""
+    rows = [(f"r{i}", "g%d" % (i % 2), (i * 104729) % 500) for i in range(30)]
+    df = spark.createDataFrame(rows, "id string, g string, v bigint")
+    got = qst.replay_qsketch_grouped(
+        spark, df, ["g"], "g string", "v", "id",
+        k=K, num_batches=2, order_col="id",
+    )
+    assert got.schema["v"].dataType.simpleString() == "bigint"
+    whole = qsketch.q_build_grouped(df, ["g"], "v", "id", k=K)
+    assert sorted((r.g, r.h, r.v) for r in got.collect()) == sorted(
+        (r.g, r.h, r.v) for r in whole.collect()
+    )
