@@ -19,7 +19,7 @@ testable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Default geometry: M must be a multiple of 64 (bitmap lanes are longs).
@@ -143,4 +143,163 @@ def bloom_semi_join(
         build.select(F.col(build_key).alias("__bk")).distinct(),
         F.col(probe_key) == F.col("__bk"),
         "left_semi",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom first-seen dedup: the approximate-membership analog of exact
+# first-seen dedup (streaming/neardup.stream_first_seen_dedup), for the
+# regime where the seen-key set itself is too large to keep — the
+# standard bounded-memory URL/doc-id dedup of web-scale crawl pipelines
+# (Broder & Mitzenmacher 2004, "Network applications of Bloom filters").
+#
+# Semantics are ITEM-LEVEL and order-exact: an item is flagged
+# `bloom_dup` iff every one of its k bit positions was set by an item
+# with a STRICTLY SMALLER order value.  That definition is a pure
+# function of the (order, key) set — computable in one batch pass (the
+# first-set time of a bit is the min order over items hashing to it),
+# replayable as a micro-batch fold (streaming/bloomstream.py), and
+# value-exact twinnable in SQL.  No false negatives: a true duplicate's
+# bits were all set by its earlier occurrence.
+#
+# These positions use the md5 h60 hash (functions/hashing.py), NOT the
+# xxhash64 lanes above: the pre-join filter needs speed only, the dedup
+# lane needs a cross-engine twin.  SQL twin per position i:
+#   ('0x' || substr(md5(i || ':' || key), 1, 15))::BIGINT % m_bits
+# ---------------------------------------------------------------------------
+
+from ..functions.hashing import h60  # noqa: E402
+
+#: Dedup-lane defaults: sized so a ~10^3..10^4-key corpus exercises a
+#: real (but bounded) false-positive regime; production callers size
+#: m_bits from the expected distinct count (m ~ 10-15 bits/key for
+#: <1% fp at k=4).
+DEDUP_M_BITS = 8192
+DEDUP_K = 4
+
+
+def bloom_positions_md5(key: Column, k: int = DEDUP_K, m_bits: int = DEDUP_M_BITS) -> Column:
+    """Array of the k md5-derived bit positions of a (string) key."""
+    return F.array(
+        *[(h60(key, seed=i) % F.lit(m_bits)).cast("long") for i in range(k)]
+    )
+
+
+def bloom_first_seen_flags(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    k: int = DEDUP_K,
+    m_bits: int = DEDUP_M_BITS,
+    first_set: DataFrame | None = None,
+) -> DataFrame:
+    """(order, key, bloom_dup): order-exact approximate first-seen flags.
+
+    ``order_col`` must be UNIQUE per row (an event id, an offset): ties
+    would make "strictly earlier" ambiguous.  NULL keys/orders are
+    dropped (the cm_build convention).  ``first_set`` optionally injects
+    an external (bit, t_first) frame (the streaming store's prior
+    state); it is min-merged with the batch's own first-set times, which
+    is what makes the micro-batch fold equal this batch semantics when
+    batches are order-aligned.
+
+    Scale shape (100 TB): one explode (k rows/item, narrow) -> one hash
+    agg to <= m_bits first-set rows (map-side combinable) -> a BROADCAST
+    join of that bounded frame back onto the exploded rows -> one hash
+    agg back to one row per item (partial agg collapses the k rows
+    before the only corpus-keyed shuffle).  State is never more than
+    m_bits rows; the seen-KEY set is never materialized.
+    """
+    if k < 1 or k > 6:
+        raise ValueError(f"k must be in [1, 6], got {k}")
+    if m_bits < 2:
+        raise ValueError(f"m_bits must be >= 2, got {m_bits}")
+    base = df.filter(
+        F.col(key_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(
+        F.col(order_col).alias("o"),
+        F.col(key_col).cast("string").alias("key"),
+    )
+    bits = base.select(
+        "o",
+        "key",
+        F.explode(
+            bloom_positions_md5(F.col("key"), k, m_bits)
+        ).alias("bit"),
+    )
+    batch_first = bits.groupBy("bit").agg(F.min("o").alias("t_first"))
+    if first_set is not None:
+        batch_first = (
+            batch_first.unionByName(
+                first_set.select("bit", "t_first")
+            )
+            .groupBy("bit")
+            .agg(F.min("t_first").alias("t_first"))
+        )
+    flagged = (
+        bits.join(F.broadcast(batch_first), "bit")
+        .groupBy("o", "key")
+        .agg(F.max("t_first").alias("_t_max"))
+        .select(
+            F.col("o").alias(order_col),
+            F.col("key").alias(key_col),
+            (F.col("_t_max") < F.col("o")).alias("bloom_dup"),
+        )
+    )
+    return flagged
+
+
+def bloom_dedup_report(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    k: int = DEDUP_K,
+    m_bits: int = DEDUP_M_BITS,
+) -> DataFrame:
+    """One-row accuracy report: the bloom flags beside the EXACT
+    first-seen flags — n_items, both dup counts, the false-positive
+    count (bloom says dup, exact says first) and fp_per_million over
+    the true-first items.  No false negatives by construction (asserted
+    by the n_false_neg column, which must read 0).
+
+    The exact lane keys the full corpus (this is the cost the bloom
+    lane exists to avoid) — gate-only instrumentation; production
+    callers run bloom_first_seen_flags alone."""
+    flags = bloom_first_seen_flags(df, key_col, order_col, k, m_bits)
+    base = df.filter(
+        F.col(key_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(
+        F.col(order_col).alias(order_col),
+        F.col(key_col).cast("string").alias(key_col),
+    )
+    exact = base.select(
+        order_col,
+        key_col,
+        (
+            F.min(order_col).over(Window.partitionBy(key_col))
+            < F.col(order_col)
+        ).alias("exact_dup"),
+    )
+    joined = flags.join(exact, [order_col, key_col])
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.count_if("bloom_dup").alias("n_bloom_dup"),
+        F.count_if("exact_dup").alias("n_exact_dup"),
+        F.count_if(F.col("bloom_dup") & ~F.col("exact_dup")).alias(
+            "n_false_pos"
+        ),
+        F.count_if(~F.col("bloom_dup") & F.col("exact_dup")).alias(
+            "n_false_neg"
+        ),
+    ).select(
+        "n_items",
+        "n_bloom_dup",
+        "n_exact_dup",
+        "n_false_pos",
+        "n_false_neg",
+        F.floor(
+            F.col("n_false_pos")
+            * F.lit(1_000_000)
+            / (F.col("n_items") - F.col("n_exact_dup"))
+        ).cast("long").alias("fp_per_million"),
     )

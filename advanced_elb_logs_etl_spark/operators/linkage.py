@@ -124,3 +124,38 @@ def customer_block_pairs(customer: DataFrame) -> DataFrame:
             ).alias("f_bal_sign"),
         )
     )
+
+
+def resolve_entities(
+    records: DataFrame,
+    scored: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Entity resolution: collapse linked record pairs into canonical
+    entities — the standard Fellegi-Sunter pipeline tail (score pairs ->
+    keep decision='link' -> transitive closure -> one entity id per
+    connected set), the record-linkage analog of the near-dup cluster
+    step in the dedup lane.
+
+    ``records``: the full record frame (``id_col`` unique);
+    ``scored``: score_pairs output over any blocking of those records
+    (id1, id2, decision).  Output: records' columns + ``entity_id`` —
+    the smallest record id reachable through link edges; records in no
+    link pair are their own entity.  Deterministic: a pure function of
+    the link set.
+
+    Scale shape (100 TB): the closure reuses the dedup lane's
+    min-label components (diameter-bounded rounds, one keyed shuffle
+    per round — link graphs are unions of small cliques, so 2-3 rounds
+    in practice); the backfill is one broadcast-sized left join
+    (components exist only for linked records, a small fraction).  The
+    quadratic hazard lives in the caller's blocking, not here."""
+    from .dedup import neardup_components
+
+    links = scored.filter(F.col("decision") == "link").select(
+        F.col("id1").alias("id_a"), F.col("id2").alias("id_b")
+    )
+    comp = neardup_components(links).withColumnRenamed("doc_id", id_col)
+    return records.join(comp, id_col, "left").withColumn(
+        "entity_id", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")

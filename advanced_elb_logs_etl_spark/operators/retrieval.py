@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import tokens
 
-__all__ = ["doc_term_stats", "corpus_length_stats", "bm25_topk"]
+__all__ = ["doc_term_stats", "corpus_length_stats", "bm25_topk", "rrf_fuse"]
 
 #: Integer contribution scale: micro-units.
 _SCALE = 1_000_000
@@ -173,4 +173,67 @@ def bm25_topk(
     top = scored.orderBy(F.col("score_micro").desc(), F.col(id_col)).limit(k)
     return top.withColumn(
         "score", F.col("score_micro").cast("double") / F.lit(float(_SCALE))
+    )
+
+
+def rrf_fuse(
+    lanes: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009,
+    "Reciprocal rank fusion outperforms Condorcet and individual rank
+    learning methods", SIGIR) of N ranked result lists:
+
+        rrf(d) = sum over lanes L containing d of 1 / (k0 + rank_L(d))
+
+    The standard hybrid-retrieval combiner: BM25's lexical ranks fused
+    with the embedding ANN ranks, no score calibration needed — only
+    ranks cross the lane boundary, so lanes with incomparable score
+    scales (integer micro BM25 vs float cosine) fuse cleanly.
+
+    ``lanes`` maps lane name -> a ranked frame with (id_col, rank_col);
+    ranks must be 1-based and unique per lane (row_number output).
+    Output: (id_col, rank_<name> per lane, rrf_micro) — the fused score
+    in integer micro-units (floor(1e6 / (k0 + rank)) per lane, summed),
+    top-k by (rrf_micro DESC, id).  Integer end-to-end, so the result
+    is value-exact twinnable; a doc absent from a lane contributes 0
+    and keeps a NULL rank for that lane.
+
+    Scale shape (100 TB): each lane is already a top-N bounded frame
+    (TakeOrdered output) — the fusion is full-outer joins and Column
+    math over <= sum(N_i) rows, then TakeOrdered(k).  The heavy lifting
+    (and its scale story) lives inside the lanes."""
+    if not lanes:
+        raise ValueError("lanes must be non-empty")
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1, got {k0}")
+    joined: DataFrame | None = None
+    for name, df in lanes.items():
+        d = df.select(
+            F.col(id_col),
+            F.col(rank_col).cast("long").alias(f"rank_{name}"),
+        )
+        joined = d if joined is None else joined.join(
+            d, id_col, "full_outer"
+        )
+    score = None
+    for name in lanes:
+        contrib = F.coalesce(
+            F.floor(
+                F.lit(_SCALE) / (F.lit(k0) + F.col(f"rank_{name}"))
+            ),
+            F.lit(0),
+        )
+        score = contrib if score is None else score + contrib
+    return (
+        joined.select(
+            id_col,
+            *[F.col(f"rank_{name}") for name in lanes],
+            score.cast("long").alias("rrf_micro"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), id_col)
+        .limit(k)
     )

@@ -125,6 +125,31 @@ FRONT_OF_CATALOG: list[str] = [
     #     q_range_boundaries + assign_range_ids, gate body + oracle in
     #     tests/test_qsketch.py — 8-range layout boundaries with the
     #     actual per-range counts as in-record balance evidence).
+    # r15 stash (built + pytest-pinned + twin-rehearsed in the r12
+    # session), two r15 window slots — the Bloom dedup pair:
+    #   - bloom_dedup_report (operators/bloom.py bloom_first_seen_flags
+    #     / bloom_dedup_report, gate body + oracle in
+    #     tests/test_bloom_dedup.py — order-exact approximate
+    #     first-seen dedup with the exact-lane fp accounting riding the
+    #     row; n_false_neg must read 0).
+    #   - stream_bloom_dedup (streaming/bloomstream.py, gate body +
+    #     oracle in tests/test_bloom_dedup.py — 3 real micro-batches,
+    #     <= m_bits rows of state; item-level flags are
+    #     slicing-invariant under order-aligned batches so the batch
+    #     SQL twin covers the replay).
+    # r16 stash (built + pytest-pinned + twin-rehearsed in the r12
+    # session), two r16 window slots:
+    #   - rrf_hybrid_retrieval (operators/retrieval.rrf_fuse, gate body
+    #     + oracle in tests/test_rrf.py — BM25 lexical ranks fused with
+    #     embedding cosine ranks, integer micro RRF scores; NOTE at
+    #     registration: the BM25 rank window is over the 100-row
+    #     TakeOrdered output — needs a GLOBAL_WINDOW_ALLOW entry of the
+    #     benford/bounded-frame class).
+    #   - entity_resolution_report (operators/linkage.resolve_entities,
+    #     gate body + oracle in tests/test_entity_resolution.py — the
+    #     Fellegi-Sunter pipeline tail: link -> transitive closure ->
+    #     entity-size histogram; closure is the min-label component
+    #     loop, so the twin is the recursive-reach CTE).
     # r8-green cycle (CORRECTNESS_r08 record order; the first 27 close
     # the r12 window above, these 23 head the r13 queue):
     "rank_battery",
