@@ -284,6 +284,12 @@ def neyman_allocation(
             F.col("n_rows") * F.coalesce(F.col("sd_micro"), F.lit(0)),
         )
         .drop("sd6")
+        # MATERIALIZE BEFORE FAN-OUT (the cm_check_geometry lesson): the
+        # apportionment below references this frame through four scalar
+        # combines x two passes — left lazy, each reference replays the
+        # corpus agg (measured: 64 parquet scans of the input in the
+        # static plan).  The frame is |strata| rows, so the pin is free.
+        .localCheckpoint(eager=True)
     )
 
     def _largest_remainder(frame: DataFrame, w_col: str, out_col: str):

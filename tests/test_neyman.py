@@ -146,3 +146,24 @@ def test_queued_catalog_gate_matches_duckdb_twin(spark):
     # the allocations are a real split summing to exactly N
     rows = [dict(zip(sorted(cols), r)) for r in drows]
     assert sum(int(r["alloc_neyman"]) for r in rows) == GATE_N
+
+
+def test_apportionment_never_rescans_the_corpus(spark):
+    """The per-stratum aggregate is pinned before the scalar-combine
+    fan-out: left lazy, the four scalar totals x two passes replayed
+    the corpus agg 64 times in the static plan (round-12 plan audit).
+    The physical plan downstream of the pin must not scan the input."""
+    import io
+    from contextlib import redirect_stdout
+
+    rows = [("a", float(v)) for v in range(20)] + [("b", 1.0)] * 10
+    df = _frame(spark, rows)
+    out = sp.neyman_allocation(df, "stratum", "value", 50)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    # the pinned frame appears as a checkpointed scan; the ORIGINAL
+    # input lineage (LocalTableScan / parquet scan) must be absent
+    plan = buf.getvalue()
+    assert "LocalTableScan" not in plan
+    assert "Scan parquet" not in plan

@@ -150,6 +150,29 @@ HEADLINERS = {
                    "14-row spine x bounded histogram broadcast — no window, no float chain",
     "psi_value_drift": "projection + ONE 10-key hash agg + broadcast 1-row totals — the "
                        "cheapest possible drift-monitor shape",
+    "record_linkage_topk": "nation-blocked pair generation is an equi self-join (never a "
+                           "CartesianProduct); scoring is pure codegen Column math; "
+                           "TakeOrderedAndProject top-200 — no Window anywhere",
+    "neyman_allocation_report": "ONE corpus hash agg (count + stddev per stratum, map-side "
+                                "combinable); every later operator — the largest-remainder "
+                                "windows included — runs over the 5-row strata frame",
+    "cm_join_size": "two bounded map-side-combinable cell aggs (<= d*w rows each); the inner "
+                    "product is cell-frame joins; the exact-join lane is gate-only "
+                    "instrumentation (production form = the estimate alone)",
+    "leakage_safe_split_report": "the LSH pair pipeline and the assignment are "
+                                 "localCheckpointed once; the split itself is a broadcast "
+                                 "left join; the audit lane joins the pinned assignment twice",
+    "quantile_sketch_report": "the sketch build is TakeOrdered(k) — ZERO Exchange on the "
+                              "build path; the exact-rank lane is one corpus pass against a "
+                              "4-row broadcast (gate-only; production = the sketch lane)",
+    "stream_quantile_sketch": "real 3-batch replay; per batch one TakeOrdered(k) + a 2k-row "
+                              "re-minimize + one k-row store write — state is k rows forever",
+    "kmv_retention_matrix": "ONE grouped distinct agg + per-day top-k window builds every "
+                            "sketch (localCheckpointed, referenced three times); each "
+                            "day-pair probe is a k-row join",
+    "cidr_lpm_enrichment": "a chain of per-prefix-length BroadcastHashJoins in one stage — "
+                           "the corpus never shuffles until the final report agg "
+                           "(shuffleRecordsWritten == 0 pinned in tests/test_ipnet.py)",
 }
 
 
