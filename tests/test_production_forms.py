@@ -16,13 +16,16 @@ SF = "/root/testdata/sf0.001"
 
 def test_every_gate_has_a_registered_production_form():
     assert sorted(PRODUCTION_FORMS) == [
+        "cm_join_size",
         "cm_point_frequency",
         "hll_shard_union",
         "hourly_agg_approx",
         "ivf_cosine_topk",
         "kmv_distinct_setops",
+        "leakage_safe_split_report",
         "pq_adc_topk",
         "profile_table_approx",
+        "quantile_sketch_report",
         "stream_cm_point_frequency",
         "stream_kmv_distinct",
     ]
@@ -163,3 +166,46 @@ def test_kmv_production_estimates_equal_gate_lanes(spark):
     sgate = CATALOG["stream_kmv_distinct"][0](spark, SF).collect()[0]
     for c in ("n_hashes", "kth_hash", "est_distinct"):
         assert getattr(sprod, c) == getattr(sgate, c), c
+
+
+def test_cm_join_size_production_equals_gate_estimate(spark):
+    """The production form (the estimate alone) must emit exactly the
+    gate's est_join_size — same sketches, same inner product."""
+    gate = CATALOG["cm_join_size"][0](spark, SF).collect()[0]
+    prod = PRODUCTION_FORMS["cm_join_size"](spark, SF).collect()[0]
+    assert prod.est_join_size == gate.est_join_size
+
+
+def test_quantile_report_production_equals_gate_sketch_lane(spark):
+    """The production form (sketch lane alone) must agree with the
+    gate's (p_micro, n_sample, est_value) columns — the exact-rank lane
+    is the only thing the gate adds."""
+    gate = {
+        r.p_micro: (r.n_sample, r.est_value)
+        for r in CATALOG["quantile_sketch_report"][0](spark, SF).collect()
+    }
+    prod = {
+        r.p_micro: (r.n_sample, r.est_value)
+        for r in PRODUCTION_FORMS["quantile_sketch_report"](
+            spark, SF
+        ).collect()
+    }
+    assert prod == gate
+
+
+def test_leakage_production_equals_gate_accounting(spark):
+    """The production form (assignment + per-split counts, no audit
+    self-joins) must agree with the gate's per-split accounting."""
+    gate = {
+        r.split: (r.n_docs, r.n_components)
+        for r in CATALOG["leakage_safe_split_report"][0](
+            spark, SF
+        ).collect()
+    }
+    prod = {
+        r.split: (r.n_docs, r.n_components)
+        for r in PRODUCTION_FORMS["leakage_safe_split_report"](
+            spark, SF
+        ).collect()
+    }
+    assert prod == gate
