@@ -113,7 +113,22 @@ def main() -> None:
         release_deferred_caches()
         return elapsed
 
+    def _cpu_probe_ms() -> float:
+        # Fixed single-thread integer workload (~300 ms on this class of
+        # box): a box-speed reference that rides every record, so a
+        # uniform wall-clock delta between two records is adjudicable
+        # from the records alone.  Unlike load averages, this SEES
+        # hypervisor steal and frequency throttling (r12: three passes
+        # degraded 357 -> 501 s with idle load averages but 2-6%+ steal
+        # in vmstat — load_avg alone could not explain it).
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(5_000_000):
+            s += i * i
+        return round((time.perf_counter() - t0) * 1000, 1)
+
     load_start = os.getloadavg()
+    cpu_probe_start = min(_cpu_probe_ms() for _ in range(3))
     timings: dict[str, float] = {}
     for name in CATALOG:
         timings[name] = _run(name)
@@ -245,6 +260,8 @@ def main() -> None:
     run_conditions = {
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in load_end],
+        "cpu_probe_ms_start": cpu_probe_start,
+        "cpu_probe_ms_end": min(_cpu_probe_ms() for _ in range(3)),
         "ordering": "in-sequence; timings key order = execution order",
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
@@ -286,6 +303,10 @@ def main() -> None:
                 "isolated_warm": adjudicated_warm,
                 "gate_forms": gate_forms,
                 "load_avg": run_conditions["load_avg_start"],
+                "cpu_probe_ms": [
+                    run_conditions["cpu_probe_ms_start"],
+                    run_conditions["cpu_probe_ms_end"],
+                ],
                 "sf": sf,
                 "full_record": "bench_full_latest.json",
             },
