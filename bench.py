@@ -127,8 +127,21 @@ def main() -> None:
             s += i * i
         return round((time.perf_counter() - t0) * 1000, 1)
 
+    def _cpu_probe_wide_ms(width: int = 32) -> float:
+        # The same fixed workload on `width` JVM-side threads at once
+        # (spark.range is whole-stage-codegen integer work): sees
+        # MULTI-core steal and throttling that leaves the single-thread
+        # probe nominal — the r12-s4 signature (probe ~300 ms, 32-wide
+        # stages slow).
+        t0 = time.perf_counter()
+        spark.range(0, 64_000_000 * 32, 1, width).select(
+            F.sum(F.col("id") * F.col("id"))
+        ).collect()
+        return round((time.perf_counter() - t0) * 1000, 1)
+
     load_start = os.getloadavg()
     cpu_probe_start = min(_cpu_probe_ms() for _ in range(3))
+    cpu_probe_wide_start = min(_cpu_probe_wide_ms() for _ in range(2))
     timings: dict[str, float] = {}
     for name in CATALOG:
         timings[name] = _run(name)
@@ -262,6 +275,8 @@ def main() -> None:
         "load_avg_end": [round(x, 2) for x in load_end],
         "cpu_probe_ms_start": cpu_probe_start,
         "cpu_probe_ms_end": min(_cpu_probe_ms() for _ in range(3)),
+        "cpu_probe_wide_ms_start": cpu_probe_wide_start,
+        "cpu_probe_wide_ms_end": min(_cpu_probe_wide_ms() for _ in range(2)),
         "ordering": "in-sequence; timings key order = execution order",
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
@@ -306,6 +321,10 @@ def main() -> None:
                 "cpu_probe_ms": [
                     run_conditions["cpu_probe_ms_start"],
                     run_conditions["cpu_probe_ms_end"],
+                ],
+                "cpu_probe_wide_ms": [
+                    run_conditions["cpu_probe_wide_ms_start"],
+                    run_conditions["cpu_probe_wide_ms_end"],
                 ],
                 "sf": sf,
                 "full_record": "bench_full_latest.json",
