@@ -177,6 +177,15 @@ from ..functions.hashing import h60  # noqa: E402
 DEDUP_M_BITS = 8192
 DEDUP_K = 4
 
+#: Broadcast ceiling for the first-set state frame (<= m_bits rows of
+#: (bit, t_first) = ~16 bytes/row -> ~128 MB at 2^23).  Production
+#: sizing is m ~ 10-15 bits per expected distinct key, so a 10^9-key
+#: corpus wants m_bits ~ 2^34 — far past any broadcast: above the
+#: ceiling the flags join runs as a plain (shuffled) hash join on `bit`
+#: instead, which is still bounded-state (the frame never exceeds
+#: m_bits rows) but no longer pretends to fit every executor's memory.
+BROADCAST_STATE_MAX_BITS = 1 << 23
+
 
 def bloom_positions_md5(key: Column, k: int = DEDUP_K, m_bits: int = DEDUP_M_BITS) -> Column:
     """Array of the k md5-derived bit positions of a (string) key."""
@@ -204,11 +213,14 @@ def bloom_first_seen_flags(
     batches are order-aligned.
 
     Scale shape (100 TB): one explode (k rows/item, narrow) -> one hash
-    agg to <= m_bits first-set rows (map-side combinable) -> a BROADCAST
-    join of that bounded frame back onto the exploded rows -> one hash
-    agg back to one row per item (partial agg collapses the k rows
-    before the only corpus-keyed shuffle).  State is never more than
-    m_bits rows; the seen-KEY set is never materialized.
+    agg to <= m_bits first-set rows (map-side combinable) -> a join of
+    that bounded frame back onto the exploded rows (BROADCAST while
+    m_bits <= BROADCAST_STATE_MAX_BITS; above the ceiling — production
+    geometries of 10-15 bits/key over billions of keys — a plain hash
+    join on `bit`, so the state never has to fit executor memory) ->
+    one hash agg back to one row per item (partial agg collapses the k
+    rows before the only corpus-keyed shuffle).  State is never more
+    than m_bits rows; the seen-KEY set is never materialized.
     """
     if k < 1 or k > 6:
         raise ValueError(f"k must be in [1, 6], got {k}")
@@ -236,8 +248,13 @@ def bloom_first_seen_flags(
             .groupBy("bit")
             .agg(F.min("t_first").alias("t_first"))
         )
+    state = (
+        F.broadcast(batch_first)
+        if m_bits <= BROADCAST_STATE_MAX_BITS
+        else batch_first
+    )
     flagged = (
-        bits.join(F.broadcast(batch_first), "bit")
+        bits.join(state, "bit")
         .groupBy("o", "key")
         .agg(F.max("t_first").alias("_t_max"))
         .select(
@@ -297,9 +314,12 @@ def bloom_dedup_report(
         "n_exact_dup",
         "n_false_pos",
         "n_false_neg",
+        # nullif guards the empty-input case: 0 true-first items would be
+        # a DIVIDE_BY_ZERO error on an ANSI-on session (NULL is the honest
+        # answer — the fp rate over zero trials is undefined).
         F.floor(
             F.col("n_false_pos")
             * F.lit(1_000_000)
-            / (F.col("n_items") - F.col("n_exact_dup"))
+            / F.nullif(F.col("n_items") - F.col("n_exact_dup"), F.lit(0))
         ).cast("long").alias("fp_per_million"),
     )

@@ -195,7 +195,11 @@ def rrf_fuse(
     scales (integer micro BM25 vs float cosine) fuse cleanly.
 
     ``lanes`` maps lane name -> a ranked frame with (id_col, rank_col);
-    ranks must be 1-based and unique per lane (row_number output).
+    ranks must be 1-based and unique per lane (row_number output).  A
+    duplicate id within one lane keeps its BEST (smallest) rank — the
+    per-lane min-agg below makes the full-outer-join fan-out (which
+    would double-count contributions) impossible by construction rather
+    than a documented hazard.
     Output: (id_col, rank_<name> per lane, rrf_micro) — the fused score
     in integer micro-units (floor(1e6 / (k0 + rank)) per lane, summed),
     top-k by (rrf_micro DESC, id).  Integer end-to-end, so the result
@@ -210,11 +214,18 @@ def rrf_fuse(
         raise ValueError("lanes must be non-empty")
     if k0 < 1:
         raise ValueError(f"k0 must be >= 1, got {k0}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     joined: DataFrame | None = None
     for name, df in lanes.items():
-        d = df.select(
-            F.col(id_col),
-            F.col(rank_col).cast("long").alias(f"rank_{name}"),
+        d = (
+            df.select(
+                F.col(id_col),
+                F.col(rank_col).cast("long").alias(f"rank_{name}"),
+            )
+            # lanes are bounded top-N frames, so this agg is k-row work
+            .groupBy(id_col)
+            .agg(F.min(f"rank_{name}").alias(f"rank_{name}"))
         )
         joined = d if joined is None else joined.join(
             d, id_col, "full_outer"

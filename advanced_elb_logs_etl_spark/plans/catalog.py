@@ -44,141 +44,36 @@ def register(name: str, oracle: str | None):
 # CORRECTNESS_r01/r02) follow.  Names not present in CATALOG are ignored,
 # so this list may safely lead registration.
 FRONT_OF_CATALOG: list[str] = [
-    # ======== ROUND-12 WINDOW (positions 1-50) ========
-    # VERDICT r11 items 1, 2 in one move.  Layout (histogram after
-    # CORRECTNESS_r11: r11=50, r10=48, r9=48, r8=50, r7=15, never=0):
-    #   positions 1-8   — the stash drain, widened AGAIN (the r11
-    #                     4-wide precedent went 4/4 green first try and
-    #                     VERDICT r11 named the 12-deep registration
-    #                     backlog the binding constraint): the r12
-    #                     reserved pair (record_linkage_topk,
-    #                     neyman_allocation_report), the r13 pair
-    #                     (cm_join_size, leakage_safe_split_report),
-    #                     the r14 quantile pair (quantile_sketch_report,
-    #                     stream_quantile_sketch — VERDICT r11 item 7's
-    #                     registration-HEAD re-rehearsal ran this
-    #                     session), and the r15 pair
-    #                     (kmv_retention_matrix, cidr_lpm_enrichment).
-    #                     All eight built + pytest-pinned +
-    #                     twin-rehearsed in earlier sessions; registered
-    #                     in plans/catalog_r12.py; stash after this
-    #                     window: lpa_copurchase_communities +
-    #                     stream_kmv_retention_matrix (r16 pair) +
-    #                     kmv_sliding_distinct + quantile_range_layout
-    #                     (r17 pair) = 4.
-    #   positions 9-23  — the fifteen remaining r7-green entries (the
-    #                     oldest signal in the catalog; after this
-    #                     window nothing is staler than r8 — the item-2
-    #                     bar).
-    #   positions 24-50 — the first 27 of the r8-green cycle in
-    #                     CORRECTNESS_r08 record order (the remaining 23
-    #                     head the r13 queue below).
-    "record_linkage_topk",
-    "neyman_allocation_report",
-    "cm_join_size",
-    "leakage_safe_split_report",
-    "quantile_sketch_report",
-    "stream_quantile_sketch",
-    "kmv_retention_matrix",
-    "cidr_lpm_enrichment",
-    # r7-green leftovers (CORRECTNESS_r07 record order, entries 36-50):
-    "small_quantity_revenue_q17",
-    "window_lead_gap",
-    "first_last_by_key",
-    "ntile_latency_buckets",
-    "stats_moments_battery",
-    "min_max_by_battery",
-    "mode_per_group",
-    "histogram_latency",
-    "tumbling_window_agg",
-    "conditional_ratio_report",
-    "array_zip_cosine",
-    "session_window_batch",
-    "incremental_agg_merge",
-    "semantic_dedup_corpus",
-    "classifier_score_topk",
-    # ======== position 51+ (the r13 rotation queue, full and exact) ===
-    # After this window ships the histogram is r12=50, r11=50, r10=48,
-    # r9=48, r8=23 — so the r13 window is: the 23 remaining r8-green
-    # entries FIRST (positions 51-73, listed below after the window's
-    # r8 slice), then the r9-green cycle in CORRECTNESS_r09 record
-    # order (the first 27 complete the r13 window; the rest head r14
-    # with the r10 cycle behind them).  The remaining stash (all four
-    # built + pytest-pinned + twin-rehearsed in the r11 session,
-    # vanilla-session green at sf0.01 AND sf0.1) takes r13/r14 window
-    # slots at the restored 2-per-round cadence:
-    #   r13 pair:
-    #   - lpa_copurchase_communities (operators/graph.py
-    #     lpa_communities, gate body + unrolled 3-round oracle in
-    #     tests/test_lpa.py — deterministic label propagation, the
-    #     communities-not-components lane).
-    #   - stream_kmv_retention_matrix (streaming/kmvstream.py grouped
-    #     store -> kmv_pairwise_intersect, gate body in
-    #     tests/test_kmv.py; twin = the batch retention oracle
-    #     (KMV_RETENTION_ORACLE, now registered), by slicing
-    #     invariance).
-    #   r14 pair:
-    #   - kmv_sliding_distinct (operators/kmv.py kmv_sliding_estimate,
-    #     gate body + oracle in tests/test_kmv.py — trailing-3-day
-    #     unique users per day, sketch-row-bounded window expansion).
-    #   - quantile_range_layout (operators/qsketch.py
-    #     q_range_boundaries + assign_range_ids, gate body + oracle in
-    #     tests/test_qsketch.py — 8-range layout boundaries with the
-    #     actual per-range counts as in-record balance evidence).
-    # r15 stash (built + pytest-pinned + twin-rehearsed in the r12
-    # session), two r15 window slots — the Bloom dedup pair:
-    #   - bloom_dedup_report (operators/bloom.py bloom_first_seen_flags
-    #     / bloom_dedup_report, gate body + oracle in
-    #     tests/test_bloom_dedup.py — order-exact approximate
-    #     first-seen dedup with the exact-lane fp accounting riding the
-    #     row; n_false_neg must read 0).
-    #   - stream_bloom_dedup (streaming/bloomstream.py, gate body +
-    #     oracle in tests/test_bloom_dedup.py — 3 real micro-batches,
-    #     <= m_bits rows of state; item-level flags are
-    #     slicing-invariant under order-aligned batches so the batch
-    #     SQL twin covers the replay).
-    # r16 stash (built + pytest-pinned + twin-rehearsed in the r12
-    # session), two r16 window slots:
-    #   - rrf_hybrid_retrieval (operators/retrieval.rrf_fuse, gate body
-    #     + oracle in tests/test_rrf.py — BM25 lexical ranks fused with
-    #     embedding cosine ranks, integer micro RRF scores; NOTE at
-    #     registration: the BM25 rank window is over the 100-row
-    #     TakeOrdered output — needs a GLOBAL_WINDOW_ALLOW entry of the
-    #     benford/bounded-frame class).
-    #   - entity_resolution_report (operators/linkage.resolve_entities,
-    #     gate body + oracle in tests/test_entity_resolution.py — the
-    #     Fellegi-Sunter pipeline tail: link -> transitive closure ->
-    #     entity-size histogram; closure is the min-label component
-    #     loop, so the twin is the recursive-reach CTE).
-    # r8-green cycle (CORRECTNESS_r08 record order; the first 27 close
-    # the r12 window above, these 23 head the r13 queue):
-    "rank_battery",
-    "grouping_sets_events",
-    "alb_parse_roundtrip",
-    "hourly_agg",
-    "ua_family_counts",
-    "triangle_census",
-    "graph_jaccard_topk",
-    "top_ngrams_per_lang",
-    "doc_minhash_containment",
-    "unigram_logprob_score",
-    "weighted_percentile",
-    "sessionize_gap_dynamic",
-    "skew_salted_join",
-    "time_spine_gap_fill",
-    "event_attribution_last_touch",
-    "interval_overlap_join",
-    "decimal_exact_ledger",
-    "robust_scale_features",
-    "winsorize_values",
-    "weighted_sample_es",
-    "time_weighted_avg",
-    "entropy_per_source",
-    "autocorr_lag1",
-    "month_over_month_revenue",
-    "benford_first_digit",
-    "gini_revenue_concentration",
-    "unpivot_metrics",
+    # ======== ROUND-13 WINDOW (positions 1-50) ========
+    # VERDICT r12 items 1, 2 in one move.  Layout (histogram after
+    # CORRECTNESS_r12: r12=50, r11=50, r10=48, r9=48, r8=23, never=0):
+    #   positions 1-8   — the stash drained to ZERO: the r13 pair
+    #                     (lpa_copurchase_communities,
+    #                     stream_kmv_retention_matrix), the r14 pair
+    #                     (kmv_sliding_distinct, quantile_range_layout),
+    #                     the Bloom dedup pair (bloom_dedup_report,
+    #                     stream_bloom_dedup), rrf_hybrid_retrieval and
+    #                     entity_resolution_report.  All eight built +
+    #                     pytest-pinned + twin-rehearsed in the r11/r12
+    #                     sessions (the bloom/rrf/entity four at sf0.1
+    #                     on a vanilla session); registered in
+    #                     plans/catalog_r13.py; stash after this
+    #                     window: EMPTY — first time since r9.
+    #   positions 9-31  — the 23 remaining r8-green entries
+    #                     (CORRECTNESS_r08 record order; after this
+    #                     window nothing is staler than r9).
+    #   positions 32-50 — the first 19 of the r9-green cycle in
+    #                     CORRECTNESS_r09 record order (the remaining
+    #                     29 head the r14 queue below).
+    "lpa_copurchase_communities",
+    "stream_kmv_retention_matrix",
+    "kmv_sliding_distinct",
+    "quantile_range_layout",
+    "bloom_dedup_report",
+    "stream_bloom_dedup",
+    "rrf_hybrid_retrieval",
+    "entity_resolution_report",
+    # r8-green leftovers (CORRECTNESS_r08 record order, entries 28-50):
     "url_query_explode",
     "bitmap_distinct_dates",
     "freq_items_battery",
@@ -202,6 +97,90 @@ FRONT_OF_CATALOG: list[str] = [
     "waiting_supplier_q21",
     "global_sales_q22",
     "gopher_rules_battery",
+    # r9-green cycle, first 19 (CORRECTNESS_r09 record order):
+    "dim_enrich_join",
+    "error_report",
+    "url_parse",
+    "status_bucket",
+    "rolling_1h_avg",
+    "dedup_keep_best",
+    "khop_reachability",
+    "levenshtein_block_pairs",
+    "winnow_fingerprints",
+    "repeated_kgram_spans",
+    "bpe_segment_counts",
+    "setsim_prefix_join",
+    "centroid_cosine_outliers",
+    "feature_hashing_vectors",
+    "stream_dedup_equiv",
+    "stream_hourly_agg_equiv",
+    "stream_join_equiv",
+    "stream_session_window_equiv",
+    "stream_sliding_window_equiv",
+    # ======== position 51+ (the r14 rotation queue, full and exact) ===
+    # After this window ships the histogram is r13=50, r12=50, r11=50,
+    # r10=48, r9=29 — so the r14 window is: the 29 remaining r9-green
+    # entries FIRST (positions 51-79, listed below), then the r10-green
+    # cycle in CORRECTNESS_r10 record order (the first 21 complete the
+    # r14 window; the remaining 27 head r15 with the r11 cycle behind
+    # them).  The registration stash is EMPTY — r14+ window slots go
+    # entirely to rotation unless new operators are built and
+    # twin-rehearsed in the meantime (the freeze discipline still
+    # applies to anything new: build + pytest + twin FIRST, register in
+    # the next window).
+    # r9-green cycle, remaining 29 (CORRECTNESS_r09 record order):
+    "debounce_events_batch",
+    "null_semantics_battery",
+    "array_hof_battery",
+    "impute_battery",
+    "variant_extract_stats",
+    "sequence_top_paths",
+    "event_transition_matrix",
+    "event_cooccurrence_lift",
+    "time_to_conversion",
+    "view_to_purchase_within_hour",
+    "cohort_ltv_curve",
+    "rfm_segmentation",
+    "temperature_mix_sample",
+    "auc_mann_whitney",
+    "calibration_bins",
+    "chi_square_type_bucket",
+    "cohens_kappa",
+    "correlation_matrix",
+    "ewma_control_chart",
+    "km_survival",
+    "ks_two_sample_values",
+    "mutual_information",
+    "psi_value_drift",
+    "two_proportion_ztest",
+    "referential_integrity_audit",
+    "alternating_components",
+    "pq_adc_topk",
+    "stream_heavy_hitters",
+    "stream_latency_histogram",
+    # r10-green cycle, first 21 (CORRECTNESS_r10 record order — these
+    # close the r14 window; the remaining 27 of that cycle head r15):
+    "grouping_sets_pricing",
+    "set_ops_battery",
+    "welch_t_values",
+    "rolling_median_value",
+    "triangle_count_sampled",
+    "cm_point_frequency",
+    "stream_cm_point_frequency",
+    "pricing_summary",
+    "pipeline_e2e_hourly",
+    "sessionize",
+    "stream_first_seen_dedup",
+    "minhash_lsh_neardup",
+    "ann_cosine_topk",
+    "anti_join_uncached",
+    "asof_join_state",
+    "bot_origin_summary",
+    "bpe_train_merges",
+    "cohort_retention",
+    "compaction_plan_bins",
+    "date_parts",
+    "dedup_exact",
 ]
 
 

@@ -54,7 +54,12 @@ def q_set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: Spark plans all four as hash aggregations/joins on the key —
     distinct forms via LeftSemi/LeftAnti after dedup, ALL forms via a
     count-tagged aggregate — no sort, no window. The two inputs derive
-    from the same lineitem-orders broadcast-dim join."""
+    from the same lineitem-orders broadcast-dim join and are
+    localCheckpoint-pinned ONCE: the six lanes reference each side up
+    to five times, and without the pin every lazy reference replayed
+    the scan+join (20 source scans in the executed plan — the
+    neyman-class fan-out the r13 SCAN_FANOUT lint gate now rejects);
+    pinned, the battery reads lineitem twice total."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
 
@@ -65,6 +70,7 @@ def q_set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 li.l_orderkey == o.o_orderkey,
             )
             .select(F.col("l_partkey").alias("pk"))
+            .localCheckpoint(eager=True)
         )
 
     a, b = side("1-URGENT"), side("5-LOW")

@@ -73,6 +73,23 @@ FLAGS_SCHEMA = T.StructType(
     ]
 )
 
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _check_order_integral(df: DataFrame, order_col: str) -> None:
+    """BITS_SCHEMA pins t_first as LONG and the store casts min(o) to
+    long, but the in-batch flag comparison uses the order column's
+    NATIVE type — a timestamp/decimal order column would silently
+    diverge between store state and in-batch flags (or fail the cast).
+    Enforce the documented 'append-only event id / offset' contract at
+    the stream entrypoints."""
+    dt = df.schema[order_col].dataType
+    if not isinstance(dt, _INTEGRAL_TYPES):
+        raise TypeError(
+            f"order_col {order_col!r} must be an integral event id/offset "
+            f"(the store pins t_first as LONG); got {dt.simpleString()}"
+        )
+
 
 def bloom_batch_step(
     batch_df: DataFrame,
@@ -187,6 +204,7 @@ def bloom_stream(
         raise ValueError(f"k must be in [1, 6], got {k}")
     if m_bits < 2:
         raise ValueError(f"m_bits must be >= 2, got {m_bits}")
+    _check_order_integral(stream, order_col)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         _process_batch(
@@ -236,6 +254,7 @@ def replay_bloom(
     availableNow trigger) and return the per-batch summaries.  Batches
     are ORDER-ALIGNED (repartitionByRange on order_col), so the summed
     flags equal the batch operator's on the whole frame."""
+    _check_order_integral(df, order_col)
     import shutil
     import tempfile
     import time as _time

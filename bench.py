@@ -132,19 +132,35 @@ def main() -> None:
         # (spark.range is whole-stage-codegen integer work): sees
         # MULTI-core steal and throttling that leaves the single-thread
         # probe nominal — the r12-s4 signature (probe ~300 ms, 32-wide
-        # stages slow).
+        # stages slow).  Probe v2 (r13): the summed expression is
+        # bounded (id%1000 squared <= 1e6, total ~7e14 << 2^63) so the
+        # probe is ANSI-safe — sum(id*id) over 2^31 ids overflowed
+        # BIGINT, harmless under the session's ANSI-off pin but an
+        # ARITHMETIC_OVERFLOW abort on an ANSI-on session.
         t0 = time.perf_counter()
         spark.range(0, 64_000_000 * 32, 1, width).select(
-            F.sum(F.col("id") * F.col("id"))
+            F.sum((F.col("id") % 1000) * (F.col("id") % 1000))
         ).collect()
         return round((time.perf_counter() - t0) * 1000, 1)
 
     load_start = os.getloadavg()
     cpu_probe_start = min(_cpu_probe_ms() for _ in range(3))
+    # Position-comparability (VERDICT r12 item 4): the first wide-probe
+    # stage pays JIT/codegen warm-up (r12-s5: 1279 ms cold start vs
+    # 194 ms warmed end — NOT box degradation), so prime once untimed
+    # before every measured point; with that, start/mid/end probes are
+    # position-comparable within a record AND start-to-start across
+    # records of the same probe_version.
+    _cpu_probe_wide_ms()  # untimed JIT/codegen primer
     cpu_probe_wide_start = min(_cpu_probe_wide_ms() for _ in range(2))
     timings: dict[str, float] = {}
     for name in CATALOG:
         timings[name] = _run(name)
+
+    # Fixed JVM-warm mid-run probe point: immediately after the
+    # in-sequence catalog pass (VERDICT r12 item 4) — brackets the
+    # heavies so late-run degradation is visible as mid->end movement.
+    cpu_probe_wide_mid = min(_cpu_probe_wide_ms() for _ in range(2))
 
     # Gate forms of the production-benched entries, timed separately so
     # the record keeps BOTH numbers (headline = production, gate = the
@@ -258,6 +274,13 @@ def main() -> None:
         "bpe_train_merges",
         "substring_dedup_spans",
         "curate_corpus",
+        # VERDICT r12 item 3: dedup_corpus was the only un-adjudicated
+        # 2x breach in the r12 record (2.22x in-sequence, builder quiet
+        # pass 3.29 s = r1 parity — load, but the record couldn't say
+        # so).  decontaminate_corpus is the other heavy cluster-cache
+        # rider without a standing row.
+        "dedup_corpus",
+        "decontaminate_corpus",
     ):
         if name in CATALOG:
             _run(name)  # prime (rebuild any cleared shared frames)
@@ -276,7 +299,13 @@ def main() -> None:
         "cpu_probe_ms_start": cpu_probe_start,
         "cpu_probe_ms_end": min(_cpu_probe_ms() for _ in range(3)),
         "cpu_probe_wide_ms_start": cpu_probe_wide_start,
+        "cpu_probe_wide_ms_mid": cpu_probe_wide_mid,
         "cpu_probe_wide_ms_end": min(_cpu_probe_wide_ms() for _ in range(2)),
+        # v2 = ANSI-safe bounded expression + untimed JIT primer before
+        # each measured point; wide probes are position-comparable
+        # within a record and start-to-start across same-version records
+        # (do NOT compare v2 values against r12's v1 values).
+        "cpu_probe_wide_version": 2,
         "ordering": "in-sequence; timings key order = execution order",
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
@@ -324,6 +353,7 @@ def main() -> None:
                 ],
                 "cpu_probe_wide_ms": [
                     run_conditions["cpu_probe_wide_ms_start"],
+                    run_conditions["cpu_probe_wide_ms_mid"],
                     run_conditions["cpu_probe_wide_ms_end"],
                 ],
                 "sf": sf,

@@ -97,6 +97,47 @@ def test_first_set_injection_equals_concatenated_batch(spark):
     assert got_b == {o: whole[o] for o, _ in b}
 
 
+def test_empty_input_report_is_null_not_divide_by_zero(spark):
+    """ADVICE r12: fp_per_million divides by (n_items - n_exact_dup) = 0
+    on empty input — the nullif guard must yield NULL (not a
+    DIVIDE_BY_ZERO on an ANSI-on session)."""
+    rep = bloom.bloom_dedup_report(
+        _df(spark, []), "key", "o", k=K, m_bits=M
+    ).collect()[0]
+    assert rep.n_items == 0
+    assert rep.fp_per_million is None
+
+
+def test_large_geometry_state_join_is_not_broadcast(spark):
+    """ADVICE r12: production geometries (10-15 bits/key over billions
+    of keys) put m_bits far past any broadcast — above
+    BROADCAST_STATE_MAX_BITS the first-set join must run as a plain
+    (shuffled) join, with flags unchanged."""
+    rows = [(i, f"k{i % 9}") for i in range(60)]
+    big_m = bloom.BROADCAST_STATE_MAX_BITS * 2
+    df = bloom.bloom_first_seen_flags(
+        _df(spark, rows), "key", "o", k=K, m_bits=big_m
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    got = {r.o: r.bloom_dup for r in df.collect()}
+    assert got == _flags_py(rows, k=K, m=big_m)
+
+
+def test_non_integral_order_column_rejected_at_stream_entry(spark):
+    """ADVICE r12: the store pins t_first as LONG but the in-batch flag
+    comparison uses the order column's native type — a timestamp order
+    column must be rejected at the stream entrypoints, not silently
+    diverge."""
+    ts_df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "a")], "o string, key string"
+    ).select(F.to_timestamp("o").alias("o"), "key")
+    with pytest.raises(TypeError, match="integral"):
+        bst.replay_bloom(spark, ts_df, "key", "o", k=K, m_bits=M)
+    with pytest.raises(TypeError, match="integral"):
+        bst.bloom_stream(ts_df, "/tmp/unused", "key", "o", k=K, m_bits=M)
+
+
 def test_guards_and_null_dropping(spark):
     with pytest.raises(ValueError):
         bloom.bloom_first_seen_flags(_df(spark, []), "key", "o", k=0)
@@ -160,114 +201,16 @@ def test_process_batch_retry_idempotent(spark, tmp_path):
     assert len(before_bits) <= M
 
 
-# --- the queued catalog gates, rehearsed against DuckDB -------------------
-# bloom_dedup_report over events keyed by user_id, ordered by event_id,
-# at a 1024x4 geometry (150 keys -> ~44% fill -> a real false-positive
-# regime at sf0.01).  All-BIGINT surface.
+# --- the r13 catalog gates (REGISTERED in plans/catalog_r13.py; the
+# rehearsals import the registered bodies + oracles so they exercise
+# the exact catalog entries — the catalog_r12 pattern) ----------------
 
-GATE_K = 4
-GATE_M = 1024
-
-
-def q_bloom_dedup_report(spark, sf_dir):
-    """Queued gate: the one-row bloom-vs-exact dedup accuracy report
-    over the events stream (key = user_id, order = event_id).
-
-    Scale: the bloom lane is explode -> bounded agg -> broadcast ->
-    item agg (one corpus-keyed shuffle); the exact lane windows the
-    full corpus by key — gate-only instrumentation (production runs
-    bloom_first_seen_flags alone; see stream_bloom_dedup for the
-    bounded-state streaming form)."""
-    from advanced_elb_logs_etl_spark.plans.catalog import _t
-
-    return bloom.bloom_dedup_report(
-        _t(spark, sf_dir, "events"), "user_id", "event_id",
-        k=GATE_K, m_bits=GATE_M,
-    )
-
-
-BLOOM_REPORT_ORACLE_QUEUED = f"""
-WITH base AS (
-  SELECT event_id AS o, CAST(user_id AS VARCHAR) AS key
-  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-), bits AS (
-  SELECT o, key,
-         ('0x' || substr(md5(i || ':' || key), 1, 15))::BIGINT % {GATE_M}
-           AS bit
-  FROM base, (SELECT UNNEST(generate_series(0, {GATE_K - 1})) AS i)
-), first_set AS (
-  SELECT bit, min(o) AS t_first FROM bits GROUP BY bit
-), flags AS (
-  SELECT b.o, b.key, max(f.t_first) < b.o AS bloom_dup
-  FROM bits b JOIN first_set f USING (bit)
-  GROUP BY b.o, b.key
-), exact AS (
-  SELECT o, key, min(o) OVER (PARTITION BY key) < o AS exact_dup
-  FROM base
-), joined AS (
-  SELECT fl.bloom_dup, e.exact_dup
-  FROM flags fl JOIN exact e ON fl.o = e.o AND fl.key = e.key
-), agg AS (
-  SELECT count(*)::BIGINT AS n_items,
-         count(*) FILTER (bloom_dup)::BIGINT AS n_bloom_dup,
-         count(*) FILTER (exact_dup)::BIGINT AS n_exact_dup,
-         count(*) FILTER (bloom_dup AND NOT exact_dup)::BIGINT
-           AS n_false_pos,
-         count(*) FILTER (NOT bloom_dup AND exact_dup)::BIGINT
-           AS n_false_neg
-  FROM joined
+from advanced_elb_logs_etl_spark.plans.catalog_r13 import (  # noqa: E402
+    BLOOM_REPORT_ORACLE as BLOOM_REPORT_ORACLE_QUEUED,
+    STREAM_BLOOM_ORACLE as STREAM_BLOOM_ORACLE_QUEUED,
+    q_bloom_dedup_report,
+    q_stream_bloom_dedup,
 )
-SELECT n_items, n_bloom_dup, n_exact_dup, n_false_pos, n_false_neg,
-       (n_false_pos * 1000000) // (n_items - n_exact_dup)
-         AS fp_per_million
-FROM agg
-"""
-
-
-def q_stream_bloom_dedup(spark, sf_dir):
-    """Queued gate: events replayed through THREE real micro-batches of
-    the bounded-state streaming dedup; output = the global totals (the
-    per-item flags are slicing-invariant under order-aligned batches,
-    so the batch SQL twin covers the replay).
-
-    Scale: state is <= m_bits (bit, t_first) rows for the life of the
-    stream — the seen-key set is never kept; per batch one bounded agg
-    + one broadcast + one batch-keyed agg."""
-    from advanced_elb_logs_etl_spark.plans.catalog import _t
-
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
-    summaries = bst.replay_bloom(
-        spark, ev, "user_id", "event_id",
-        k=GATE_K, m_bits=GATE_M, num_batches=3,
-    )
-    return summaries.agg(
-        F.sum("n_items").alias("n_items"),
-        F.sum("n_bloom_dup").alias("n_bloom_dup"),
-        (F.sum("n_items") - F.sum("n_bloom_dup")).alias("n_bloom_new"),
-    )
-
-
-STREAM_BLOOM_ORACLE_QUEUED = f"""
-WITH base AS (
-  SELECT event_id AS o, CAST(user_id AS VARCHAR) AS key
-  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-), bits AS (
-  SELECT o, key,
-         ('0x' || substr(md5(i || ':' || key), 1, 15))::BIGINT % {GATE_M}
-           AS bit
-  FROM base, (SELECT UNNEST(generate_series(0, {GATE_K - 1})) AS i)
-), first_set AS (
-  SELECT bit, min(o) AS t_first FROM bits GROUP BY bit
-), flags AS (
-  SELECT b.o, max(f.t_first) < b.o AS bloom_dup
-  FROM bits b JOIN first_set f USING (bit)
-  GROUP BY b.o, b.key
-)
-SELECT count(*)::BIGINT AS n_items,
-       count(*) FILTER (bloom_dup)::BIGINT AS n_bloom_dup,
-       count(*) FILTER (NOT bloom_dup)::BIGINT AS n_bloom_new
-FROM flags
-"""
 
 
 def _rehearse(spark, fn, oracle, sf="/root/testdata/sf0.01"):

@@ -59,87 +59,14 @@ def test_resolution_is_deterministic_and_schema_stable(spark):
     assert a == b == [(5, 5), (7, 5), (9, 5), (100, 100)]
 
 
-# --- the queued catalog gate, rehearsed against DuckDB --------------------
-# Nation-blocked customer pairs scored with the registered linkage
-# field model, linked at a looser gate threshold (1.3M micro — admits
-# the balance+sign agreement class, so the closure carries real
-# multi-hop chains: sizes 1-4 at sf0.01), resolved, and reported as an
-# entity-size histogram.  All-BIGINT surface.
+# --- the r13 catalog gate (REGISTERED in plans/catalog_r13.py; the
+# rehearsal imports the registered body + oracle so it exercises the
+# exact catalog entry — the catalog_r12 pattern) -----------------------
 
-ENTITY_THRESHOLD = 1_300_000
-
-
-def q_entity_resolution_report(spark, sf_dir):
-    """Queued gate: the Fellegi-Sunter pipeline tail — link pairs above
-    the threshold collapse into canonical entities (transitive
-    closure), reported as (entity_size, n_entities, n_records).
-
-    Scale: one blocked self-join + Column scoring (the linkage lane's
-    documented shape), then min-label components over ONLY the link
-    edges (a tiny fraction of pairs) and one broadcast-backfill join +
-    two hash aggs.  The histogram is |distinct sizes| rows."""
-    from advanced_elb_logs_etl_spark.plans.catalog import _t
-
-    cust = _t(spark, sf_dir, "customer")
-    pairs = linkage.customer_block_pairs(cust)
-    scored = linkage.score_pairs(
-        pairs, LINKAGE_FIELDS, ENTITY_THRESHOLD, 0
-    )
-    resolved = linkage.resolve_entities(
-        cust.select("c_custkey"), scored, "c_custkey"
-    )
-    sizes = resolved.groupBy("entity_id").agg(
-        F.count(F.lit(1)).alias("entity_size")
-    )
-    return (
-        sizes.groupBy("entity_size")
-        .agg(
-            F.count(F.lit(1)).alias("n_entities"),
-            F.sum("entity_size").alias("n_records"),
-        )
-        .orderBy("entity_size")
-    )
-
-
-ENTITY_ORACLE_QUEUED = f"""
-WITH RECURSIVE c AS (
-  SELECT c_custkey, c_nationkey, c_mktsegment,
-         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
-  FROM customer
-), rawpairs AS (
-  SELECT a.c_custkey AS id1, b.c_custkey AS id2,
-         (a.c_mktsegment = b.c_mktsegment) AS f_segment,
-         (abs(a.bal_cents - b.bal_cents) <= 500) AS f_balance,
-         ((a.bal_cents >= 0) = (b.bal_cents >= 0)) AS f_bal_sign
-  FROM c a JOIN c b
-    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-), links AS (
-  SELECT id1, id2 FROM rawpairs
-  WHERE (CASE WHEN coalesce(f_segment, FALSE) THEN {_LINK_WS['f_segment'][0]} ELSE {_LINK_WS['f_segment'][1]} END
-     + CASE WHEN coalesce(f_balance, FALSE) THEN {_LINK_WS['f_balance'][0]} ELSE {_LINK_WS['f_balance'][1]} END
-     + CASE WHEN coalesce(f_bal_sign, FALSE) THEN {_LINK_WS['f_bal_sign'][0]} ELSE {_LINK_WS['f_bal_sign'][1]} END
-    ) >= {ENTITY_THRESHOLD}
-), edges AS (
-  SELECT id1 AS a, id2 AS b FROM links
-  UNION
-  SELECT id2, id1 FROM links
-), reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-), comp AS (
-  SELECT a AS id, least(a, min(b)) AS entity FROM reach GROUP BY a
-), assigned AS (
-  SELECT c_custkey AS id, coalesce(p.entity, c_custkey) AS entity_id
-  FROM customer LEFT JOIN comp p ON c_custkey = p.id
-), sizes AS (
-  SELECT entity_id, count(*)::BIGINT AS entity_size
-  FROM assigned GROUP BY entity_id
+from advanced_elb_logs_etl_spark.plans.catalog_r13 import (  # noqa: E402
+    ENTITY_ORACLE as ENTITY_ORACLE_QUEUED,
+    q_entity_resolution_report,
 )
-SELECT entity_size, count(*)::BIGINT AS n_entities,
-       sum(entity_size)::BIGINT AS n_records
-FROM sizes GROUP BY entity_size ORDER BY entity_size
-"""
 
 
 def test_queued_catalog_gate_matches_duckdb_twin(spark):

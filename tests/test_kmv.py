@@ -291,118 +291,21 @@ from advanced_elb_logs_etl_spark.plans.catalog_r12 import (  # noqa: E402
 )
 
 
-def q_stream_kmv_retention_matrix(spark, sf_dir):
-    """Queued r16 gate: the SAME retention matrix computed from the
-    STREAMED per-day minima — events replayed through THREE real
-    micro-batches into the grouped cumulative store, then
-    kmv_pairwise_intersect over the final state.  The per-group k-minima
-    fold is slicing-invariant, so the batch retention twin
-    (KMV_RETENTION_ORACLE_QUEUED_R15) covers every replay geometry —
-    the stream_kmv_distinct discipline, now for the overlap-matrix
-    composition (equality pinned independently in
-    tests/test_streaming_kmv.py).
-
-    Scale: per batch one grouped distinct agg + per-day top-k window
-    over THAT BATCH's rows; history is never re-scanned, state is k
-    rows per day; the matrix is k-row joins afterwards."""
-    from advanced_elb_logs_etl_spark.plans.catalog import _t, _us
-    from advanced_elb_logs_etl_spark.streaming import kmvstream as kms
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    keyed = ev.select(
-        F.col("event_id").alias("order_key"),
-        (_us(F.col("ts")) / F.lit(_DAY_US)).cast("long").alias("day_no"),
-        F.col("user_id").cast("string").alias("key"),
-    )
-    sk = kms.replay_kmv_grouped(
-        spark, keyed, ["day_no"], "day_no long", "key", k=RET_K,
-        num_batches=3, order_col="order_key",
-    ).localCheckpoint(eager=True)
-    days = sk.select("day_no").distinct()
-    pairs = (
-        days.select(
-            F.col("day_no").alias("g1"),
-            (F.col("day_no") + F.lit(1)).alias("g2"),
-        )
-        .join(days.select(F.col("day_no").alias("g2")), "g2")
-        .select("g1", "g2")
-    )
-    out = kmv.kmv_pairwise_intersect(sk, "day_no", pairs, k=RET_K)
-    return out.select(
-        F.col("g1").alias("day1"),
-        F.col("g2").alias("day2"),
-        "n_common",
-        "theta",
-        F.col("est_intersect").alias("est_returning"),
-    ).orderBy("day1")
-
-
-SLIDE_WIN = 3
-
-
-def q_kmv_sliding_distinct(spark, sf_dir):
-    """Queued r17 gate: trailing-3-day unique-user estimates per day
-    from the per-day KMV sketches — the sliding-window distinct no
-    exact per-day COUNT(DISTINCT) can answer without re-scanning
-    window-times the data.  ~130 users/day at sf0.01 against k=64
-    saturates every window, so the estimator arithmetic carries the
-    hash on all 30 output days.
-
-    Scale: one grouped build over the corpus (localCheckpointed — the
-    window expansion references it once but the build lineage is
-    corpus-sized), then sketch-row-bounded expansion (rows x window)
-    and the grouped estimator."""
-    from advanced_elb_logs_etl_spark.plans.catalog import _t, _us
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    keyed = ev.select(
-        (_us(F.col("ts")) / F.lit(_DAY_US)).cast("long").alias("day_no"),
-        F.col("user_id").cast("string").alias("key"),
-    )
-    sk = kmv.kmv_build_grouped(
-        keyed, ["day_no"], "key", k=RET_K
-    ).localCheckpoint(eager=True)
-    return kmv.kmv_sliding_estimate(sk, "day_no", SLIDE_WIN, k=RET_K).orderBy(
-        "day_no"
-    )
-
-
-KMV_SLIDING_ORACLE_QUEUED_R17 = f"""
-WITH keyed AS (
-  SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS day_no,
-         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-  FROM events WHERE user_id IS NOT NULL
-), sk AS (
-  SELECT day_no, h FROM (
-    SELECT day_no, h,
-           row_number() OVER (PARTITION BY day_no ORDER BY h) AS rn
-    FROM keyed
-  ) WHERE rn <= {RET_K}
-), expanded AS (
-  SELECT DISTINCT s.day_no + t.range AS day_no, s.h
-  FROM sk s, range(0, {SLIDE_WIN}) t
-  WHERE s.day_no + t.range IN (SELECT day_no FROM sk)
-), topk AS (
-  SELECT day_no, h FROM (
-    SELECT day_no, h,
-           row_number() OVER (PARTITION BY day_no ORDER BY h) AS rn
-    FROM expanded
-  ) WHERE rn <= {RET_K}
+# The streamed retention matrix and the sliding-window gate are
+# REGISTERED in plans/catalog_r13.py; the rehearsals import the
+# registered bodies + oracles so they exercise the exact catalog
+# entries (the catalog_r12 pattern).
+from advanced_elb_logs_etl_spark.plans.catalog_r13 import (  # noqa: E402
+    KMV_SLIDING_ORACLE as KMV_SLIDING_ORACLE_QUEUED_R17,
+    q_kmv_sliding_distinct,
+    q_stream_kmv_retention_matrix,
 )
-SELECT day_no::BIGINT AS day_no, count(*)::BIGINT AS n_hashes,
-       max(h) AS kth_hash,
-       CASE WHEN count(*) < {RET_K} THEN count(*)
-            ELSE CAST(floor({float((RET_K - 1) << 60)!r}
-                            / CAST(max(h) AS DOUBLE)) AS BIGINT)
-       END AS est_distinct
-FROM topk GROUP BY day_no
-"""
 
 
 def test_queued_sliding_gate_matches_duckdb_twin(spark):
-    """Full driver-protocol rehearsal of the queued r17 entry at sf0.01
-    through the pandas fetch path: 30 trailing-window estimates, every
-    window saturated."""
+    """Full driver-protocol rehearsal of the registered r13 entry at
+    sf0.01 through the pandas fetch path: 30 trailing-window estimates,
+    every window saturated."""
     import duckdb
 
     sf = "/root/testdata/sf0.01"

@@ -95,71 +95,19 @@ def test_rounds_guard(spark):
         graph.lpa_communities(_edges(spark, [(1, 2)]), rounds=0)
 
 
-# --- queued r16 gate: lpa_copurchase_communities (pre-rehearsed, the
-# freeze discipline — body + oracle live here until registration) -----
+# --- the r13 catalog gate (REGISTERED in plans/catalog_r13.py; the
+# rehearsal imports the registered body + oracle so it exercises the
+# exact catalog entry — the catalog_r12 pattern) -----------------------
 
-GATE_ROUNDS = 3
-
-
-def q_lpa_copurchase_communities(spark, sf_dir):
-    """Queued r16 gate: community-size distribution of the co-purchase
-    part graph after 3 deterministic LPA rounds — the domains/topics
-    lane components cannot see (a bridge edge merges components but not
-    communities).  Fixed round count keeps the fold SQL-unrollable, so
-    the twin is exact (no convergence nondeterminism).
-
-    Scale: per round two node-keyed shuffles over the mirrored edges
-    (the pagerank budget); the report is one hash agg on the final
-    one-row-per-node label frame."""
-    from advanced_elb_logs_etl_spark.plans.catalog import _t
-    from pyspark.sql import functions as F
-
-    li = _t(spark, sf_dir, "lineitem")
-    edges = graph.co_occurrence_edges(li, "l_orderkey", "l_partkey")
-    labels = graph.lpa_communities(edges, rounds=GATE_ROUNDS)
-    return (
-        labels.groupBy("label")
-        .agg(F.count(F.lit(1)).alias("n_nodes"))
-        .orderBy("label")
-    )
-
-
-_LPA_ROUND_SQL = """
-lab{r} AS (
-  SELECT node, label FROM (
-    SELECT e.u AS node, l.label, count(*) AS cnt,
-           row_number() OVER (
-             PARTITION BY e.u ORDER BY count(*) DESC, l.label ASC
-           ) AS rn
-    FROM und e JOIN lab{p} l ON l.node = e.v
-    GROUP BY e.u, l.label
-  ) WHERE rn = 1
-)"""
-
-LPA_ORACLE_QUEUED_R16 = (
-    "WITH pairs AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i"
-    " FROM lineitem),\n"
-    "ok AS (SELECT g FROM pairs GROUP BY g HAVING count(*) <= 64),\n"
-    "ed AS (\n"
-    "  SELECT DISTINCT a.i AS u, b.i AS v\n"
-    "  FROM pairs a JOIN pairs b ON a.g = b.g AND a.i < b.i\n"
-    "  WHERE a.g IN (SELECT g FROM ok)\n"
-    "),\n"
-    "und AS (SELECT u, v FROM ed UNION ALL SELECT v, u AS v FROM ed),\n"
-    "lab0 AS (SELECT DISTINCT u AS node, u AS label FROM und),"
-    + ",".join(
-        _LPA_ROUND_SQL.format(r=i + 1, p=i) for i in range(GATE_ROUNDS)
-    )
-    + f"""
-SELECT label, count(*)::BIGINT AS n_nodes
-FROM lab{GATE_ROUNDS} GROUP BY label
-"""
+from advanced_elb_logs_etl_spark.plans.catalog_r13 import (  # noqa: E402
+    LPA_ORACLE as LPA_ORACLE_QUEUED_R16,
+    q_lpa_copurchase_communities,
 )
 
 
 def test_queued_lpa_gate_matches_duckdb_twin(spark):
-    """Full driver-protocol rehearsal of the queued r16 entry at sf0.01
-    through the pandas fetch path (3 unrolled LPA rounds over the
+    """Full driver-protocol rehearsal of the registered r13 entry at
+    sf0.01 through the pandas fetch path (3 unrolled LPA rounds over the
     co-purchase edge twin)."""
     import duckdb
 

@@ -16,6 +16,7 @@ SF = "/root/testdata/sf0.001"
 
 def test_every_gate_has_a_registered_production_form():
     assert sorted(PRODUCTION_FORMS) == [
+        "bloom_dedup_report",
         "cm_join_size",
         "cm_point_frequency",
         "hll_shard_union",
@@ -191,6 +192,17 @@ def test_quantile_report_production_equals_gate_sketch_lane(spark):
         ).collect()
     }
     assert prod == gate
+
+
+def test_bloom_production_equals_gate_bloom_lane(spark):
+    """The production form (bloom lane alone) must agree with the
+    gate's n_items / n_bloom_dup columns — the exact lane (and its fp
+    accounting) is the only thing the gate adds."""
+    gate = CATALOG["bloom_dedup_report"][0](spark, SF).collect()[0]
+    prod = PRODUCTION_FORMS["bloom_dedup_report"](spark, SF).collect()[0]
+    assert prod.n_items == gate.n_items
+    assert prod.n_bloom_dup == gate.n_bloom_dup
+    assert prod.n_bloom_new == gate.n_items - gate.n_bloom_dup
 
 
 def test_leakage_production_equals_gate_accounting(spark):

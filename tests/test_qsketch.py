@@ -338,66 +338,19 @@ from advanced_elb_logs_etl_spark.plans.catalog_r12 import (  # noqa: E402
 )
 
 
-LAYOUT_RANGES = 8
-
-
-def q_quantile_range_layout(spark, sf_dir):
-    """Queued r17 gate (pairs with kmv_sliding_distinct): the
-    range-layout lever with a driver row — boundaries for 8 near-equal
-    ranges of o_totalprice from the k=256 sketch, then the ACTUAL
-    per-range row counts from one corpus pass (the in-record balance
-    evidence; at 100 TB you'd feed range_id to a partitioned write).
-    Output (range_id, n_rows) — all-integer surface.
-
-    Scale: one TakeOrdered build, a 7-value driver-side boundary
-    collect (bounded protocol collect, the model-collect discipline),
-    and one hash agg over the assigned corpus — no global sort
-    anywhere."""
-    from advanced_elb_logs_etl_spark.plans.catalog import _t
-
-    orders = _t(spark, sf_dir, "orders")
-    pop = orders.filter(
-        F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull()
-    ).select(F.col("o_totalprice").alias("v"))
-    sk = qsketch.q_build(orders, "o_totalprice", "o_orderkey", k=GATE_K)
-    bounds = [
-        r.value
-        for r in qsketch.q_range_boundaries(sk, LAYOUT_RANGES, k=GATE_K).collect()
-    ]
-    return (
-        qsketch.assign_range_ids(pop, "v", bounds)
-        .groupBy("range_id")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .select(F.col("range_id").cast("long").alias("range_id"), "n_rows")
-        .orderBy("range_id")
-    )
-
-
-QLAYOUT_ORACLE_QUEUED_R17 = f"""
-WITH pop AS (
-  SELECT o_totalprice AS v,
-         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
-  FROM orders
-  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
-), sk AS (
-  SELECT h, v FROM pop ORDER BY h, v LIMIT {GATE_K}
-), agg AS (
-  SELECT list_sort(list(v)) AS vs, count(*)::BIGINT AS n_sample FROM sk
-), bounds AS (
-  SELECT vs[CAST(greatest(1, (t.range * {qsketch.MICRO // LAYOUT_RANGES}
-                              * n_sample + {qsketch.MICRO - 1})
-                             // {qsketch.MICRO}) AS INT)] AS bv
-  FROM agg, range(1, {LAYOUT_RANGES}) t
+# The range-layout gate is REGISTERED in plans/catalog_r13.py; the
+# rehearsal imports the registered body + oracle so it exercises the
+# exact catalog entry (the catalog_r12 pattern).
+from advanced_elb_logs_etl_spark.plans.catalog_r13 import (  # noqa: E402
+    LAYOUT_RANGES,
+    QLAYOUT_ORACLE as QLAYOUT_ORACLE_QUEUED_R17,
+    q_quantile_range_layout,
 )
-SELECT (SELECT count(*) FROM bounds b WHERE b.bv <= p.v)::BIGINT AS range_id,
-       count(*)::BIGINT AS n_rows
-FROM pop p GROUP BY 1
-"""
 
 
 def test_queued_layout_gate_matches_duckdb_twin(spark):
-    """Full driver-protocol rehearsal of the queued r17 layout entry at
-    sf0.01 through the pandas fetch path: 8 ranges, every range
+    """Full driver-protocol rehearsal of the registered r13 layout entry
+    at sf0.01 through the pandas fetch path: 8 ranges, every range
     non-empty and within the sketch's rank band of ideal."""
     import duckdb
 

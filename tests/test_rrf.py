@@ -48,6 +48,25 @@ def test_topk_ties_and_guards(spark):
         retrieval.rrf_fuse({"a": a}, k0=0)
 
 
+def test_k_guard_and_duplicate_lane_ids_keep_best_rank(spark):
+    """ADVICE r12: k must be validated, and a duplicate id within one
+    lane must keep its BEST (smallest) rank instead of fanning out
+    through the full-outer joins and double-counting."""
+    a = _lane(spark, [(1, 3), (1, 1), (2, 2)])  # doc 1 twice in lane a
+    b = _lane(spark, [(1, 1)])
+    with pytest.raises(ValueError):
+        retrieval.rrf_fuse({"a": a}, k0=K0, k=0)
+    got = {
+        r.doc_id: (r.rank_a, r.rank_b, r.rrf_micro)
+        for r in retrieval.rrf_fuse({"a": a, "b": b}, k0=K0, k=10).collect()
+    }
+    m = 1_000_000
+    # exactly ONE output row per doc; doc 1 contributes rank 1 (not 3,
+    # and not both)
+    assert got[1] == (1, 1, 2 * (m // 61))
+    assert got[2] == (2, None, m // 62)
+
+
 def test_replica_differential_three_lanes(spark):
     import random
 
@@ -69,114 +88,19 @@ def test_replica_differential_three_lanes(spark):
     assert got == exp
 
 
-# --- the queued catalog gate, rehearsed against DuckDB --------------------
-# Hybrid retrieval: BM25 top-100 for four query terms fused with the
-# cosine top-100 neighbors of query vector 0 (documents and embeddings
-# share the 0..499 id space).  All-integer surface except the NULLable
-# lane ranks (BIGINT).
+# --- the r13 catalog gate (REGISTERED in plans/catalog_r13.py; the
+# rehearsal imports the registered body + oracle so it exercises the
+# exact catalog entry — the catalog_r12 pattern) -----------------------
 
-GATE_TERMS = ["join", "vector", "checkpoint", "gardenpath"]
-GATE_N = 100  # per-lane depth
-GATE_K = 50  # fused output
-GATE_QVEC = 0
-
-
-def q_rrf_hybrid_retrieval(spark, sf_dir):
-    """Queued gate: reciprocal-rank fusion of the lexical (BM25) and
-    semantic (embedding cosine) retrieval arms — the standard hybrid
-    search combiner, rank-only across the lane boundary.
-
-    Scale: lane A is bm25_topk (filtered explode + bounded aggs +
-    TakeOrdered); lane B is brute_force_topk with ONE broadcast query
-    vector (corpus never shuffles; the IVF/LSH variants swap in for
-    larger query sets); the fusion itself is full-outer joins over two
-    100-row frames + TakeOrdered(50).  The BM25 rank window is over the
-    100-row TakeOrdered output — bounded by construction
-    (GLOBAL_WINDOW_ALLOW's benford class; note at registration)."""
-    from advanced_elb_logs_etl_spark.plans.catalog import _t
-    from pyspark.sql import Window
-
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
-    bm = retrieval.bm25_topk(docs, GATE_TERMS, k=GATE_N)
-    bm_ranked = bm.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("score_micro").desc(), "doc_id"))
-        .cast("long")
-        .alias("rank"),
-    )
-    cos = similarity.brute_force_topk(
-        emb, emb.filter(F.col("vec_id") == GATE_QVEC), k=GATE_N
-    )
-    cos_ranked = cos.select(
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rank").cast("long").alias("rank"),
-    )
-    return retrieval.rrf_fuse(
-        {"bm25": bm_ranked, "cosine": cos_ranked},
-        id_col="doc_id",
-        k0=K0,
-        k=GATE_K,
-    )
-
-
-RRF_ORACLE_QUEUED = None  # built lazily (imports catalog_llm's _cos)
+from advanced_elb_logs_etl_spark.plans.catalog_r13 import (  # noqa: E402
+    RRF_GATE_K as GATE_K,
+    RRF_ORACLE,
+    q_rrf_hybrid_retrieval,
+)
 
 
 def _build_oracle() -> str:
-    from advanced_elb_logs_etl_spark.plans.catalog_llm import _cos
-
-    terms = ", ".join(f"('{t}')" for t in sorted(set(GATE_TERMS)))
-    return rf"""
-WITH q AS (SELECT * FROM (VALUES {terms}) AS v(term)),
-tok AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
-), stats AS (
-  SELECT doc_id, len(toks) AS dl, t.term, count(*)::BIGINT AS tf
-  FROM tok, UNNEST(toks) AS u(tk) JOIN q t ON u.tk = t.term
-  GROUP BY doc_id, len(toks), t.term
-), corpus AS (
-  SELECT count(*) AS n_docs, sum(len(toks)) AS dl_sum FROM tok
-), dfreq AS (
-  SELECT term, count(DISTINCT doc_id) AS df FROM stats GROUP BY term
-), idf AS (
-  SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
-  FROM dfreq, corpus
-), contrib AS (
-  SELECT s.doc_id,
-         round(i.idf * (s.tf * (1.2 + 1))
-               / (s.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl
-                                 / (c.dl_sum::DOUBLE / c.n_docs)))
-               * 1e6)::BIGINT AS c_micro
-  FROM stats s JOIN idf i USING (term), corpus c
-), bm_scored AS (
-  SELECT doc_id, sum(c_micro)::BIGINT AS score_micro
-  FROM contrib GROUP BY doc_id
-), bm_ranked AS (
-  SELECT doc_id,
-         row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank_bm25
-  FROM bm_scored ORDER BY score_micro DESC, doc_id LIMIT {GATE_N}
-), qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = {GATE_QVEC}),
-cos_scored AS (
-  SELECT v.vec_id AS doc_id, {_cos('q.q_vec', 'v.embedding')} AS cosine
-  FROM qv q, embeddings v WHERE v.vec_id != {GATE_QVEC}
-), cos_ranked AS (
-  SELECT doc_id,
-         row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank_cosine
-  FROM cos_scored ORDER BY cosine DESC, doc_id LIMIT {GATE_N}
-), fused AS (
-  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
-         b.rank_bm25::BIGINT AS rank_bm25,
-         c.rank_cosine::BIGINT AS rank_cosine,
-         (coalesce(1000000 // (60 + b.rank_bm25), 0)
-          + coalesce(1000000 // (60 + c.rank_cosine), 0))::BIGINT
-           AS rrf_micro
-  FROM bm_ranked b FULL OUTER JOIN cos_ranked c ON b.doc_id = c.doc_id
-)
-SELECT doc_id, rank_bm25, rank_cosine, rrf_micro
-FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {GATE_K}
-"""
+    return RRF_ORACLE
 
 
 def test_queued_catalog_gate_matches_duckdb_twin(spark):

@@ -1,5 +1,5 @@
 """The driver's correctness gate covers the FIRST 50 names queries()
-emits — pin the shipped round-12 window so a refactor can't silently
+emits — pin the shipped round-13 window so a refactor can't silently
 reorder it between the rehearsal and the driver run."""
 
 from __future__ import annotations
@@ -10,38 +10,47 @@ import os
 from advanced_elb_logs_etl_spark.plans.catalog import CATALOG, FRONT_OF_CATALOG
 from advanced_elb_logs_etl_spark.plans import queries, oracle_sql
 
-R12_HEAD = [
-    # the 8-wide stash drain (VERDICT r11 item 1, widened per the r11
-    # precedent): the r12 reserved pair, the r13 pair, the r14 quantile
-    # pair, and the r15 pair — all registered in plans/catalog_r12.py
-    "record_linkage_topk",
-    "neyman_allocation_report",
-    "cm_join_size",
-    "leakage_safe_split_report",
-    "quantile_sketch_report",
-    "stream_quantile_sketch",
-    "kmv_retention_matrix",
-    "cidr_lpm_enrichment",
+R13_HEAD = [
+    # the stash-to-zero drain (VERDICT r12 item 1): the r13 pair, the
+    # r14 pair, the Bloom dedup pair, rrf and entity resolution — all
+    # registered in plans/catalog_r13.py
+    "lpa_copurchase_communities",
+    "stream_kmv_retention_matrix",
+    "kmv_sliding_distinct",
+    "quantile_range_layout",
+    "bloom_dedup_report",
+    "stream_bloom_dedup",
+    "rrf_hybrid_retrieval",
+    "entity_resolution_report",
 ]
 
-R12_R7_SLICE = [
-    # the fifteen remaining r7-green entries (CORRECTNESS_r07 record
-    # order, entries 36-50) — the oldest signal in the catalog
-    "small_quantity_revenue_q17",
-    "window_lead_gap",
-    "first_last_by_key",
-    "ntile_latency_buckets",
-    "stats_moments_battery",
-    "min_max_by_battery",
-    "mode_per_group",
-    "histogram_latency",
-    "tumbling_window_agg",
-    "conditional_ratio_report",
-    "array_zip_cosine",
-    "session_window_batch",
-    "incremental_agg_merge",
-    "semantic_dedup_corpus",
-    "classifier_score_topk",
+R13_R8_SLICE = [
+    # the 23 remaining r8-green entries (CORRECTNESS_r08 record order,
+    # entries 28-50) — the oldest signal in the catalog after the r12
+    # window refreshed the r7 tail
+    "url_query_explode",
+    "bitmap_distinct_dates",
+    "freq_items_battery",
+    "string_agg_sorted",
+    "mad_robust_stats",
+    "running_distinct_users",
+    "regression_battery",
+    "date_function_battery",
+    "collect_set_sorted",
+    "heavy_hitters_exact",
+    "f2_moment_users",
+    "min_cost_supplier_q2",
+    "forecast_revenue_q6",
+    "market_share_q8",
+    "product_profit_q9",
+    "important_value_q11",
+    "customer_distribution_q13",
+    "top_supplier_q15",
+    "disjunctive_revenue_q19",
+    "excess_supply_q20",
+    "waiting_supplier_q21",
+    "global_sales_q22",
+    "gopher_rules_battery",
 ]
 
 
@@ -61,42 +70,42 @@ def _last_green(max_round: int) -> dict[str, int]:
     return last
 
 
-def test_r12_window_is_the_rehearsed_50():
+def test_r13_window_is_the_rehearsed_50():
     names = list(queries())
-    # positions 1-8: the eight new registrations
-    assert names[:8] == R12_HEAD
-    # positions 9-23: the r7-green leftovers
-    assert names[8:23] == R12_R7_SLICE
+    # positions 1-8: the eight new registrations (stash drained to zero)
+    assert names[:8] == R13_HEAD
+    # positions 9-31: the r8-green leftovers
+    assert names[8:31] == R13_R8_SLICE
     # the window is exactly the documented FRONT head (order included)
     assert names[:50] == [n for n in FRONT_OF_CATALOG if n in CATALOG][:50]
 
 
-def test_r12_window_follows_staleness_order():
+def test_r13_window_follows_staleness_order():
     """The window is computed from the committed driver records: the
-    eight brand-new registrations first, then the complete r7-green
-    tail, then only r8-green entries — so a queue that skips a stale
+    eight brand-new registrations first, then the complete r8-green
+    tail, then only r9-green entries — so a queue that skips a stale
     cycle fails mechanically."""
-    last = _last_green(11)
+    last = _last_green(12)
     names = list(queries())
-    # the eight r12 registrations are brand new (no record at all)
+    # the eight r13 registrations are brand new (no record at all)
     assert all(n not in last for n in names[:8]), names[:8]
-    # positions 9-23: r7-green only — and ALL of them (the complete
-    # remaining r7 cycle, so nothing r7-stale survives this window)
-    assert all(last.get(n) == 7 for n in names[8:23]), [
-        (n, last.get(n)) for n in names[8:23] if last.get(n) != 7
+    # positions 9-31: r8-green only — and ALL of them (the complete
+    # remaining r8 cycle, so nothing r8-stale survives this window)
+    assert all(last.get(n) == 8 for n in names[8:31]), [
+        (n, last.get(n)) for n in names[8:31] if last.get(n) != 8
     ]
-    assert {n for n in names if last.get(n) == 7} == set(names[8:23])
-    # positions 24-73: the complete r8-green cycle (first 27 in the
-    # window, the 23 leftovers heading the r13 queue)
-    r8green = {n for n in names if last.get(n) == 8}
-    assert set(names[23:73]) == r8green
-    assert len(r8green) == 50
+    assert {n for n in names if last.get(n) == 8} == set(names[8:31])
+    # positions 32-79: the complete r9-green cycle (first 19 in the
+    # window, the 29 leftovers heading the r14 queue)
+    r9green = {n for n in names if last.get(n) == 9}
+    assert set(names[31:79]) == r9green
+    assert len(r9green) == 48
     # nothing never-green remains anywhere behind the new registrations
     assert all(n in last for n in names[8:])
 
 
 def test_catalog_is_complete_and_oracled():
     names = list(queries())
-    assert len(names) == len(set(names)) == 219
+    assert len(names) == len(set(names)) == 227
     # zero rows-only checks: every query carries an oracle
     assert set(oracle_sql()) == set(names)

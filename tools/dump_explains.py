@@ -173,6 +173,30 @@ HEADLINERS = {
     "cidr_lpm_enrichment": "a chain of per-prefix-length BroadcastHashJoins in one stage — "
                            "the corpus never shuffles until the final report agg "
                            "(shuffleRecordsWritten == 0 pinned in tests/test_ipnet.py)",
+    "lpa_copurchase_communities": "per round two node-keyed shuffles over the mirrored edge "
+                                  "set only (the pagerank budget); the report is one hash agg "
+                                  "on the final one-row-per-node label frame",
+    "kmv_sliding_distinct": "ONE grouped distinct agg + per-day top-k window builds the "
+                            "sketches (localCheckpointed — the window expansion reads the "
+                            "k-row frame, never the corpus); expansion is rows x window",
+    "quantile_range_layout": "TakeOrdered(k) sketch build + a 7-value bounded driver collect; "
+                             "the balance evidence is ONE corpus hash agg over the assigned "
+                             "range ids — no global sort anywhere",
+    "bloom_dedup_report": "bloom lane: explode -> <= m_bits-row agg -> broadcast-back -> one "
+                          "item-keyed agg; the exact first-seen window is gate-only "
+                          "instrumentation (production form = the bloom lane alone)",
+    "stream_bloom_dedup": "real 3-batch replay; per batch one bounded bit agg + a broadcast "
+                          "of <= m_bits state rows + one batch-keyed agg — history never "
+                          "re-scanned, state bounded forever",
+    "rrf_hybrid_retrieval": "both lanes end in TakeOrdered(100); the fusion is full-outer "
+                            "equi-joins + TakeOrdered(50) over 100-row frames — the only "
+                            "corpus-sized work lives inside the lanes",
+    "entity_resolution_report": "nation-blocked equi self-join + codegen scoring; min-label "
+                                "components run over ONLY the link edges; backfill is one "
+                                "broadcast left join + two hash aggs",
+    "stream_kmv_retention_matrix": "real 3-batch replay into the grouped k-minima store; "
+                                   "the matrix is k-row joins over the final state — "
+                                   "history never re-scanned",
 }
 
 

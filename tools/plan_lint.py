@@ -11,6 +11,12 @@ even though AQE may pick broadcast sizes differently at real scale):
   GLOBAL_WINDOW  a Window node with an EMPTY partition spec (single-
                  partition data window) — the scalable rewrite is
                  operators/stats.py global_cumsum
+  SCAN_FANOUT    more than MAX_SOURCE_SCANS source-scan nodes in one
+                 executed plan — the lazy re-derivation class the r12
+                 sweep caught in neyman_allocation_report (64 corpus
+                 scans); the fix is localCheckpoint on the bounded
+                 frame before fanning out (VERDICT r12 item 5's
+                 standing gate)
 
 Documented exceptions live in the ALLOW maps — each entry names the query,
 the check it may trip, and WHY that is intentional. The pytest twin
@@ -77,6 +83,7 @@ CARTESIAN_ALLOW: dict[str, str] = {
     "leakage_safe_split_report": "3-row per-split frame x 1-row leakage-audit counter",
     "neyman_allocation_report": "1-row weight-total/leftover frames broadcast into the strata apportionment",
     "quantile_sketch_report": "4-row quantile-estimate frame broadcast into the exact-rank corpus pass (bound check)",
+    "rrf_hybrid_retrieval": "bm25 lane's 1-row corpus (n_docs, dl_sum) frame + brute-force lane's single broadcast query vector (both bounded; the fusion itself is k-row equi joins)",
 }
 
 #: (query -> reason) for Window nodes with an empty partition spec. Every
@@ -99,7 +106,56 @@ GLOBAL_WINDOW_ALLOW: dict[str, str] = {
         "largest-remainder row_number over the |strata|-row aggregate "
         "(5 rows, bounded by construction — the benford class)"
     ),
+    "rrf_hybrid_retrieval": (
+        "BM25 lane rank row_number over the 100-row TakeOrdered output "
+        "(bounded by construction — the benford class)"
+    ),
 }
+
+#: SCAN_FANOUT (VERDICT r12 item 5 — the standing version of the r12
+#: sweep that caught neyman_allocation_report's lazy fan-out replaying
+#: the corpus aggregate 64 times): count the SOURCE scan nodes
+#: ("Scan parquet" / LocalTableScan — checkpointed ExistingRDD frames
+#: are pinned by definition and don't count) in every executed plan and
+#: fail above MAX_SOURCE_SCANS unless the query is allowlisted with its
+#: reason.  A multi-table join legitimately scans each table once; a
+#: count far above the table count means a bounded frame is being
+#: re-derived from the corpus instead of localCheckpoint-pinned.
+MAX_SOURCE_SCANS = 8
+SCAN_FANOUT_ALLOW: dict[str, int] = {
+    # pq_adc_topk: 8 scans are its documented recall-bound lanes — at
+    # the cap already, pinned here so growth past 8 still fails.
+    "pq_adc_topk": 8,
+    # referential_integrity_audit: six FK audit lanes, each reading
+    # ONLY its pruned key columns from its own table (lineitem/orders
+    # scanned twice for different single columns) — you cannot audit 6
+    # relations without reading each side, and every scan is
+    # column-pruned to the key it checks.
+    "referential_integrity_audit": 10,
+}
+
+
+def _source_scan_count(plan: str) -> int:
+    """Source-scan nodes excluding InMemoryRelation subtrees: an
+    InMemoryTableScan reads CACHED partitions — the child plan printed
+    under its InMemoryRelation is provenance, not a re-scan, and it
+    repeats at every cache reference (alternating_components: 12 cache
+    references x 4 provenance scans = 48 apparent scans, 0 real)."""
+    count = 0
+    skip_indent: int | None = None
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-*")
+        indent = len(line) - len(stripped)
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if stripped.startswith("InMemoryRelation"):
+            skip_indent = indent
+            continue
+        if "Scan parquet" in stripped or stripped.startswith("LocalTableScan"):
+            count += 1
+    return count
 
 
 def _window_nodes(plan: str):
@@ -160,6 +216,14 @@ def lint(sf_dir: str = "/root/testdata/sf0.001"):
                 findings.append((name, "CARTESIAN", "cartesian/nested-loop join"))
         if "BatchEvalPython" in plan:
             findings.append((name, "PY_ROW_UDF", "row-at-a-time Python UDF"))
+        n_scans = _source_scan_count(plan)
+        cap = SCAN_FANOUT_ALLOW.get(name, MAX_SOURCE_SCANS)
+        if n_scans > cap:
+            findings.append(
+                (name, "SCAN_FANOUT", f"{n_scans} source scans > cap {cap}")
+            )
+        elif name in SCAN_FANOUT_ALLOW:
+            allowed.append((name, "SCAN_FANOUT"))
         for line, is_global in _window_nodes(plan):
             if is_global:
                 if name in GLOBAL_WINDOW_ALLOW:
@@ -175,6 +239,11 @@ def lint(sf_dir: str = "/root/testdata/sf0.001"):
         ("GLOBAL_WINDOW", n)
         for n in sorted(
             set(GLOBAL_WINDOW_ALLOW) - {q for q, c in allowed if c == "GLOBAL_WINDOW"}
+        )
+    ] + [
+        ("SCAN_FANOUT", n)
+        for n in sorted(
+            set(SCAN_FANOUT_ALLOW) - {q for q, c in allowed if c == "SCAN_FANOUT"}
         )
     ]
     return findings, allowed, unused
