@@ -663,3 +663,66 @@ def lpa_communities(
         )
         labels = new.localCheckpoint(eager=True)
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983, "Network
+    structure and minimum degree" — public method; the distributed
+    peel-until-fixpoint form): repeatedly delete every node whose degree
+    is below k until none remains — the maximal subgraph where every
+    node keeps >= k neighbors.  The standard graph-curation filter
+    (spam/link-farm trimming, dense-community extraction) that degree
+    thresholding alone cannot compute: deleting a low-degree node can
+    push its neighbors below k, so the filter must iterate.
+
+    Input: canonical undirected edges (u, v).  Output: the surviving
+    edge set (u, v), canonical orientation preserved.  Deterministic —
+    peeling is confluent (the k-core is unique regardless of deletion
+    order), so a fixed round count R either reaches the fixpoint or a
+    superset of it; callers that need proof of convergence compare
+    round R-1 and R edge counts (the gate query carries exactly that
+    evidence).
+
+    Scale shape (100 TB): per round one degree agg over the mirrored
+    survivor edges (one node-keyed shuffle, map-side combinable) and
+    two hash semi-joins of the edge set against the >= k survivor
+    frame; the edge frame localCheckpoints per round (flat lineage, the
+    pagerank/LPA discipline).  Rounds needed = the graph's peel depth
+    (the degeneracy ordering's layer count along this k), typically
+    O(10) for web/co-purchase graphs; ``max_rounds`` bounds the fold
+    either way, and each round STRICTLY shrinks the edge set or stops,
+    so work is monotone decreasing."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    cur = edges.select("u", "v").distinct().localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = (
+            _mirror(cur)
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+        )
+        keep = deg.filter(F.col("_deg") >= F.lit(int(k))).select("u")
+        nxt = (
+            cur.join(keep.hint("shuffle_hash"), "u", "left_semi")
+            .join(
+                keep.withColumnRenamed("u", "v").hint("shuffle_hash"),
+                "v",
+                "left_semi",
+            )
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        # one bounded driver-side count per round: stop at the fixpoint
+        # (the count is already materialized by the eager checkpoint's
+        # job, so this is metadata-cheap and keeps dead rounds unpaid)
+        if nxt.count() == cur.count():
+            cur = nxt
+            break
+        cur = nxt
+    return cur

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SCALE = 1_000_000
@@ -159,3 +159,80 @@ def resolve_entities(
     return records.join(comp, id_col, "left").withColumn(
         "entity_id", F.coalesce(F.col("component"), F.col(id_col))
     ).drop("component")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_cols: list[str],
+    window: int,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995, "The
+    merge/purge problem for large databases" — public method): sort the
+    records by a blocking key and emit every pair within ``window``
+    positions of each other.  The second classic blocking strategy next
+    to equi-key blocking (customer_block_pairs): equi-blocking misses
+    matches that straddle a block boundary, sorted-neighborhood misses
+    matches further than ``window`` apart in sort order — production
+    linkage runs BOTH and unions the candidate sets (multi-pass
+    merge/purge), which the pair surface here makes a plain unionByName.
+
+    Output: (id1, id2, rank1, rank2, rank_gap) with rank1 < rank2,
+    rank_gap in [1, window-1] — ranks are the 1-based position in the
+    total order (sort_cols + id_col tiebreak, so the order — and hence
+    the candidate set — is deterministic and value-exact twinnable).
+    Pair payloads join back by id (keeps this operator payload-agnostic
+    and the pair frame narrow).
+
+    Scale shape (100 TB): the global rank uses the two-phase
+    range-partitioned scan (repartitionByRange -> per-partition
+    row_number -> add per-partition offsets computed over a
+    num_ranges-row frame) — NO single-partition window, the
+    global_cumsum discipline.  Pair generation is one equi-join of the
+    ranked frame against itself on rank = rank + d for the exploded
+    d in [1, window-1] — output is exactly (n - d) pairs per offset,
+    linear in n for fixed window, never quadratic.  The ranked frame is
+    localCheckpoint-pinned: RangePartitioner samples its bounds, so an
+    unpinned re-execution could place boundary rows differently and
+    des-align the two join sides (the global_cumsum pin rationale)."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if not sort_cols:
+        raise ValueError("sort_cols must be non-empty")
+    order = [F.col(c) for c in sort_cols] + [F.col(id_col)]
+    ranged = (
+        df.select(id_col, *sort_cols)
+        .repartitionByRange(num_ranges, *order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order)
+    local = ranged.withColumn("_lrank", F.row_number().over(w_local))
+    counts = local.groupBy("_pid").agg(F.max("_lrank").alias("_n"))
+    w_off = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            F.col(id_col),
+            (F.col("_lrank") + F.col("_off")).alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    gaps = F.explode(
+        F.array(*[F.lit(d) for d in range(1, window)])
+    ).alias("rank_gap")
+    left = ranked.select(
+        F.col(id_col).alias("id1"), F.col("rank").alias("rank1"), gaps
+    )
+    right = ranked.select(
+        F.col(id_col).alias("id2"), F.col("rank").alias("rank2")
+    )
+    return left.join(
+        right, left.rank1 + left.rank_gap == right.rank2
+    ).select("id1", "id2", "rank1", "rank2", "rank_gap")

@@ -123,11 +123,20 @@ FRONT_OF_CATALOG: list[str] = [
     # entries FIRST (positions 51-79, listed below), then the r10-green
     # cycle in CORRECTNESS_r10 record order (the first 21 complete the
     # r14 window; the remaining 27 head r15 with the r11 cycle behind
-    # them).  The registration stash is EMPTY — r14+ window slots go
-    # entirely to rotation unless new operators are built and
-    # twin-rehearsed in the meantime (the freeze discipline still
-    # applies to anything new: build + pytest + twin FIRST, register in
-    # the next window).
+    # them).  The r12-era stash drained to EMPTY this round; the r13
+    # session then REFILLED it with one pre-rehearsed pair for the r14
+    # window (the freeze discipline: build + pytest + twin FIRST,
+    # register in the next window):
+    #   - kcore_copurchase_report (operators/graph.py k_core, gate body
+    #     + 12-round unrolled MATERIALIZED-CTE oracle in
+    #     tests/test_kcore.py — k in {70,80,85} spans the core-collapse
+    #     transition; twin-green at sf0.01 AND sf0.1 on vanilla
+    #     sessions).
+    #   - sorted_neighborhood_linkage (operators/linkage.py
+    #     sorted_neighborhood_pairs, gate body + oracle in
+    #     tests/test_sorted_neighborhood.py — the merge/purge blocking
+    #     strategy scored with the registered FS field model;
+    #     twin-green at sf0.01 AND sf0.1 on vanilla sessions).
     # r9-green cycle, remaining 29 (CORRECTNESS_r09 record order):
     "debounce_events_batch",
     "null_semantics_battery",
