@@ -201,10 +201,18 @@ def sorted_neighborhood_pairs(
     if not sort_cols:
         raise ValueError("sort_cols must be non-empty")
     order = [F.col(c) for c in sort_cols] + [F.col(id_col)]
+    # persist, not just compose: `local` and `counts` both read this
+    # frame, and RangePartitioner SAMPLES its bounds — two independent
+    # re-executions can place boundary rows in different partitions,
+    # des-aligning local ranks from offsets (the global_cumsum pin
+    # rationale, observed there at sf0.1).  The eager checkpoint below
+    # materializes everything in one pass; the persist guarantees that
+    # pass reads ONE partitioning, and is released before returning.
     ranged = (
         df.select(id_col, *sort_cols)
         .repartitionByRange(num_ranges, *order)
         .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     w_local = Window.partitionBy("_pid").orderBy(*order)
     local = ranged.withColumn("_lrank", F.row_number().over(w_local))
@@ -224,6 +232,7 @@ def sorted_neighborhood_pairs(
         )
         .localCheckpoint(eager=True)
     )
+    ranged.unpersist()
     gaps = F.explode(
         F.array(*[F.lit(d) for d in range(1, window)])
     ).alias("rank_gap")

@@ -119,11 +119,12 @@ FRONT_OF_CATALOG: list[str] = [
     "stream_sliding_window_equiv",
     # ======== position 51+ (the r14 rotation queue, full and exact) ===
     # After this window ships the histogram is r13=50, r12=50, r11=50,
-    # r10=48, r9=29 — so the r14 window is: the 29 remaining r9-green
-    # entries FIRST (positions 51-79, listed below), then the r10-green
-    # cycle in CORRECTNESS_r10 record order (the first 21 complete the
-    # r14 window; the remaining 27 head r15 with the r11 cycle behind
-    # them).  The r12-era stash drained to EMPTY this round; the r13
+    # r10=48, r9=29 — so the r14 window is: the stash pair below FIRST
+    # (its positions 1-2), then the 29 remaining r9-green entries
+    # (listed below), then the r10-green cycle in CORRECTNESS_r10
+    # record order (the first 19 complete the r14 window; the remaining
+    # 29 head r15 with the r11 cycle behind them).  The r12-era stash
+    # drained to EMPTY this round; the r13
     # session then REFILLED it with one pre-rehearsed pair for the r14
     # window (the freeze discipline: build + pytest + twin FIRST,
     # register in the next window):
