@@ -119,13 +119,13 @@ FRONT_OF_CATALOG: list[str] = [
     "stream_sliding_window_equiv",
     # ======== position 51+ (the r14 rotation queue, full and exact) ===
     # After this window ships the histogram is r13=50, r12=50, r11=50,
-    # r10=48, r9=29 — so the r14 window is: the stash pair below FIRST
-    # (its positions 1-2), then the 29 remaining r9-green entries
+    # r10=48, r9=29 — so the r14 window is: the stash trio below FIRST
+    # (its positions 1-3), then the 29 remaining r9-green entries
     # (listed below), then the r10-green cycle in CORRECTNESS_r10
-    # record order (the first 19 complete the r14 window; the remaining
-    # 29 head r15 with the r11 cycle behind them).  The r12-era stash
+    # record order (the first 18 complete the r14 window; the remaining
+    # 30 head r15 with the r11 cycle behind them).  The r12-era stash
     # drained to EMPTY this round; the r13
-    # session then REFILLED it with one pre-rehearsed pair for the r14
+    # session then REFILLED it with three pre-rehearsed gates for the r14
     # window (the freeze discipline: build + pytest + twin FIRST,
     # register in the next window):
     #   - kcore_copurchase_report (operators/graph.py k_core, gate body
@@ -138,6 +138,13 @@ FRONT_OF_CATALOG: list[str] = [
     #     tests/test_sorted_neighborhood.py — the merge/purge blocking
     #     strategy scored with the registered FS field model;
     #     twin-green at sf0.01 AND sf0.1 on vanilla sessions).
+    #   - sq_adc_topk (operators/sq.py — int8 scalar quantization +
+    #     asymmetric dequantized search, gate body + oracle in
+    #     tests/test_sq.py; every stage integer-exact so the full
+    #     search surface hashes value-exact, recall 1.0 asserted in
+    #     the rehearsal; twin-green at sf0.01 AND sf0.1 on vanilla
+    #     sessions).  A 3-wide r14 drain takes positions 1-3 of the
+    #     r14 window (the r10 slice then closes at 18).
     # r9-green cycle, remaining 29 (CORRECTNESS_r09 record order):
     "debounce_events_batch",
     "null_semantics_battery",
