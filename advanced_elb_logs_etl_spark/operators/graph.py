@@ -701,6 +701,7 @@ def k_core(
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     cur = edges.select("u", "v").distinct().localCheckpoint(eager=True)
+    cur_n = cur.count()
     for _ in range(max_rounds):
         deg = (
             _mirror(cur)
@@ -720,9 +721,12 @@ def k_core(
         )
         # one bounded driver-side count per round: stop at the fixpoint
         # (the count is already materialized by the eager checkpoint's
-        # job, so this is metadata-cheap and keeps dead rounds unpaid)
-        if nxt.count() == cur.count():
-            cur = nxt
-            break
+        # job, so this is metadata-cheap and keeps dead rounds unpaid);
+        # the previous round's count is carried in cur_n — one Spark job
+        # per round, not two
+        nxt_n = nxt.count()
         cur = nxt
+        if nxt_n == cur_n:
+            break
+        cur_n = nxt_n
     return cur

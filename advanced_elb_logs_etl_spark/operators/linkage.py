@@ -224,15 +224,19 @@ def sorted_neighborhood_pairs(
     offsets = counts.select(
         "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
     )
-    ranked = (
-        local.join(F.broadcast(offsets), "_pid")
-        .select(
-            F.col(id_col),
-            (F.col("_lrank") + F.col("_off")).alias("rank"),
+    try:
+        ranked = (
+            local.join(F.broadcast(offsets), "_pid")
+            .select(
+                F.col(id_col),
+                (F.col("_lrank") + F.col("_off")).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
-    ranged.unpersist()
+    finally:
+        # always release the pinned frame — an exception during the eager
+        # checkpoint must not leak the cache for the session lifetime
+        ranged.unpersist()
     gaps = F.explode(
         F.array(*[F.lit(d) for d in range(1, window)])
     ).alias("rank_gap")

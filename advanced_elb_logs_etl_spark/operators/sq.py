@@ -94,13 +94,19 @@ def sq_encode(
     — pure integer math over the snapped micro vector with the bounds
     riding as literal arrays; values at the corpus max land exactly on
     levels-1, constant dimensions (hi == lo) on 0.  One codegen
-    projection, zero joins, zero shuffles."""
+    projection, zero joins, zero shuffles.
+
+    A vector whose length differs from the trained bounds raises at
+    encode time (raise_error inside the projection) instead of silently
+    emitting NULL codes for the out-of-bounds dimensions — the same
+    loud dimension contract sq_train_bounds enforces."""
     if levels < 2:
         raise ValueError(f"levels must be >= 2, got {levels}")
     if len(lo) != len(hi):
         raise ValueError("lo/hi length mismatch")
     lo_a, hi_a = _lit_arr(lo), _lit_arr(hi)
     span = levels - 1
+    dim = len(lo)
 
     def _code(x, i):
         l = F.element_at(lo_a, i + 1)
@@ -110,9 +116,21 @@ def sq_encode(
         ).cast("long")
         return F.least(F.lit(span).cast("long"), F.greatest(F.lit(0).cast("long"), raw))
 
+    vec = F.col(vec_col)
+    checked = F.when(F.size(vec) == F.lit(dim), snap_micro(vec)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"sq_encode: vector length != trained dim {dim} (got "
+                ),
+                F.size(vec).cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
     return df.select(
         F.col(id_col),
-        F.transform(snap_micro(F.col(vec_col)), _code).alias("code"),
+        F.transform(checked, _code).alias("code"),
     )
 
 

@@ -44,108 +44,29 @@ def register(name: str, oracle: str | None):
 # CORRECTNESS_r01/r02) follow.  Names not present in CATALOG are ignored,
 # so this list may safely lead registration.
 FRONT_OF_CATALOG: list[str] = [
-    # ======== ROUND-13 WINDOW (positions 1-50) ========
-    # VERDICT r12 items 1, 2 in one move.  Layout (histogram after
-    # CORRECTNESS_r12: r12=50, r11=50, r10=48, r9=48, r8=23, never=0):
-    #   positions 1-8   — the stash drained to ZERO: the r13 pair
-    #                     (lpa_copurchase_communities,
-    #                     stream_kmv_retention_matrix), the r14 pair
-    #                     (kmv_sliding_distinct, quantile_range_layout),
-    #                     the Bloom dedup pair (bloom_dedup_report,
-    #                     stream_bloom_dedup), rrf_hybrid_retrieval and
-    #                     entity_resolution_report.  All eight built +
-    #                     pytest-pinned + twin-rehearsed in the r11/r12
-    #                     sessions (the bloom/rrf/entity four at sf0.1
-    #                     on a vanilla session); registered in
-    #                     plans/catalog_r13.py; stash after this
-    #                     window: EMPTY — first time since r9.
-    #   positions 9-31  — the 23 remaining r8-green entries
-    #                     (CORRECTNESS_r08 record order; after this
-    #                     window nothing is staler than r9).
-    #   positions 32-50 — the first 19 of the r9-green cycle in
-    #                     CORRECTNESS_r09 record order (the remaining
-    #                     29 head the r14 queue below).
-    "lpa_copurchase_communities",
-    "stream_kmv_retention_matrix",
-    "kmv_sliding_distinct",
-    "quantile_range_layout",
-    "bloom_dedup_report",
-    "stream_bloom_dedup",
-    "rrf_hybrid_retrieval",
-    "entity_resolution_report",
-    # r8-green leftovers (CORRECTNESS_r08 record order, entries 28-50):
-    "url_query_explode",
-    "bitmap_distinct_dates",
-    "freq_items_battery",
-    "string_agg_sorted",
-    "mad_robust_stats",
-    "running_distinct_users",
-    "regression_battery",
-    "date_function_battery",
-    "collect_set_sorted",
-    "heavy_hitters_exact",
-    "f2_moment_users",
-    "min_cost_supplier_q2",
-    "forecast_revenue_q6",
-    "market_share_q8",
-    "product_profit_q9",
-    "important_value_q11",
-    "customer_distribution_q13",
-    "top_supplier_q15",
-    "disjunctive_revenue_q19",
-    "excess_supply_q20",
-    "waiting_supplier_q21",
-    "global_sales_q22",
-    "gopher_rules_battery",
-    # r9-green cycle, first 19 (CORRECTNESS_r09 record order):
-    "dim_enrich_join",
-    "error_report",
-    "url_parse",
-    "status_bucket",
-    "rolling_1h_avg",
-    "dedup_keep_best",
-    "khop_reachability",
-    "levenshtein_block_pairs",
-    "winnow_fingerprints",
-    "repeated_kgram_spans",
-    "bpe_segment_counts",
-    "setsim_prefix_join",
-    "centroid_cosine_outliers",
-    "feature_hashing_vectors",
-    "stream_dedup_equiv",
-    "stream_hourly_agg_equiv",
-    "stream_join_equiv",
-    "stream_session_window_equiv",
-    "stream_sliding_window_equiv",
-    # ======== position 51+ (the r14 rotation queue, full and exact) ===
-    # After this window ships the histogram is r13=50, r12=50, r11=50,
-    # r10=48, r9=29 — so the r14 window is: the stash trio below FIRST
-    # (its positions 1-3), then the 29 remaining r9-green entries
-    # (listed below), then the r10-green cycle in CORRECTNESS_r10
-    # record order (the first 18 complete the r14 window; the remaining
-    # 30 head r15 with the r11 cycle behind them).  The r12-era stash
-    # drained to EMPTY this round; the r13
-    # session then REFILLED it with three pre-rehearsed gates for the r14
-    # window (the freeze discipline: build + pytest + twin FIRST,
-    # register in the next window):
-    #   - kcore_copurchase_report (operators/graph.py k_core, gate body
-    #     + 12-round unrolled MATERIALIZED-CTE oracle in
-    #     tests/test_kcore.py — k in {70,80,85} spans the core-collapse
-    #     transition; twin-green at sf0.01 AND sf0.1 on vanilla
-    #     sessions).
-    #   - sorted_neighborhood_linkage (operators/linkage.py
-    #     sorted_neighborhood_pairs, gate body + oracle in
-    #     tests/test_sorted_neighborhood.py — the merge/purge blocking
-    #     strategy scored with the registered FS field model;
-    #     twin-green at sf0.01 AND sf0.1 on vanilla sessions).
-    #   - sq_adc_topk (operators/sq.py — int8 scalar quantization +
-    #     asymmetric dequantized search, gate body + oracle in
-    #     tests/test_sq.py; every stage integer-exact so the full
-    #     search surface hashes value-exact, recall 1.0 asserted in
-    #     the rehearsal; twin-green at sf0.01 AND sf0.1 on vanilla
-    #     sessions).  A 3-wide r14 drain takes positions 1-3 of the
-    #     r14 window (the r10 slice then closes at 18).
-    # r9-green cycle, remaining 29 (CORRECTNESS_r09 record order):
+    # ======== ROUND-14 WINDOW (positions 1-50) ========
+    # VERDICT r13 items 1, 2 in one move.  Layout (histogram after
+    # CORRECTNESS_r13: r13=50, r12=50, r11=50, r10=48, r9=29,
+    # never=0):
+    #   positions 1-3   — the r14 stash drain: the three gates built
+    #                     + pytest-pinned + twin-rehearsed at sf0.01
+    #                     AND sf0.1 on vanilla sessions in the r13
+    #                     session; registered in plans/catalog_r14.py
+    #                     (the r12/r13 freeze-discipline precedent:
+    #                     16/16 green first try).  Stash after this
+    #                     window: EMPTY (refilled late-r14 only after
+    #                     the SCALE rows land — VERDICT r13 item 8).
+    #   positions 4-32  — the 29 remaining r9-green entries
+    #                     (CORRECTNESS_r09 record order; after this
+    #                     window nothing is staler than r10).
+    #   positions 33-50 — the first 18 of the r10-green cycle in
+    #                     CORRECTNESS_r10 record order (the remaining
+    #                     30 head the r15 queue below).
+    "kcore_copurchase_report",
+    "sorted_neighborhood_linkage",
+    "sq_adc_topk",
+    # r9-green leftovers (CORRECTNESS_r09 record order, the 29 that
+    # did not fit the r13 window):
     "debounce_events_batch",
     "null_semantics_battery",
     "array_hof_battery",
@@ -175,8 +96,8 @@ FRONT_OF_CATALOG: list[str] = [
     "pq_adc_topk",
     "stream_heavy_hitters",
     "stream_latency_histogram",
-    # r10-green cycle, first 21 (CORRECTNESS_r10 record order — these
-    # close the r14 window; the remaining 27 of that cycle head r15):
+    # r10-green cycle, first 18 (CORRECTNESS_r10 record order —
+    # these close the r14 window at position 50):
     "grouping_sets_pricing",
     "set_ops_battery",
     "welch_t_values",
@@ -195,9 +116,45 @@ FRONT_OF_CATALOG: list[str] = [
     "bot_origin_summary",
     "bpe_train_merges",
     "cohort_retention",
+    # ======== position 51+ (the r15 rotation queue, full and exact) ===
+    # After this window ships the histogram is r14=50, r13=50,
+    # r12=50, r11=50, r10=30 — so the r15 window is: any late-r14
+    # stash refill FIRST (two deep is the target — VERDICT r13
+    # item 8), then the 30 remaining r10-green entries (listed
+    # below), then the r11-green cycle in CORRECTNESS_r11 record
+    # order (the first 50-minus-refill-minus-30 complete the r15
+    # window; the rest head r16).
+    # r10-green cycle, remaining 30 (CORRECTNESS_r10 record order):
     "compaction_plan_bins",
     "date_parts",
     "dedup_exact",
+    "dedup_keep_last",
+    "dsir_importance_topk",
+    "embedding_neardup_pairs",
+    "full_outer_nation_suppliers",
+    "funnel_conversion",
+    "grouped_topk_orders",
+    "hll_shard_union",
+    "hourly_agg_approx",
+    "ivf_cosine_topk",
+    "json_extract_summary",
+    "large_orders_q18",
+    "local_supplier_q5",
+    "minhash_signatures",
+    "multimodal_meta",
+    "ngram_jaccard_pairs",
+    "null_coding_cast",
+    "path_features",
+    "percentile_battery",
+    "pivot_event_counts",
+    "profile_table_approx",
+    "range_join_windows",
+    "rolling_5min_count",
+    "salted_agg_counts",
+    "semi_join_active",
+    "session_report",
+    "shipping_priority_q3",
+    "simhash_neardup",
 ]
 
 

@@ -8,7 +8,6 @@ from __future__ import annotations
 import random
 
 import pytest
-from pyspark.sql import functions as F
 
 from advanced_elb_logs_etl_spark.operators import graph
 
@@ -102,104 +101,22 @@ def test_deterministic_and_guards(spark):
         graph.k_core(df, 2, max_rounds=0)
 
 
-# --- queued r14 gate: kcore_copurchase_report (pre-rehearsed, the
-# freeze discipline — body + oracle live here until registration) -----
+# --- the r14 catalog gate (REGISTERED in plans/catalog_r14.py; the
+# rehearsal imports the registered body + oracle so it exercises the
+# exact catalog entry — the catalog_r13 pattern) -----------------------
 
-KCORE_KS = (70, 80, 85)
-KCORE_ROUNDS = 12
-
-
-def q_kcore_copurchase_report(spark, sf_dir):
-    """Queued r14 gate: k-core sizes of the co-purchase part graph at
-    three fixed k values spanning the core-collapse transition measured
-    at sf0.01 (k=70 trims the fringe, k=80 converges to a real core at
-    peel depth ~8, k=85 avalanches to EMPTY — the sharp random-graph
-    core threshold).  Fixed round count (12; every k converges within
-    it at sf0.01, asserted below) keeps the fold SQL-unrollable, so the
-    twin is exact.
-
-    Scale: edges localCheckpoint once; per round one degree agg + two
-    hash semi-joins over the SURVIVOR set (monotone shrinking), with
-    per-round checkpoints (flat lineage) and early stop at the
-    fixpoint; the report is one exploded distinct-count agg per k over
-    the final core — rows = |KCORE_KS|."""
-    from advanced_elb_logs_etl_spark.plans.catalog import _t
-
-    li = _t(spark, sf_dir, "lineitem")
-    edges = graph.co_occurrence_edges(
-        li, "l_orderkey", "l_partkey"
-    ).localCheckpoint(eager=True)
-    out = None
-    for k in KCORE_KS:
-        core = graph.k_core(edges, k, max_rounds=KCORE_ROUNDS)
-        nd = core.select(F.explode(F.array("u", "v")).alias("n"))
-        row = nd.agg(
-            F.count_distinct("n").alias("n_core_nodes"),
-            (F.count(F.lit(1)) / 2).cast("long").alias("n_core_edges"),
-        ).select(
-            F.lit(int(k)).cast("long").alias("k"),
-            "n_core_nodes",
-            "n_core_edges",
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("k")
-
-
-# AS MATERIALIZED throughout: each round references its predecessor 3x
-# (the degree agg twice + the survivor filter), so DuckDB's default CTE
-# inlining would expand the 12-round chain 3^12-fold (first observed as
-# "Too many open files" on the parquet view).
-_KCORE_ROUND_SQL = """
-d{k}_{r} AS MATERIALIZED (
-  SELECT u, count(*) AS deg
-  FROM (SELECT u FROM e{k}_{p} UNION ALL SELECT v AS u FROM e{k}_{p})
-  GROUP BY u
-),
-e{k}_{r} AS MATERIALIZED (
-  SELECT e.u, e.v FROM e{k}_{p} e
-  JOIN d{k}_{r} da ON da.u = e.u AND da.deg >= {k}
-  JOIN d{k}_{r} db ON db.u = e.v AND db.deg >= {k}
-)"""
-
-
-def _kcore_oracle() -> str:
-    parts = [
-        "WITH pairs AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g,"
-        " l_partkey AS i FROM lineitem),",
-        "ok AS MATERIALIZED (SELECT g FROM pairs GROUP BY g"
-        " HAVING count(*) <= 64),",
-        "ed AS MATERIALIZED (",
-        "  SELECT DISTINCT a.i AS u, b.i AS v",
-        "  FROM pairs a JOIN pairs b ON a.g = b.g AND a.i < b.i",
-        "  WHERE a.g IN (SELECT g FROM ok)",
-        ")",
-    ]
-    body = "\n".join(parts)
-    for k in KCORE_KS:
-        body += f",\ne{k}_0 AS MATERIALIZED (SELECT u, v FROM ed)"
-        for r in range(1, KCORE_ROUNDS + 1):
-            body += "," + _KCORE_ROUND_SQL.format(k=k, r=r, p=r - 1)
-    selects = []
-    for k in KCORE_KS:
-        last = f"e{k}_{KCORE_ROUNDS}"
-        selects.append(
-            f"SELECT {k}::BIGINT AS k,\n"
-            f"  (SELECT count(*) FROM (SELECT u FROM {last}"
-            f" UNION SELECT v FROM {last}))::BIGINT AS n_core_nodes,\n"
-            f"  (SELECT count(*) FROM {last})::BIGINT AS n_core_edges"
-        )
-    return body + "\nSELECT * FROM (\n" + "\nUNION ALL\n".join(
-        selects
-    ) + "\n) ORDER BY k"
-
-
-KCORE_ORACLE_QUEUED_R14 = _kcore_oracle()
+from advanced_elb_logs_etl_spark.plans.catalog_r14 import (  # noqa: E402
+    KCORE_KS,
+    KCORE_ORACLE as KCORE_ORACLE_QUEUED_R14,
+    KCORE_ROUNDS,
+    q_kcore_copurchase_report,
+)
 
 
 def test_queued_kcore_gate_matches_duckdb_twin(spark):
-    """Full driver-protocol rehearsal of the queued r14 entry at sf0.01
-    through the pandas fetch path (12 unrolled peel rounds x 3 k values
-    over the co-purchase edge twin)."""
+    """Full driver-protocol rehearsal of the registered r14 entry at
+    sf0.01 through the pandas fetch path (12 unrolled peel rounds x 3 k
+    values over the co-purchase edge twin)."""
     import duckdb
 
     sf = "/root/testdata/sf0.01"

@@ -11,7 +11,6 @@ from __future__ import annotations
 import random
 
 import pytest
-from pyspark.sql import functions as F
 
 from advanced_elb_logs_etl_spark.operators import sq
 from advanced_elb_logs_etl_spark.operators.pq import snap_micro_py
@@ -112,87 +111,42 @@ def test_guards(spark):
         )
 
 
-# --- queued r14 gate: sq_adc_topk (pre-rehearsed, the freeze
-# discipline — body + oracle live here until registration) ------------
+def test_encode_dimension_mismatch_raises(spark):
+    """A vector longer (or shorter) than the trained bounds must fail
+    LOUDLY at encode time, not silently emit NULL codes for the
+    out-of-bounds dimensions (ADVICE r13)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
 
-SQ_DIM = 64
-SQ_NQ = 8
-SQ_TOPK = 10
-
-
-def q_sq_adc_topk(spark, sf_dir):
-    """Queued r14 gate: scalar-quantized (int8, 256 levels) asymmetric
-    top-10 search for 8 query vectors over the embeddings corpus —
-    the 4x-compression ANN lane beside PQ, with min/max training that
-    is ONE aggregate.  Every stage is integer-exact, so the whole
-    (q_id, rank, neighbor_id, adc_sqdist) surface hashes value-exact
-    (no bounded-recall indirection; recall vs exact L2 is asserted in
-    the pytest rehearsal instead, 1.0 at sf0.01).
-
-    Scale: train = posexplode + dim-row agg; the dim-row bounds are a
-    bounded protocol collect inlined as literals, so encode/dequantize
-    is a zero-join zero-shuffle codegen projection; each query is a
-    literal array + TakeOrdered(k)."""
-    from advanced_elb_logs_etl_spark.plans.catalog import _t
-
-    emb = _t(spark, sf_dir, "embeddings")
-    lo, hi = sq.sq_train_bounds(emb, "embedding", SQ_DIM)
-    codes = sq.sq_encode(emb, lo, hi)
-    qs = (
-        emb.filter(F.col("vec_id") < SQ_NQ)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    searches = [
-        (q.vec_id, [snap_micro_py(float(x)) for x in q.embedding])
-        for q in sorted(qs, key=lambda r: r.vec_id)
-    ]
-    return sq.sq_adc_topk(codes, lo, hi, searches, k=SQ_TOPK)
+    df2 = _emb(spark, [(0, [0.0, 1.0])])
+    lo, hi = sq.sq_train_bounds(df2, dim=2)
+    bad_long = _emb(spark, [(1, [0.0, 1.0, 2.0])])
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+        sq.sq_encode(bad_long, lo, hi).collect()
+    bad_short = _emb(spark, [(2, [0.5])])
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+        sq.sq_encode(bad_short, lo, hi).collect()
+    # the happy path is untouched: exact codes for a matching vector
+    ok = {r.vec_id: list(r.code) for r in sq.sq_encode(df2, lo, hi).collect()}
+    assert ok[0] == [0, 0]
 
 
-SQ_ORACLE_QUEUED_R14 = f"""
-WITH snapped AS MATERIALIZED (
-  SELECT vec_id,
-         list_transform(embedding, x -> round(x::DOUBLE * 1e6)::BIGINT) AS m
-  FROM embeddings
-), dims AS MATERIALIZED (
-  SELECT u.i AS pos, min(m[u.i]) AS lo, max(m[u.i]) AS hi
-  FROM snapped, UNNEST(generate_series(1, {SQ_DIM})) u(i)
-  GROUP BY u.i
-), b AS MATERIALIZED (
-  SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi FROM dims
-), deq AS MATERIALIZED (
-  SELECT s.vec_id,
-         list_transform(generate_series(1, {SQ_DIM}), i ->
-           b.lo[i]
-           + (least(255, greatest(0,
-                ((s.m[i] - b.lo[i]) * 255) // greatest(b.hi[i] - b.lo[i], 1)))
-              * (b.hi[i] - b.lo[i])) // 255
-         ) AS d
-  FROM snapped s, b
-), q AS (
-  SELECT vec_id AS q_id, m AS qm FROM snapped WHERE vec_id < {SQ_NQ}
-), scored AS (
-  SELECT q.q_id, d.vec_id AS neighbor_id,
-         list_sum(list_transform(generate_series(1, {SQ_DIM}),
-           i -> (d.d[i] - q.qm[i]) * (d.d[i] - q.qm[i]))) AS adc_sqdist
-  FROM q, deq d WHERE d.vec_id != q.q_id
-), ranked AS (
-  SELECT q_id, neighbor_id, adc_sqdist,
-         row_number() OVER (
-           PARTITION BY q_id ORDER BY adc_sqdist, neighbor_id
-         ) AS rank
-  FROM scored
+# --- the r14 catalog gate (REGISTERED in plans/catalog_r14.py; the
+# rehearsal imports the registered body + oracle so it exercises the
+# exact catalog entry — the catalog_r13 pattern) -----------------------
+
+from advanced_elb_logs_etl_spark.plans.catalog_r14 import (  # noqa: E402
+    SQ_DIM,
+    SQ_NQ,
+    SQ_ORACLE as SQ_ORACLE_QUEUED_R14,
+    SQ_TOPK,
+    q_sq_adc_topk,
 )
-SELECT q_id, rank::BIGINT AS rank, neighbor_id,
-       adc_sqdist::BIGINT AS adc_sqdist
-FROM ranked WHERE rank <= {SQ_TOPK} ORDER BY q_id, rank
-"""
 
 
 def test_queued_sq_gate_matches_duckdb_twin(spark):
-    """Full driver-protocol rehearsal of the queued r14 entry at sf0.01
-    through the pandas fetch path, plus the recall lane: the SQ top-10
+    """Full driver-protocol rehearsal of the registered r14 entry at
+    sf0.01 through the pandas fetch path, plus the recall lane: the SQ top-10
     must recover the exact micro-L2 top-10."""
     import duckdb
 

@@ -1,5 +1,5 @@
 """The driver's correctness gate covers the FIRST 50 names queries()
-emits — pin the shipped round-13 window so a refactor can't silently
+emits — pin the shipped round-14 window so a refactor can't silently
 reorder it between the rehearsal and the driver run."""
 
 from __future__ import annotations
@@ -10,47 +10,48 @@ import os
 from advanced_elb_logs_etl_spark.plans.catalog import CATALOG, FRONT_OF_CATALOG
 from advanced_elb_logs_etl_spark.plans import queries, oracle_sql
 
-R13_HEAD = [
-    # the stash-to-zero drain (VERDICT r12 item 1): the r13 pair, the
-    # r14 pair, the Bloom dedup pair, rrf and entity resolution — all
-    # registered in plans/catalog_r13.py
-    "lpa_copurchase_communities",
-    "stream_kmv_retention_matrix",
-    "kmv_sliding_distinct",
-    "quantile_range_layout",
-    "bloom_dedup_report",
-    "stream_bloom_dedup",
-    "rrf_hybrid_retrieval",
-    "entity_resolution_report",
+R14_HEAD = [
+    # the r14 stash drain (VERDICT r13 item 1): the three gates built +
+    # twin-rehearsed at sf0.01 AND sf0.1 in the r13 session — all
+    # registered in plans/catalog_r14.py
+    "kcore_copurchase_report",
+    "sorted_neighborhood_linkage",
+    "sq_adc_topk",
 ]
 
-R13_R8_SLICE = [
-    # the 23 remaining r8-green entries (CORRECTNESS_r08 record order,
-    # entries 28-50) — the oldest signal in the catalog after the r12
-    # window refreshed the r7 tail
-    "url_query_explode",
-    "bitmap_distinct_dates",
-    "freq_items_battery",
-    "string_agg_sorted",
-    "mad_robust_stats",
-    "running_distinct_users",
-    "regression_battery",
-    "date_function_battery",
-    "collect_set_sorted",
-    "heavy_hitters_exact",
-    "f2_moment_users",
-    "min_cost_supplier_q2",
-    "forecast_revenue_q6",
-    "market_share_q8",
-    "product_profit_q9",
-    "important_value_q11",
-    "customer_distribution_q13",
-    "top_supplier_q15",
-    "disjunctive_revenue_q19",
-    "excess_supply_q20",
-    "waiting_supplier_q21",
-    "global_sales_q22",
-    "gopher_rules_battery",
+R14_R9_SLICE = [
+    # the 29 remaining r9-green entries (CORRECTNESS_r09 record order) —
+    # the oldest signal in the catalog after the r13 window refreshed
+    # the r8 tail
+    "debounce_events_batch",
+    "null_semantics_battery",
+    "array_hof_battery",
+    "impute_battery",
+    "variant_extract_stats",
+    "sequence_top_paths",
+    "event_transition_matrix",
+    "event_cooccurrence_lift",
+    "time_to_conversion",
+    "view_to_purchase_within_hour",
+    "cohort_ltv_curve",
+    "rfm_segmentation",
+    "temperature_mix_sample",
+    "auc_mann_whitney",
+    "calibration_bins",
+    "chi_square_type_bucket",
+    "cohens_kappa",
+    "correlation_matrix",
+    "ewma_control_chart",
+    "km_survival",
+    "ks_two_sample_values",
+    "mutual_information",
+    "psi_value_drift",
+    "two_proportion_ztest",
+    "referential_integrity_audit",
+    "alternating_components",
+    "pq_adc_topk",
+    "stream_heavy_hitters",
+    "stream_latency_histogram",
 ]
 
 
@@ -70,42 +71,42 @@ def _last_green(max_round: int) -> dict[str, int]:
     return last
 
 
-def test_r13_window_is_the_rehearsed_50():
+def test_r14_window_is_the_rehearsed_50():
     names = list(queries())
-    # positions 1-8: the eight new registrations (stash drained to zero)
-    assert names[:8] == R13_HEAD
-    # positions 9-31: the r8-green leftovers
-    assert names[8:31] == R13_R8_SLICE
+    # positions 1-3: the three new registrations (stash drained again)
+    assert names[:3] == R14_HEAD
+    # positions 4-32: the complete r9-green tail
+    assert names[3:32] == R14_R9_SLICE
     # the window is exactly the documented FRONT head (order included)
     assert names[:50] == [n for n in FRONT_OF_CATALOG if n in CATALOG][:50]
 
 
-def test_r13_window_follows_staleness_order():
+def test_r14_window_follows_staleness_order():
     """The window is computed from the committed driver records: the
-    eight brand-new registrations first, then the complete r8-green
-    tail, then only r9-green entries — so a queue that skips a stale
+    three brand-new registrations first, then the complete r9-green
+    tail, then only r10-green entries — so a queue that skips a stale
     cycle fails mechanically."""
-    last = _last_green(12)
+    last = _last_green(13)
     names = list(queries())
-    # the eight r13 registrations are brand new (no record at all)
-    assert all(n not in last for n in names[:8]), names[:8]
-    # positions 9-31: r8-green only — and ALL of them (the complete
-    # remaining r8 cycle, so nothing r8-stale survives this window)
-    assert all(last.get(n) == 8 for n in names[8:31]), [
-        (n, last.get(n)) for n in names[8:31] if last.get(n) != 8
+    # the three r14 registrations are brand new (no record at all)
+    assert all(n not in last for n in names[:3]), names[:3]
+    # positions 4-32: r9-green only — and ALL of them (the complete
+    # remaining r9 cycle, so nothing r9-stale survives this window)
+    assert all(last.get(n) == 9 for n in names[3:32]), [
+        (n, last.get(n)) for n in names[3:32] if last.get(n) != 9
     ]
-    assert {n for n in names if last.get(n) == 8} == set(names[8:31])
-    # positions 32-79: the complete r9-green cycle (first 19 in the
-    # window, the 29 leftovers heading the r14 queue)
-    r9green = {n for n in names if last.get(n) == 9}
-    assert set(names[31:79]) == r9green
-    assert len(r9green) == 48
+    assert {n for n in names if last.get(n) == 9} == set(names[3:32])
+    # positions 33-80: the complete r10-green cycle (first 18 in the
+    # window, the 30 leftovers heading the r15 queue)
+    r10green = {n for n in names if last.get(n) == 10}
+    assert set(names[32:80]) == r10green
+    assert len(r10green) == 48
     # nothing never-green remains anywhere behind the new registrations
-    assert all(n in last for n in names[8:])
+    assert all(n in last for n in names[3:])
 
 
 def test_catalog_is_complete_and_oracled():
     names = list(queries())
-    assert len(names) == len(set(names)) == 227
+    assert len(names) == len(set(names)) == 230
     # zero rows-only checks: every query carries an oracle
     assert set(oracle_sql()) == set(names)
