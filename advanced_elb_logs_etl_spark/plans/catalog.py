@@ -118,12 +118,27 @@ FRONT_OF_CATALOG: list[str] = [
     "cohort_retention",
     # ======== position 51+ (the r15 rotation queue, full and exact) ===
     # After this window ships the histogram is r14=50, r13=50,
-    # r12=50, r11=50, r10=30 — so the r15 window is: any late-r14
-    # stash refill FIRST (two deep is the target — VERDICT r13
-    # item 8), then the 30 remaining r10-green entries (listed
-    # below), then the r11-green cycle in CORRECTNESS_r11 record
-    # order (the first 50-minus-refill-minus-30 complete the r15
-    # window; the rest head r16).
+    # r12=50, r11=50, r10=30 — so the r15 window is: the two-gate
+    # late-r14 stash refill FIRST (its positions 1-2), then the 30
+    # remaining r10-green entries (listed below), then the r11-green
+    # cycle in CORRECTNESS_r11 record order (the first 18 complete
+    # the r15 window; the rest head r16).  The r14 stash drained to
+    # EMPTY at registration; the late-r14 session then REFILLED it
+    # with two pre-rehearsed gates (the freeze discipline: build +
+    # pytest + twin FIRST, register in the next window; both
+    # twin-green at sf0.01 AND sf0.1 on vanilla sessions):
+    #   - densest_subgraph_report (operators/graph.py
+    #     densest_subgraph_peel — Bahmani-Kumar-Vassilvitskii 2012
+    #     greedy 2(1+eps)-approx peel, eps=0.5, all-integer per-round
+    #     trace; gate body + unrolled MATERIALIZED-CTE oracle in
+    #     tests/test_densest.py; empties in 2-3 rounds at sf0.01/0.1,
+    #     12-round unroll with a strict-inside assertion).
+    #   - frequent_subsequences_report (operators/seqmine.py —
+    #     GSP/PrefixSpan gappy-subsequence support counting via the
+    #     min/max-ord existence trick, once-per-user semantics that
+    #     sequence_top_paths' contiguous-trigram counts do NOT cover;
+    #     gate body + oracle in tests/test_seqmine.py; 150 pattern
+    #     rows on the 5-type alphabet).
     # r10-green cycle, remaining 30 (CORRECTNESS_r10 record order):
     "compaction_plan_bins",
     "date_parts",

@@ -197,6 +197,19 @@ HEADLINERS = {
     "stream_kmv_retention_matrix": "real 3-batch replay into the grouped k-minima store; "
                                    "the matrix is k-row joins over the final state — "
                                    "history never re-scanned",
+    "kcore_copurchase_report": "edges checkpointed once; per peel round ONE mirrored-degree "
+                               "hash agg + two BROADCAST semi-joins of the survivor frame "
+                               "(node universe = the part dimension) + an early fixpoint "
+                               "stop; the report is one exploded distinct-count agg per k",
+    "sorted_neighborhood_linkage": "global rank via the range-partitioned two-phase scan "
+                                   "(no single-partition data window); pair generation is "
+                                   "ONE rank equi-join; payloads re-attach as two broadcasts "
+                                   "of the narrow attribute frame; FS scoring is codegen "
+                                   "Column math into a 3-row hash agg",
+    "sq_adc_topk": "training is ONE pass of 2*dim min/max aggregates (no row expansion); "
+                   "the codes checkpoint IS the materialized index; each query probes as a "
+                   "literal array + TakeOrdered(k) — zero Python and zero shuffle in the "
+                   "search plan",
 }
 
 

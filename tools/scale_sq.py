@@ -68,7 +68,12 @@ def main() -> None:
     spark = get_spark(app_name="scale-sq")
     spark.sparkContext.setLogLevel("ERROR")
     for n in sizes:
-        vecs = synthetic_vectors(spark, n).localCheckpoint(eager=True)
+        # NOT checkpointed: the synthetic vectors are deterministic
+        # codegen (xxhash64), so regenerating per stage is cheaper than
+        # pinning n*dim doubles of storage in the single local JVM —
+        # only the CODES frame (the index) materializes, as in the
+        # catalog gate
+        vecs = synthetic_vectors(spark, n)
         n_rows = vecs.count()
 
         t0 = time.perf_counter()
