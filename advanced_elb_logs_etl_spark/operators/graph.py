@@ -89,13 +89,21 @@ def pagerank(
         e = e.distinct()
     e = e.localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if dangling == "none":
+        # Every node has an out-edge (the mode's contract), so the node
+        # universe IS the out-degree frame's key set — skip the 2E-row
+        # union+distinct pass entirely and reuse the degree aggregate
+        # (one materialization serves both the ew join and the node set).
+        deg = deg.localCheckpoint(eager=True)
+        nodes = deg.select(F.col("src").alias("node"))
     ew = e.join(deg, "src").localCheckpoint(eager=True)  # src, dst, outdeg
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if dangling != "none":
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     n = nodes.count()  # scalar graph size; one tiny job against the blocks
     if dangling == "none":
         has_dangling = False
@@ -236,7 +244,9 @@ def _mirror(edges: DataFrame) -> DataFrame:
     return edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def triangle_stats(
+    edges: DataFrame, broadcast_max_edges: int = 4_000_000
+) -> DataFrame:
     """Global triangle census of an undirected graph: node count, edge
     count, triangle count, wedge (open 2-path) count, and the global
     clustering coefficient 3T / wedges.
@@ -260,8 +270,23 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     subtrees reference it (mirror x2, degrees, two wedge sides, the
     closure probe, the edge count), and recomputing the upstream edge
     derivation per subtree is the same recomputation trap the PageRank
-    fixed-K path hit (VERDICT r3)."""
+    fixed-K path hit (VERDICT r3).
+
+    ``broadcast_max_edges``: the deliberate join-strategy pick (guide
+    §3.1) sized from the REAL edge count (one metadata-cheap count
+    against the fresh checkpoint, reused as the report's n_edges): at
+    or below the cap, the oriented edge frame broadcasts into BOTH the
+    wedge self-join and the closure probe, so the m^1.5-sized wedge
+    stream is generated, closure-probed and counted inside one
+    codegen stage with ZERO exchanges (orientation caps per-row
+    fan-out near sqrt(E), so no task skews); above it, both joins keep
+    the shuffle_hash shape — the wedge stream shuffles but is never
+    sorted, the 100 TB-safe form.  4M edges of two longs is tens of
+    MB as a broadcast hash relation — comfortably inside executor
+    memory at any deployment size."""
     edges = edges.select("u", "v").localCheckpoint(eager=True)
+    n_edges_val = edges.count()
+    small = n_edges_val <= broadcast_max_edges
     und = _mirror(edges)
     deg = (
         und.groupBy("u")
@@ -280,7 +305,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
     )
     w1 = e.alias("w1")
-    w2 = e.alias("w2")
+    w2 = F.broadcast(e.alias("w2")) if small else e.alias("w2")
     # co-rooted wedge pairs, deduplicated by id order on the two tips; the
     # tip pair is then CANONICALIZED (least/greatest by id) and probed
     # against the canonical [u < v] edge list with a pure equi-join — an
@@ -296,28 +321,37 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.col("w2.dst").alias("v"),
     )
     # closure probe: wedges (the m^1.5-sized side) x canonical edges (the
-    # small side).  Below the broadcast threshold Catalyst picks BHJ; above
-    # it the default was a sort-merge join that SORTS THE WEDGE SIDE —
-    # measured as the 10x knee in SCALE.md (4.4 s -> 110.6 s).  The
+    # small side).  Small graphs (<= broadcast_max_edges) broadcast the
+    # edge side so the wedge stream is probed IN PLACE — zero exchanges
+    # for the whole wedge+closure pipeline.  Above the cap, the
     # shuffle_hash hint (the Q3 treatment, VERDICT r6 item 6) keeps the
     # edge side as a per-partition hash build: both sides still shuffle on
-    # the pair key, but the billion-row wedge stream is probed unsorted.
-    # Edges are per-partition-memory-safe at any scale: the build side is
-    # |E|/shuffle_partitions rows of two longs.
-    tri = wedge_tips.join(
-        edges.select("u", "v").hint("shuffle_hash"), ["u", "v"]
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    # the pair key, but the billion-row wedge stream is probed unsorted
+    # (a sort-merge join here — Catalyst's default above the broadcast
+    # threshold — sorts the wedge stream: the 10x knee in SCALE.md,
+    # 4.4 s -> 110.6 s).  Edges are per-partition-memory-safe at any
+    # scale: the build side is |E|/shuffle_partitions rows of two longs.
+    closure = (
+        F.broadcast(edges.select("u", "v"))
+        if small
+        else edges.select("u", "v").hint("shuffle_hash")
+    )
+    tri = wedge_tips.join(closure, ["u", "v"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
     node_stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         # integer-domain wedge count: sum d*(d-1) stays a long, halved with
         # integer div (the sum is always even) — no double accumulation
         F.expr("sum(d * (d - 1)) div 2").cast("long").alias("n_wedges"),
     )
-    edge_count = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    # three 1-row aggregates composed lazily (broadcast NL joins) — the
-    # census stays a single action with no driver-side collect
+    # the edge count was already paid by the checkpoint's setup count —
+    # inline it as a literal instead of a third 1-row aggregate subtree
+    # (one fewer job, value identical by construction)
     return (
-        node_stats.crossJoin(edge_count)
+        node_stats.withColumn(
+            "n_edges", F.lit(int(n_edges_val)).cast("long")
+        )
         .crossJoin(tri)
         .select(
             "n_nodes",
@@ -340,16 +374,31 @@ def k_hop_reachability(
     seeds: DataFrame,
     k: int,
     hub_degree_threshold: int = 32_768,
+    broadcast_frontier: bool = False,
 ) -> DataFrame:
     """Nodes reachable within k hops of each seed (the seed itself
     included), as [seed, n_reachable].
 
     seeds: DataFrame with a single ``node`` column.
 
-    Scale: classic frontier BFS — each hop is one hash join of the current
-    REACHED set against the mirrored adjacency plus a distinct; lineage
-    stays k-deep (k is small and fixed — for iterate-to-convergence walks
+    Scale: classic frontier BFS — each hop joins only the (deduplicated)
+    FRONTIER pair frame against the mirrored adjacency, not the whole
+    accumulated reach set (re-joining already-expanded seed rows emits
+    hop-(i-1) neighbors again just to be deduplicated); the per-seed
+    reach count folds every hop's pair stream through ONE
+    count_distinct aggregation (map-side partial dedup) instead of a
+    full distinct pass per hop plus a final count.  Lineage stays
+    k-deep (k is small and fixed — for iterate-to-convergence walks
     use pagerank's checkpoint discipline).
+
+    ``broadcast_frontier``: when the caller KNOWS the seed set (and so
+    every hop's frontier) is dimension-bounded — the seed-restricted
+    regime, same rationale as neighbor_jaccard_topk's broadcast seed
+    adjacency — broadcast the frontier into the hop join so the
+    mirrored adjacency is never shuffled at all (the k_core
+    node_join="broadcast" precedent).  Leave False when seeds are
+    O(corpus): the frontier then exceeds broadcast limits and the
+    default shuffle join (with hub salting below) is the right shape.
 
     Hub-skew defense (VERDICT r4 item 5), EXACT by construction: the hop
     join shuffles on the frontier node key, so on a power-law graph one
@@ -374,30 +423,45 @@ def k_hop_reachability(
     # the adjacency is probed once per hop — checkpoint it so the upstream
     # edge derivation runs once, not k times
     und = _mirror(edges).localCheckpoint(eager=True)
-    hubs = (
-        und.groupBy("u")
-        .agg(F.count(F.lit(1)).alias("_d"))
-        .where(F.col("_d") > hub_degree_threshold)
-        .select(
-            "u",
-            F.ceil(F.col("_d") / F.lit(hub_degree_threshold))
-            .cast("int")
-            .alias("_nsalt"),
+    hubs = None
+    if not broadcast_frontier:
+        # the salting defense only matters for the shuffle-join path — a
+        # broadcast frontier probe has no per-key shuffle to skew, so the
+        # degree probe is skipped entirely in that mode
+        hubs = (
+            und.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .where(F.col("_d") > hub_degree_threshold)
+            .select(
+                "u",
+                F.ceil(F.col("_d") / F.lit(hub_degree_threshold))
+                .cast("int")
+                .alias("_nsalt"),
+            )
+            .localCheckpoint(eager=True)  # tiny; derived once, probed 2k times
         )
-        .localCheckpoint(eager=True)  # tiny; derived once, probed 2k times
-    )
-    reached = seeds.select(F.col("node").alias("seed"), F.col("node"))
-    if hubs.isEmpty():
+    seed_pairs = seeds.select(F.col("node").alias("seed"), F.col("node"))
+    hops: list[DataFrame] = [seed_pairs]
+    frontier = seed_pairs
+    if broadcast_frontier or hubs.isEmpty():
         # No hubs (the common case below web scale): skip the salted
         # adjacency copy and the per-hop frontier explode entirely — the
         # plain BFS is the salted plan with every salt pinned to 0, so
         # results are identical and the guard costs one tiny degree agg.
-        for _ in range(k):
+        # (broadcast_frontier also takes this path: a broadcast hash
+        # probe has no per-key shuffle for a hub to skew.)
+        for i in range(k):
+            probe = F.broadcast(frontier) if broadcast_frontier else frontier
             nxt = (
-                reached.join(und, reached.node == und.u)
+                probe.join(und, probe.node == und.u)
                 .select("seed", F.col("v").alias("node"))
             )
-            reached = reached.union(nxt).distinct()
+            hops.append(nxt)
+            if i < k - 1:
+                # dedup the frontier before the next expansion (bounds the
+                # next hop's join fan-out); the LAST hop's raw pair stream
+                # flows straight into the count_distinct fold instead
+                frontier = nxt.distinct()
     else:
         und_salted = (
             und.join(F.broadcast(hubs), "u", "left")
@@ -411,9 +475,9 @@ def k_hop_reachability(
             .localCheckpoint(eager=True)
         )
         hub_nodes = hubs.select(F.col("u").alias("node"), "_nsalt")
-        for _ in range(k):
-            frontier = (
-                reached.join(F.broadcast(hub_nodes), "node", "left")
+        for i in range(k):
+            salted = (
+                frontier.join(F.broadcast(hub_nodes), "node", "left")
                 .select(
                     "seed",
                     "node",
@@ -425,17 +489,22 @@ def k_hop_reachability(
                 )
             )
             nxt = (
-                frontier.join(
+                salted.join(
                     und_salted,
-                    (frontier.node == und_salted.u)
-                    & (frontier._salt == und_salted._salt),
+                    (salted.node == und_salted.u)
+                    & (salted._salt == und_salted._salt),
                 )
                 .select("seed", F.col("v").alias("node"))
             )
-            reached = reached.union(nxt).distinct()
+            hops.append(nxt)
+            if i < k - 1:
+                frontier = nxt.distinct()
+    reach = hops[0]
+    for h in hops[1:]:
+        reach = reach.union(h)
     return (
-        reached.groupBy("seed")
-        .agg(F.count(F.lit(1)).alias("n_reachable"))
+        reach.groupBy("seed")
+        .agg(F.count_distinct("node").alias("n_reachable"))
         .orderBy("seed")
     )
 
@@ -630,7 +699,14 @@ def lpa_communities(
     discipline).  Label state is one row per node."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    und = _mirror(edges).localCheckpoint(eager=True)
+    # Pre-partition the mirrored adjacency by the probe key `v` BEFORE
+    # checkpointing: localCheckpoint preserves the hash partitioning, so
+    # every round's label join sees its edge side already distributed on
+    # the join key and exchanges ONLY the O(N) label frame — the edge
+    # frame (O(E), the big side) pays its shuffle once at setup instead
+    # of once per round.  Same byte budget at any scale, rounds-1 fewer
+    # E-row exchanges.
+    und = _mirror(edges).repartition(F.col("v")).localCheckpoint(eager=True)
     labels = (
         und.select(F.col("u").alias("node"))
         .distinct()
@@ -670,6 +746,7 @@ def k_core(
     k: int,
     max_rounds: int = 20,
     node_join: str = "auto",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling (Seidman 1983, "Network
     structure and minimum degree" — public method; the distributed
@@ -708,14 +785,22 @@ def k_core(
     1.4x faster than AQE's pick at sf0.1 because the forced hint also
     skips the two planning-time exchanges AQE must first materialize);
     "shuffle_hash" forces the pure-shuffle form (the LPA
-    driver-memory-safe shape)."""
+    driver-memory-safe shape).
+
+    ``assume_distinct``: the caller certifies the input edge set is
+    already canonical-distinct AND cheap to re-scan (persisted or
+    checkpointed) — skips the round-0 distinct + localCheckpoint copy.
+    Callers peeling the SAME materialized frame at several k values
+    (the kcore gate) would otherwise pay that copy once per k."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     if node_join not in ("auto", "broadcast", "shuffle_hash"):
         raise ValueError(f"unknown node_join {node_join!r}")
-    cur = edges.select("u", "v").distinct().localCheckpoint(eager=True)
+    cur = edges.select("u", "v")
+    if not assume_distinct:
+        cur = cur.distinct().localCheckpoint(eager=True)
     cur_n = cur.count()
     for _ in range(max_rounds):
         deg = (
@@ -737,10 +822,12 @@ def k_core(
         # (the count is already materialized by the eager checkpoint's
         # job, so this is metadata-cheap and keeps dead rounds unpaid);
         # the previous round's count is carried in cur_n — one Spark job
-        # per round, not two
+        # per round, not two.  An EMPTY round is also a fixpoint (the
+        # empty graph peels to itself), so avalanched k values stop
+        # immediately instead of paying one more degree-agg round.
         nxt_n = nxt.count()
         cur = nxt
-        if nxt_n == cur_n:
+        if nxt_n == cur_n or nxt_n == 0:
             break
         cur_n = nxt_n
     return cur

@@ -107,10 +107,16 @@ def q_lpa_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     see (a bridge edge merges components but not communities).
 
     Scale: per round two node-keyed shuffles over the mirrored edges
-    (the pagerank budget); the report is one hash agg on the final
-    one-row-per-node label frame."""
-    li = _t(spark, sf_dir, "lineitem")
-    edges = graph.co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    (the pagerank budget; the edge side of the label join is
+    pre-partitioned once at setup — see lpa_communities); the report is
+    one hash agg on the final one-row-per-node label frame.  The edge
+    frame is the SHARED persisted co-purchase frame of the graph
+    catalog wave (catalog_graph._copurchase_edges) — identical values
+    to the previous inline co_occurrence_edges build, one build per
+    session instead of one per query."""
+    from .catalog_graph import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir)
     labels = graph.lpa_communities(edges, rounds=LPA_GATE_ROUNDS)
     return (
         labels.groupBy("label")

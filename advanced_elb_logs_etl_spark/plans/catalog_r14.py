@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from concurrent.futures import ThreadPoolExecutor
+
 from ..operators import graph, linkage, sq
 from ..operators.pq import snap_micro_py
 from .catalog import _t, register
@@ -110,26 +112,43 @@ def q_kcore_copurchase_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01, asserted in tests/test_kcore.py) keeps the fold
     SQL-unrollable, so the twin is exact.
 
-    Scale: edges localCheckpoint once; per round one degree agg + two
-    semi-joins over the SURVIVOR set (monotone shrinking), with
-    per-round checkpoints (flat lineage) and early stop at the
-    fixpoint; the report is one exploded distinct-count agg per k over
-    the final core — rows = |KCORE_KS|.  node_join="broadcast": the
-    node universe here is the PART DIMENSION (dimension-bounded at any
-    corpus scale), so the per-round survivor frame broadcasts —
-    measured 1.4x faster than AQE's runtime pick and 3.5x faster than
-    forced shuffle_hash at sf0.1 (1.2M edges, 12+ rounds)."""
+    Scale: the canonical-distinct edge list localCheckpoints ONCE
+    (eager) and all three peels start from it with ``assume_distinct``
+    — no per-k re-distinct/checkpoint copy.  (A variant that instead
+    probed the graph wave's shared PERSISTED frame per round was
+    measured and REJECTED: re-scanning the InMemoryRelation columnar
+    cache inside every peel round read 25-26 s vs 13 s for
+    checkpoint-block scans — the r14 A/B in OPTIMIZATION_r14.md.)  Per
+    round one degree agg + two semi-joins over the SURVIVOR set
+    (monotone shrinking), with per-round checkpoints (flat lineage)
+    and early stop at the fixpoint; the report is one exploded
+    distinct-count agg per k over the final core — rows = |KCORE_KS|.
+    node_join="broadcast": the node universe here is the PART
+    DIMENSION (dimension-bounded at any corpus scale), so the
+    per-round survivor frame broadcasts — measured 1.4x faster than
+    AQE's runtime pick and 3.5x faster than forced shuffle_hash at
+    sf0.1 (1.2M edges, 12+ rounds).  The three k peels are INDEPENDENT
+    job chains, so they run from a 3-thread driver pool (guide §2.6
+    overlap): each peel's late rounds are small survivor-set jobs that
+    leave most cores idle — the other peels' stages back-fill them
+    (measured 19.0 s -> 12.7 s at sf0.1 on local[32], 17.2 -> 9.9 on
+    local[8]).  Results are per-peel deterministic, so the overlap
+    changes wall-clock only."""
     li = _t(spark, sf_dir, "lineitem")
     edges = graph.co_occurrence_edges(
         li, "l_orderkey", "l_partkey"
     ).localCheckpoint(eager=True)
-    out = None
-    for k in KCORE_KS:
+
+    def _peel(k: int) -> DataFrame:
         core = graph.k_core(
-            edges, k, max_rounds=KCORE_ROUNDS, node_join="broadcast"
+            edges,
+            k,
+            max_rounds=KCORE_ROUNDS,
+            node_join="broadcast",
+            assume_distinct=True,
         )
         nd = core.select(F.explode(F.array("u", "v")).alias("n"))
-        row = nd.agg(
+        return nd.agg(
             F.count_distinct("n").alias("n_core_nodes"),
             (F.count(F.lit(1)) / 2).cast("long").alias("n_core_edges"),
         ).select(
@@ -137,7 +156,12 @@ def q_kcore_copurchase_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_core_nodes",
             "n_core_edges",
         )
-        out = row if out is None else out.unionByName(row)
+
+    with ThreadPoolExecutor(max_workers=len(KCORE_KS)) as pool:
+        rows = list(pool.map(_peel, KCORE_KS))
+    out = rows[0]
+    for row in rows[1:]:
+        out = out.unionByName(row)
     return out.orderBy("k")
 
 
