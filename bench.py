@@ -302,6 +302,13 @@ def main() -> None:
         "pagerank_supplier_part",
         "triangle_census",
         "khop_reachability",
+        # r14 optimization round: the k-core gate's in-sequence row reads
+        # ~2x its quiet isolated number late in the catalog pass (26.5 s
+        # in-seq vs 13-15 s isolated-fresh-session across every A/B —
+        # late-session block-manager state, not plan shape), and it no
+        # longer rides the shared-edge cluster, so without a standing
+        # warm row the record cannot adjudicate its heaviest entry.
+        "kcore_copurchase_report",
     ):
         if name in CATALOG:
             _run(name)  # prime (rebuild any cleared shared frames)
