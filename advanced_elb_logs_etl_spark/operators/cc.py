@@ -61,6 +61,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import release_local_checkpoint
+
 __all__ = ["alternating_components"]
 
 
@@ -137,16 +139,25 @@ def alternating_components(
     edges = _canonical_edges(pairs, id_a, id_b).localCheckpoint(eager=True)
     prev_count = edges.count()
 
+    owned = None  # loop-created checkpoint eligible for release (r15)
     for _ in range(max_iterations):
         if prev_count == 0:
             break
-        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # LAZY checkpoint + count fuses the per-round materialization
+        # job with the convergence count (the k_core r15 discipline);
+        # the plan stays a flat LogicalRDD leaf either way.
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         nxt_count = nxt.count()
         # Distinct sets: equal counts + nxt ⊆ edges  <=>  equal sets.
-        if nxt_count == prev_count and nxt.exceptAll(edges).isEmpty():
-            edges = nxt
-            break
+        converged = nxt_count == prev_count and nxt.exceptAll(edges).isEmpty()
+        # The superseded round's blocks are dead once the check above
+        # has run — release them so storage stays O(1), not O(rounds).
+        if owned is not None:
+            release_local_checkpoint(owned)
+        owned = nxt
         edges, prev_count = nxt, nxt_count
+        if converged:
+            break
     else:
         raise RuntimeError(
             f"alternating_components did not converge in {max_iterations} "

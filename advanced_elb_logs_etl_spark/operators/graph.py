@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import dround
+from ..session import release_local_checkpoint
 
 DAMPING = 0.85
 _SNAP = 8  # per-iteration decimal snap scale (see module docstring)
@@ -94,9 +95,13 @@ def pagerank(
         # universe IS the out-degree frame's key set — skip the 2E-row
         # union+distinct pass entirely and reuse the degree aggregate
         # (one materialization serves both the ew join and the node set).
-        deg = deg.localCheckpoint(eager=True)
+        # LAZY checkpoints (r15): the plans are LogicalRDD leaves either
+        # way; `nodes.count()` below materializes deg, and the first
+        # iteration's join materializes ew — two fewer setup jobs than
+        # the eager form, identical blocks afterwards.
+        deg = deg.localCheckpoint(eager=False)
         nodes = deg.select(F.col("src").alias("node"))
-    ew = e.join(deg, "src").localCheckpoint(eager=True)  # src, dst, outdeg
+    ew = e.join(deg, "src").localCheckpoint(eager=False)  # src, dst, outdeg
     if dangling != "none":
         nodes = (
             e.select(F.col("src").alias("node"))
@@ -146,8 +151,10 @@ def pagerank(
         if tol is not None or has_dangling:
             # dangling/convergence modes run a scalar job against `ranks`
             # every round — checkpoint so round N+1 reads materialized
-            # blocks instead of replaying rounds 1..N.
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            # blocks instead of replaying rounds 1..N.  Lazy (r15): the
+            # round's own scalar job (delta below, or the next round's
+            # dmass) materializes the blocks — one fewer job per round.
+            new_ranks = new_ranks.localCheckpoint(eager=False)
         if tol is not None:
             delta = (
                 new_ranks.alias("a")
@@ -381,13 +388,17 @@ def k_hop_reachability(
 
     seeds: DataFrame with a single ``node`` column.
 
-    Scale: classic frontier BFS — each hop joins only the (deduplicated)
-    FRONTIER pair frame against the mirrored adjacency, not the whole
-    accumulated reach set (re-joining already-expanded seed rows emits
-    hop-(i-1) neighbors again just to be deduplicated); the per-seed
-    reach count folds every hop's pair stream through ONE
-    count_distinct aggregation (map-side partial dedup) instead of a
-    full distinct pass per hop plus a final count.  Lineage stays
+    Scale: classic frontier BFS with EXACT frontiers — each hop joins
+    only the true distance-i pair frame against the mirrored adjacency.
+    Exactness costs two anti-joins per hop (subtract the last two
+    frontiers; the mirrored graph is undirected, so expanding the exact
+    distance-i set only reaches distances i-1/i/i+1 and no accumulated
+    reach set is needed) and is what keeps late-hop join fan-out
+    tracking the FRONTIER, not the monotone reach set — on small-world
+    graphs the two diverge by the whole graph size within a few hops.
+    The per-seed reach count folds every hop's raw pair stream through
+    ONE count_distinct aggregation (map-side partial dedup) instead of
+    a full distinct pass per hop plus a final count.  Lineage stays
     k-deep (k is small and fixed — for iterate-to-convergence walks
     use pagerank's checkpoint discipline).
 
@@ -443,6 +454,25 @@ def k_hop_reachability(
     seed_pairs = seeds.select(F.col("node").alias("seed"), F.col("node"))
     hops: list[DataFrame] = [seed_pairs]
     frontier = seed_pairs
+    prev_frontier: DataFrame | None = None
+
+    def _next_frontier(nxt: DataFrame) -> DataFrame:
+        # EXACT frontier maintenance (guide §2.3 — shuffle fewer bytes):
+        # dedup the hop's pair stream, then anti-join away the last TWO
+        # frontiers.  The mirrored graph is undirected, so expanding the
+        # exact distance-i set only reaches distances i-1/i/i+1 — two
+        # subtractions leave exactly the distance-(i+1) set, no
+        # accumulated reach set needed.  Without this every cycle (and
+        # on an undirected graph EVERY edge is a 2-cycle) re-expands
+        # hop-(i-1) nodes each round, so late-hop join fan-out tracks
+        # the REACHED set instead of the frontier.  The final
+        # count_distinct fold over the raw hop streams is unchanged, so
+        # results are identical by construction.
+        f = nxt.distinct().join(frontier, ["seed", "node"], "left_anti")
+        if prev_frontier is not None:
+            f = f.join(prev_frontier, ["seed", "node"], "left_anti")
+        return f
+
     if broadcast_frontier or hubs.isEmpty():
         # No hubs (the common case below web scale): skip the salted
         # adjacency copy and the per-hop frontier explode entirely — the
@@ -458,10 +488,10 @@ def k_hop_reachability(
             )
             hops.append(nxt)
             if i < k - 1:
-                # dedup the frontier before the next expansion (bounds the
-                # next hop's join fan-out); the LAST hop's raw pair stream
-                # flows straight into the count_distinct fold instead
-                frontier = nxt.distinct()
+                # exact next frontier (bounds the next hop's join
+                # fan-out); the LAST hop's raw pair stream flows
+                # straight into the count_distinct fold instead
+                prev_frontier, frontier = frontier, _next_frontier(nxt)
     else:
         und_salted = (
             und.join(F.broadcast(hubs), "u", "left")
@@ -498,7 +528,7 @@ def k_hop_reachability(
             )
             hops.append(nxt)
             if i < k - 1:
-                frontier = nxt.distinct()
+                prev_frontier, frontier = frontier, _next_frontier(nxt)
     reach = hops[0]
     for h in hops[1:]:
         reach = reach.union(h)
@@ -737,7 +767,11 @@ def lpa_communities(
                 "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
             ).alias("label")
         )
-        labels = new.localCheckpoint(eager=True)
+        # LAZY checkpoint (r15): the plan is a LogicalRDD leaf either
+        # way (flat lineage preserved); the next round's shuffle stages
+        # — or the caller's final action — materialize the blocks, so
+        # each round stops paying a separate materialization job.
+        labels = new.localCheckpoint(eager=False)
     return labels
 
 
@@ -747,6 +781,7 @@ def k_core(
     max_rounds: int = 20,
     node_join: str = "auto",
     assume_distinct: bool = False,
+    coalesce_rows: int = 200_000,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling (Seidman 1983, "Network
     structure and minimum degree" — public method; the distributed
@@ -791,42 +826,72 @@ def k_core(
     already canonical-distinct AND cheap to re-scan (persisted or
     checkpointed) — skips the round-0 distinct + localCheckpoint copy.
     Callers peeling the SAME materialized frame at several k values
-    (the kcore gate) would otherwise pay that copy once per k."""
+    (the kcore gate) would otherwise pay that copy once per k.
+
+    ``coalesce_rows``: scale-adaptive survivor repacking (guide §2.2 —
+    fewer, larger partitions).  Before each round's checkpoint the
+    survivor frame is ``coalesce``d to ceil(prev_count / coalesce_rows)
+    partitions: as the peel shrinks the edge set, the per-round stages
+    stop paying one near-empty task per original partition (at
+    local[32] that fixed 32-tasks-per-stage floor across 12+ rounds x 3
+    peels was the measured r15 anti-scaling culprit — warm 16.6 s at 32
+    cores vs 6.8 s at 8 on identical code).  ``coalesce`` only ever
+    MERGES: at cluster scale a billion-edge survivor set computes a
+    partition target far above the frame's actual partition count and
+    the call is a no-op, so the knob is inert exactly where the
+    partitioning is already byte-sized by AQE.  0 disables."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     if node_join not in ("auto", "broadcast", "shuffle_hash"):
         raise ValueError(f"unknown node_join {node_join!r}")
+    if coalesce_rows < 0:
+        raise ValueError(f"coalesce_rows must be >= 0, got {coalesce_rows}")
     cur = edges.select("u", "v")
     if not assume_distinct:
         cur = cur.distinct().localCheckpoint(eager=True)
     cur_n = cur.count()
+    owned = None  # the loop-created checkpoint eligible for release
     for _ in range(max_rounds):
         deg = (
             _mirror(cur)
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("_deg"))
         )
-        keep = deg.filter(F.col("_deg") >= F.lit(int(k))).select("u")
-        ku = keep if node_join == "auto" else keep.hint(node_join)
-        kv = keep.withColumnRenamed("u", "v")
-        kv = kv if node_join == "auto" else kv.hint(node_join)
-        nxt = (
-            cur.join(ku, "u", "left_semi")
-            .join(kv, "v", "left_semi")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
+        # ONE survivor frame probed by BOTH semi-joins (renamed so the
+        # second join resolves unambiguously): the two broadcast/shuffle
+        # exchanges canonicalize identically, so exchange/stage reuse
+        # builds the keep relation once per round instead of twice.
+        keep = deg.filter(F.col("_deg") >= F.lit(int(k))).select(
+            F.col("u").alias("_keep")
         )
-        # one bounded driver-side count per round: stop at the fixpoint
-        # (the count is already materialized by the eager checkpoint's
-        # job, so this is metadata-cheap and keeps dead rounds unpaid);
-        # the previous round's count is carried in cur_n — one Spark job
-        # per round, not two.  An EMPTY round is also a fixpoint (the
-        # empty graph peels to itself), so avalanched k values stop
-        # immediately instead of paying one more degree-agg round.
+        if node_join != "auto":
+            keep = keep.hint(node_join)
+        nxt = (
+            cur.join(keep, cur["u"] == F.col("_keep"), "left_semi")
+            .join(keep, cur["v"] == F.col("_keep"), "left_semi")
+            .select("u", "v")
+        )
+        if coalesce_rows:
+            nxt = nxt.coalesce(max(1, -(-cur_n // coalesce_rows)))
+        # LAZY checkpoint + count: one job materializes the round AND
+        # returns the fixpoint count (the eager form paid a separate
+        # materialization job before the count every round).  The
+        # logical plan is a LogicalRDD leaf either way, so lineage
+        # stays flat — the failed r14 persist experiment's deep-plan
+        # trap does not apply.
+        nxt = nxt.localCheckpoint(eager=False)
         nxt_n = nxt.count()
+        # Release the superseded round's blocks now (storage stays O(1)
+        # per peel instead of O(rounds)); never the caller's input frame.
+        if owned is not None:
+            release_local_checkpoint(owned)
+        owned = nxt
         cur = nxt
+        # An EMPTY round is also a fixpoint (the empty graph peels to
+        # itself), so avalanched k values stop immediately instead of
+        # paying one more degree-agg round.
         if nxt_n == cur_n or nxt_n == 0:
             break
         cur_n = nxt_n
@@ -887,31 +952,41 @@ def densest_subgraph_peel(
     cur = edges.select("u", "v").distinct().localCheckpoint(eager=True)
     m = cur.count()
     rows: list[tuple[int, int, int, int]] = []
+    owned_cur = None  # loop-created checkpoints eligible for release
+    owned_deg = None  # (the k_core fuse+release discipline, r15)
     for r in range(max_rounds):
         if m == 0:
             break
+        # lazy checkpoint + count: one job materializes AND counts
         deg = (
             _mirror(cur)
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("_deg"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n = deg.count()
+        if owned_deg is not None:
+            release_local_checkpoint(owned_deg)
+        owned_deg = deg
         rows.append((r, n, m, (1_000_000 * m) // n))
-        # delete deg <= 2*(1+eps)*m/n  <=>  deg*10*n <= 2*(10+eps10)*m
+        # delete deg <= 2*(1+eps)*m/n  <=>  deg*10*n <= 2*(10+eps10)*m;
+        # ONE renamed survivor frame probed by both semi-joins so the
+        # exchange canonicalizes identically and builds once per round
         keep = deg.filter(
             F.col("_deg") * F.lit(10 * n) > F.lit(2 * (10 + eps_tenths) * m)
-        ).select("u")
-        ku = keep if node_join == "auto" else keep.hint(node_join)
-        kv = keep.withColumnRenamed("u", "v")
-        kv = kv if node_join == "auto" else kv.hint(node_join)
+        ).select(F.col("u").alias("_keep"))
+        if node_join != "auto":
+            keep = keep.hint(node_join)
         cur = (
-            cur.join(ku, "u", "left_semi")
-            .join(kv, "v", "left_semi")
+            cur.join(keep, cur["u"] == F.col("_keep"), "left_semi")
+            .join(keep, cur["v"] == F.col("_keep"), "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         m = cur.count()
+        if owned_cur is not None:
+            release_local_checkpoint(owned_cur)
+        owned_cur = cur
     return spark.createDataFrame(
         rows, "round long, n_nodes long, n_edges long, density_micro long"
     ).orderBy("round")
