@@ -282,24 +282,70 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     each scored into quintiles, then segment population counts.
 
     Scale: the oracle's three `ntile(5) OVER (ORDER BY ...)` are
-    single-partition sorts; the Spark side scores with scalable_ntile
-    (operators/stats.py) — range-partition by the metric, partition-local
-    rank, broadcast per-partition offsets, exact SQL ntile bucket formula.
-    Determinism: every order has a custkey tiebreak; monetary sums are
-    DECIMAL(18,2)-exact so bucket boundaries cannot drift with partition
-    order."""
+    single-partition sorts; the Spark side fuses all three quintile
+    layouts into ONE two-phase range scan (r15, guide §2.4 — one
+    exchange serving three orderings): the per-customer frame melts to
+    (metric_idx, value, custkey) rows — every metric is exactly
+    order-preserving under the decimal(38,6) cast and contributes
+    exactly N rows, so the within-metric rank is the global rank minus
+    metric_idx * N — then one exact ntile bucket formula and a
+    per-customer pivot agg.  The r14 form ran three sequential
+    scalable_ntile passes (three range shuffles + three eager pins);
+    this runs one range shuffle of 3N narrow rows.  Determinism: every
+    order has a custkey tiebreak; monetary sums are DECIMAL(18,2)-exact
+    so bucket boundaries cannot drift with partition order."""
     o = _t(spark, sf_dir, "orders")
-    # per-customer frame feeds three independent ntile scans (plus their
-    # row-count broadcasts) — persist it so the orders aggregation runs
-    # once, not once per downstream branch
+    # lazy checkpoint: the melt AND the row-count agg both read the
+    # per-customer frame — the checkpoint guarantees the orders
+    # aggregation computes once without leaving a persisted frame behind
     pc = o.groupBy("o_custkey").agg(
         F.max(_us("o_orderdate")).alias("last_us"),
         F.count("*").alias("freq"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
-    ).persist()
-    scored = stats.scalable_ntile(pc, ["last_us", "o_custkey"], 5, "r_score")
-    scored = stats.scalable_ntile(scored, ["freq", "o_custkey"], 5, "f_score")
-    scored = stats.scalable_ntile(scored, ["monetary", "o_custkey"], 5, "m_score")
+    ).localCheckpoint(eager=False)
+    metrics = ["last_us", "freq", "monetary"]
+    melted = pc.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("_m"),
+                        F.col(c).cast("decimal(38,6)").alias("_val"),
+                    )
+                    for i, c in enumerate(metrics)
+                ]
+            )
+        ).alias("_e"),
+    ).select(
+        "o_custkey",
+        F.col("_e._m").alias("_m"),
+        F.col("_e._val").alias("_val"),
+        F.lit(1).alias("_one"),
+    )
+    ranked = stats.global_cumsum(
+        melted, ["_m", "_val", "o_custkey"], ["_one"], pin="defer"
+    ).withColumnRenamed("cum__one", "_grank")
+    n = pc.groupBy().agg(F.count("*").alias("_n"))
+    # within-metric rank + the exact SQL ntile bucket formula (the
+    # scalable_ntile expressions verbatim, k=5)
+    k = 5
+    rank = F.col("_grank") - F.col("_m").cast("long") * F.col("_n")
+    big = F.floor(F.col("_n") / k) + 1
+    rem = F.col("_n") % k
+    bucket = F.when(rank <= big * rem, F.ceil(rank / big)).otherwise(
+        rem + F.ceil((rank - big * rem) / F.greatest(F.floor(F.col("_n") / k), F.lit(1)))
+    )
+    scored = (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("_b", bucket.cast("int"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("_m") == 0, F.col("_b"))).alias("r_score"),
+            F.max(F.when(F.col("_m") == 1, F.col("_b"))).alias("f_score"),
+            F.max(F.when(F.col("_m") == 2, F.col("_b"))).alias("m_score"),
+        )
+    )
     return (
         scored.groupBy(
             F.col("r_score").cast("long").alias("r_score"),

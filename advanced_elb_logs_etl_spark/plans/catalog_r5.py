@@ -570,12 +570,14 @@ def q_stream_sliding_window_equiv(spark: SparkSession, sf_dir: str) -> DataFrame
     production append mode; complete mode here is for the equivalence
     check (see replay.py)."""
     from ..streaming.replay import replay_stream
+    from .catalog_stream import _events_key, _staged_events
 
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    ev = _staged_events(spark, sf_dir)
 
     def build(s: DataFrame) -> DataFrame:
         return (
-            s.withWatermark("ts", "1 hour")
+            s.select("user_id", "ts")
+            .withWatermark("ts", "1 hour")
             .groupBy(
                 F.window(F.col("ts"), "5 minutes", "1 minute").alias("w"),
                 F.col("user_id"),
@@ -584,7 +586,8 @@ def q_stream_sliding_window_equiv(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     out = replay_stream(
-        spark, ev, build, "stream_sliding_window", output_mode="complete"
+        spark, ev, build, "stream_sliding_window", output_mode="complete",
+        staging_key=_events_key(sf_dir),
     )
     return out.select(
         "user_id",

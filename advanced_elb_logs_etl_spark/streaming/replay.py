@@ -39,6 +39,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: Session-scoped staged-source cache (r15, guide §6 — fewer redundant
+#: I/O passes): queries replaying the SAME batch frame share ONE staged
+#: parquet copy instead of each paying a write + source listing.  Keyed
+#: by (SparkContext id, caller key); the caller key certifies the
+#: batch_df is identical for every sharer (same table, same projection)
+#: — the first caller's write is reused verbatim.  clear_stage_cache()
+#: is the bench/test isolation hook, mirroring the catalogs' shared
+#: persisted-frame clear functions.
+_STAGE_CACHE: dict[tuple, str] = {}
+
+
+def clear_stage_cache() -> None:
+    """Remove every shared staged-source directory (bench isolation
+    hook — isolated reruns then charge each query a full re-stage)."""
+    import shutil as _shutil
+
+    while _STAGE_CACHE:
+        _, d = _STAGE_CACHE.popitem()
+        _shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+
 
 def replay_stream(
     spark: SparkSession,
@@ -50,6 +70,7 @@ def replay_stream(
     staging_partitions: int = 8,
     shuffle_partitions: int | None = 16,
     sink: str = "memory",
+    staging_key: tuple | None = None,
 ) -> DataFrame:
     """Replay ``batch_df`` through ``build(stream_df)`` as a real streaming
     query (availableNow trigger) and return the final sink table pinned
@@ -77,17 +98,33 @@ def replay_stream(
     scale with shuffle partitions; restored in a finally). These are
     HARNESS knobs — a production streaming job sizes its real source and
     state partitions to the stream, not to a replayed fixture; pass
-    ``shuffle_partitions=None`` to leave the session untouched."""
+    ``shuffle_partitions=None`` to leave the session untouched.
+
+    ``staging_key``: opt-in shared staging (see _STAGE_CACHE).  Callers
+    passing the same key MUST pass a value-identical ``batch_df`` — the
+    staged copy is written by the first caller and re-read by the rest,
+    so the equivalence each replay proves is unchanged (same rows, same
+    real streaming engine); only the redundant staging write + listing
+    is shared.  The shared copy survives until clear_stage_cache()."""
     if sink not in ("memory", "parquet"):
         raise ValueError(f"unknown replay sink {sink!r}")
     tmp = tempfile.mkdtemp(prefix="sparkgraft_replay_")
     name = f"{query_name}_{uuid.uuid4().hex[:8]}"
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        src = os.path.join(tmp, "src")
         ckpt = os.path.join(tmp, "ckpt")
         dst = os.path.join(tmp, "dst")
-        batch_df.coalesce(staging_partitions).write.parquet(src)
+        if staging_key is not None:
+            ckey = (id(spark.sparkContext),) + tuple(staging_key)
+            src = _STAGE_CACHE.get(ckey)
+            if src is None or not os.path.isdir(src):
+                sdir = tempfile.mkdtemp(prefix="sparkgraft_stage_")
+                src = os.path.join(sdir, "src")
+                batch_df.coalesce(staging_partitions).write.parquet(src)
+                _STAGE_CACHE[ckey] = src
+        else:
+            src = os.path.join(tmp, "src")
+            batch_df.coalesce(staging_partitions).write.parquet(src)
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         stream = spark.readStream.schema(batch_df.schema).parquet(src)

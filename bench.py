@@ -181,6 +181,7 @@ def main() -> None:
     from advanced_elb_logs_etl_spark.plans.catalog_graph import clear_edge_cache  # noqa: E402
     from advanced_elb_logs_etl_spark.plans.catalog_llm import clear_hashed_cache  # noqa: E402
     from advanced_elb_logs_etl_spark.plans.catalog_r6 import clear_r6_cache  # noqa: E402
+    from advanced_elb_logs_etl_spark.streaming.replay import clear_stage_cache  # noqa: E402
 
     _CLUSTERS = {
         "dedup_shared_shingles": (
@@ -218,6 +219,18 @@ def main() -> None:
             ["substring_dedup_spans", "dsir_importance_topk",
              "classifier_score_topk"],
             clear_r6_cache,
+        ),
+        "stream_shared_stage": (
+            # r15: the five replay_stream equivalence queries over
+            # `events` share ONE staged parquet source copy
+            # (streaming/replay.py _STAGE_CACHE) instead of five
+            # near-identical staging writes; the clear hook makes every
+            # isolated row below charge a full re-stage, comparable
+            # with pre-r15 records.
+            ["stream_session_window_equiv", "stream_hourly_agg_equiv",
+             "stream_dedup_equiv", "stream_join_equiv",
+             "stream_sliding_window_equiv"],
+            clear_stage_cache,
         ),
     }
     clusters: dict[str, dict] = {}
