@@ -61,7 +61,13 @@ def pagerank(
     job. Pass "none" when the caller guarantees every node has an
     out-edge (e.g. bidirectional graphs built by construction, like
     supplier_part_edges) to skip the probe and the per-iteration D-mass
-    scalar job.
+    scalar job.  BLAST RADIUS (ADVICE r14): under "none" the node
+    universe is derived from out-degree keys, so a WRONG no-dangling
+    guarantee silently drops sink nodes from the output and shrinks N —
+    a strictly larger failure than the pre-r14 behavior (which only
+    skipped D-mass redistribution while keeping every node's rank row).
+    Only pass "none" for graphs that are bidirectional by construction;
+    when in doubt, "auto" costs one anti-join probe.
 
     Scale: per iteration ONE shuffle — ranks join edges on src (rank frame
     is O(N) and aggregated, so AQE broadcasts it when small; at web scale
@@ -290,7 +296,16 @@ def triangle_stats(
     the shuffle_hash shape — the wedge stream shuffles but is never
     sorted, the 100 TB-safe form.  4M edges of two longs is tens of
     MB as a broadcast hash relation — comfortably inside executor
-    memory at any deployment size."""
+    memory at any deployment size.  DRIVER memory is the tighter
+    bound (ADVICE r14): the small path builds TWO broadcast relations
+    (the oriented frame for the wedge join, the canonical frame for
+    the closure probe — they orient differently, so one relation
+    cannot serve both), and each build stages the collected rows on
+    the driver alongside any resident checkpoint blocks; a
+    1g-default driver handles the sf0.1 graph (~1.2M edges) with
+    headroom, but sessions driving graphs near the 4M cap should run
+    the documented 8g driver (session.py SPARK_DRIVER_MEMORY) or
+    lower the cap."""
     edges = edges.select("u", "v").localCheckpoint(eager=True)
     n_edges_val = edges.count()
     small = n_edges_val <= broadcast_max_edges
@@ -672,22 +687,29 @@ def butterfly_stats(edges: DataFrame, through: str = "auto") -> DataFrame:
         .alias("n_butterflies"),
         F.count(F.lit(1)).alias("n_coneighbor_pairs"),
     )
+    # ONE pivot-side degree pass yields the wedge count AND the
+    # pivot-side vertex/edge counts (r15, guide §2.3): the previous
+    # 3-distinct-aggregate counts frame planned an Expand that pushed
+    # 3x the edge rows through its exchange; now only the tip side pays
+    # a (map-side partial) distinct, and n_edges rides the degree agg.
     deg_stats = edges.groupBy(pivot).agg(F.count(F.lit(1)).alias("d")).agg(
+        F.count(F.lit(1)).alias("n_pivot"),
+        F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("n_edges"),
         F.coalesce(F.expr("sum(d * (d - 1)) div 2"), F.lit(0))
         .cast("long")
-        .alias("n_wedges")
+        .alias("n_wedges"),
     )
-    counts = edges.agg(
-        F.countDistinct("l").alias("n_left"),
-        F.countDistinct("r").alias("n_right"),
-        F.count(F.lit(1)).alias("n_edges"),
+    tip_count = (
+        edges.select(tip).distinct().agg(F.count(F.lit(1)).alias("n_tip"))
     )
+    n_left = F.col("n_tip") if through == "right" else F.col("n_pivot")
+    n_right = F.col("n_pivot") if through == "right" else F.col("n_tip")
     return (
-        counts.crossJoin(F.broadcast(deg_stats))
+        deg_stats.crossJoin(F.broadcast(tip_count))
         .crossJoin(F.broadcast(bf))
         .select(
-            "n_left",
-            "n_right",
+            n_left.alias("n_left"),
+            n_right.alias("n_right"),
             "n_edges",
             "n_wedges",
             "n_coneighbor_pairs",

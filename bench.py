@@ -143,6 +143,28 @@ def main() -> None:
         ).collect()
         return round((time.perf_counter() - t0) * 1000, 1)
 
+    def _storage_probe() -> dict:
+        # Block-manager/storage telemetry (VERDICT r14 item 8): the
+        # kcore warm row reads ~19.6 s late-session vs 13 s fresh on
+        # identical code, and the open suspects are live persisted
+        # caches / checkpoint blocks shrinking execution memory.  Record
+        # the cached-RDD population at section boundaries so the gap is
+        # attributable from the record alone.  getRDDStorageInfo is the
+        # stable public API; sizes are bytes summed over cached RDDs.
+        try:
+            infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            return {
+                "n_cached_rdds": len(infos),
+                "cached_partitions": int(
+                    sum(i.numCachedPartitions() for i in infos)
+                ),
+                "mem_bytes": int(sum(i.memSize() for i in infos)),
+                "disk_bytes": int(sum(i.diskSize() for i in infos)),
+            }
+        except Exception:  # pragma: no cover - internals moved
+            return {}
+
+    storage_telemetry: dict[str, dict] = {}
     load_start = os.getloadavg()
     cpu_probe_start = min(_cpu_probe_ms() for _ in range(3))
     # Position-comparability (VERDICT r12 item 4): the first wide-probe
@@ -153,9 +175,11 @@ def main() -> None:
     # records of the same probe_version.
     _cpu_probe_wide_ms()  # untimed JIT/codegen primer
     cpu_probe_wide_start = min(_cpu_probe_wide_ms() for _ in range(2))
+    storage_telemetry["start"] = _storage_probe()
     timings: dict[str, float] = {}
     for name in CATALOG:
         timings[name] = _run(name)
+    storage_telemetry["after_catalog"] = _storage_probe()
 
     # Fixed JVM-warm mid-run probe point: immediately after the
     # in-sequence catalog pass (VERDICT r12 item 4) — brackets the
@@ -324,8 +348,14 @@ def main() -> None:
         "kcore_copurchase_report",
     ):
         if name in CATALOG:
+            if name == "kcore_copurchase_report":
+                # telemetry brackets for the late-session watch item
+                storage_telemetry["before_kcore_warm"] = _storage_probe()
             _run(name)  # prime (rebuild any cleared shared frames)
             adjudicated_warm[name] = _run(name)
+            if name == "kcore_copurchase_report":
+                storage_telemetry["after_kcore_warm"] = _storage_probe()
+    storage_telemetry["after_warm_rows"] = _storage_probe()
 
     total = round(sum(timings.values()), 3)
     load_end = os.getloadavg()
@@ -391,6 +421,7 @@ def main() -> None:
         "clusters": clusters,
         "isolated_warm": adjudicated_warm,
         "run_conditions": run_conditions,
+        "storage_telemetry": storage_telemetry,
         "sf": sf,
     }
     # Full per-query record -> a file (tools/bench_compare.py and

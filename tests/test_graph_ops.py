@@ -161,3 +161,48 @@ def test_sampled_triangle_estimate_tracks_exact(spark):
     if exact.n_triangles >= 100:
         rel = abs(samp.tri_estimate - exact.n_triangles) / exact.n_triangles
         assert rel < 0.5, (samp.tri_estimate, exact.n_triangles)
+
+
+def test_khop_broadcast_frontier_matches_shuffle_path(spark):
+    """ADVICE r14: the seed-restricted broadcast_frontier=True regime
+    (the 100 TB shape for dimension-bounded seed sets) must produce the
+    exact reach counts of the default shuffle path, on a graph with
+    cycles so the exact-frontier subtraction is exercised on both."""
+    pairs = [(0, i) for i in range(1, 9)]            # star
+    pairs += [(i, i + 1) for i in range(1, 8)]       # path among leaves
+    pairs += [(8, 1)]                                # close a cycle
+    pairs += [(20, 21), (21, 22), (22, 20)]          # disconnected triangle
+    ed = _edges(spark, pairs)
+    seeds = spark.createDataFrame([(0,), (3,), (20,)], "node long")
+    for k in (0, 1, 2, 3, 4):
+        bc = {
+            (r["seed"], r["n_reachable"])
+            for r in graph.k_hop_reachability(
+                ed, seeds, k=k, broadcast_frontier=True
+            ).collect()
+        }
+        sh = {
+            (r["seed"], r["n_reachable"])
+            for r in graph.k_hop_reachability(ed, seeds, k=k).collect()
+        }
+        assert bc == sh, k
+
+
+def test_triangle_stats_shuffle_hash_path_matches_broadcast(spark):
+    """ADVICE r14: the above-the-cap shuffle_hash census (the 100 TB
+    shape; unreachable from fixture-sized defaults) must match the
+    broadcast small path on the same graph."""
+    import random
+
+    rng = random.Random(11)
+    nodes = list(range(40))
+    pairs = sorted(
+        {(u, v) for u in nodes for v in nodes if u < v and rng.random() < 0.15}
+    )
+    small = graph.triangle_stats(
+        _edges(spark, pairs), broadcast_max_edges=4_000_000
+    ).collect()
+    large = graph.triangle_stats(
+        _edges(spark, pairs), broadcast_max_edges=0
+    ).collect()
+    assert [tuple(r) for r in small] == [tuple(r) for r in large]
