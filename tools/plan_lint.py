@@ -52,7 +52,7 @@ CARTESIAN_ALLOW: dict[str, str] = {
     "ks_two_sample_values": "1-row n_a/n_b frame broadcast",
     "chi_square_type_bucket": "1-row N total broadcast",
     "mutual_information": "1-row margins/total frames",
-    "rfm_segmentation": "1-row count frame per ntile pass",
+    "rfm_segmentation": "1-row count frame for the fused ntile pass (r15)",
     "event_cooccurrence_lift": "1-row user-count frame",
     "temperature_mix_sample": "1-row sum(c^tau) frame",
     "triangle_census": "three 1-row census aggregates combined",
@@ -101,6 +101,12 @@ GLOBAL_WINDOW_ALLOW: dict[str, str] = {
         "totals aggregate (32 rows, never data); was hidden behind the "
         "pin=True eager checkpoint until r7's pin='defer' exposed the "
         "lazy plan"
+    ),
+    "rfm_segmentation": (
+        "same offsets window as ntile_latency_buckets: the r15 fused "
+        "melt runs ONE global_cumsum pass under pin='defer', so the "
+        "num_ranges-row (32-row, never data) offsets window is visible "
+        "in the lazy plan"
     ),
     "neyman_allocation_report": (
         "largest-remainder row_number over the |strata|-row aggregate "
